@@ -1,0 +1,102 @@
+"""Sorted-CSR blocks inside DataFrame partitions + the vectorized
+Arrow intersection kernel (the north-star fast path).
+
+Key observation: Spark ships list columns to Python as Arrow
+``ListArray``s, and a ListArray *is* CSR — ``offsets`` = ``row_ptr``,
+flattened ``values`` = ``col_idx`` (the reference builds the same pair
+by hand in ``convertToCRS``, ``utils/utils.cpp:68-102``). So "CSR blocks
+inside partitions" costs nothing to materialize: each Arrow batch of
+``(src, dst, n_src, n_dst)`` rows carries two CSR blocks, and the
+intersection kernel below runs on the packed arrays directly.
+
+The kernel is fully vectorized — zero per-row Python (BASELINE.json
+``input_hint`` bans it). Per Arrow batch:
+
+1. densify vertex ids with one ``np.unique`` over both flattened value
+   arrays (codes are order-isomorphic, so per-row sortedness survives);
+2. tag every neighbor with its row: ``key = row * K + code`` — both key
+   arrays are globally sorted (rows ascending, codes ascending within);
+3. one ``np.intersect1d(assume_unique=True)`` computes ALL per-row
+   intersections of the batch at once (the batched form of the
+   reference's two-pointer merge, ``cuda_edge_it/cuda_edge_it_v2.cu:79-109``
+   / ``std::set_intersection``, ``sequential_edge_it/seq_edge_it_v1.cpp:156-160``);
+4. ``np.bincount(key // K)`` recovers per-row counts; ``uniq[key % K]``
+   recovers the closing vertices when triples are requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+
+def _csr(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(row_ptr, col_idx) view of an Arrow list column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    offsets = np.asarray(arr.offsets)
+    row_ptr = (offsets - offsets[0]).astype(np.int64)
+    return row_ptr, values.astype(np.int64, copy=False)
+
+
+def batch_intersections(
+    a: pa.Array, b: pa.Array, want_values: bool = False
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray | None]:
+    """Intersection sizes (and optionally members) for every row of two
+    sorted list columns. Returns (sizes, member_rows, member_values).
+    """
+    a_ptr, a_val = _csr(a)
+    b_ptr, b_val = _csr(b)
+    n = len(a_ptr) - 1
+    if a_val.size == 0 or b_val.size == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return np.zeros(n, dtype=np.int64), (empty if want_values else None), (
+            empty if want_values else None
+        )
+    uniq, inv = np.unique(np.concatenate([a_val, b_val]), return_inverse=True)
+    a_code = inv[: a_val.size]
+    b_code = inv[a_val.size :]
+    k = np.int64(uniq.size + 1)
+    a_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(a_ptr))
+    b_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(b_ptr))
+    common = np.intersect1d(a_row * k + a_code, b_row * k + b_code, assume_unique=True)
+    rows = common // k
+    sizes = np.bincount(rows, minlength=n).astype(np.int64)
+    if want_values:
+        return sizes, rows, uniq[common % k]
+    return sizes, None, None
+
+
+def intersect_count_kernel(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (src, dst, n_src, n_dst) → (src, dst, tri_cnt).
+
+    Emits one row per input edge with the size of N⁺(src) ∩ N⁺(dst).
+    """
+    for batch in batches:
+        sizes, _, _ = batch_intersections(batch.column("n_src"), batch.column("n_dst"))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("src"), batch.column("dst"), pa.array(sizes, pa.int64())],
+            names=["src", "dst", "tri_cnt"],
+        )
+
+
+def intersect_triples_kernel(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (src, dst, n_src, n_dst) → (a, b, c) triangle
+    triples, one row per closed triangle (a=src, b=dst, c=closing vertex).
+    """
+    for batch in batches:
+        _, rows, vals = batch_intersections(
+            batch.column("n_src"), batch.column("n_dst"), want_values=True
+        )
+        src = batch.column("src").to_numpy(zero_copy_only=False)[rows]
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)[rows]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(src, pa.int64()), pa.array(dst, pa.int64()), pa.array(vals, pa.int64())],
+            names=["a", "b", "c"],
+        )

@@ -1,0 +1,38 @@
+"""Per-vertex degree — SURVEY.md §2.4 A1.
+
+Reference counts 1s per matrix row (``sequential_node_it/seq_node_it_v1.cpp:61-68``)
+or takes adjacency-vector sizes. Relationally: each canonical edge
+contributes one degree to each endpoint, so the plan is a union of the
+two endpoint projections and a hash aggregate. Spark runs it
+partial+final (map-side combine), the direct analog of the reference's
+OpenMP ``reduction(+:...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """[vertex: long, degree: long] from a canonical edge table.
+
+    One shuffle on vertex id. Isolated vertices (degree 0) by definition
+    do not appear in an edge table and so do not appear here; callers
+    that need the full vertex universe join against their vertex source.
+    """
+    ends = edges.select(F.col("src").alias("vertex")).unionAll(
+        edges.select(F.col("dst").alias("vertex"))
+    )
+    return ends.groupBy("vertex").agg(F.count("*").alias("degree"))
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex set, derived from edges — never from a declared
+    header count (the reference's header-trusting out-of-bounds bug,
+    ``utils/utils.cpp:25`` + ``graph_file/graph_11.g``, SURVEY.md §1.1)."""
+    return (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )

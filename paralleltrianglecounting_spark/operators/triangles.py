@@ -1,0 +1,199 @@
+"""Exact triangle counting — the reference's flagship query, three
+physical strategies over one logical plan (SURVEY.md §3.1-3.2).
+
+Logical plan (compact-forward, the static reformulation of
+Schank-Wagner's forward algorithm — see SURVEY.md §3.1 for the proof
+sketch that it equals the reference's sequential semantics):
+
+    degrees → orient each edge low-rank→high-rank (struct(deg, id)) →
+    N⁺ adjacency → for every oriented edge (s,t): |N⁺(s) ∩ N⁺(t)| → Σ
+
+Each triangle {a,b,c} is counted exactly once: at the oriented edge
+between its two lowest-rank corners, closed by its highest-rank corner
+(the reference's closing-vertex filter, ``seq_edge_it_v1.cpp:166-168``).
+
+Physical strategies:
+
+- ``intersect``  (default) two equi-joins attach both N⁺ arrays, then a
+  JVM-side ``size(array_intersect(...))`` — whole-stage-codegen'd,
+  no Python at all. The reference's CPU ``std::set_intersection`` path.
+- ``csr``        same joins, but the intersection runs in a vectorized
+  Arrow kernel over CSR-packed batches (``operators.csr``) — the
+  north-star path, and the hook for fancier batched kernels.
+- ``wedge``      no arrays at all: generate wedges by self-joining the
+  oriented edge table on src, close them with a left-semi join against
+  the edge table. Pure relational (the reference's hash-probe variant,
+  ``parallel_node_it_CPP/parallel_node_it_v2.cpp:114-129``); best when
+  even O(√E) adjacency arrays are unwelcome, at the cost of
+  materializing the wedge shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paralleltrianglecounting_spark.operators.adjacency import oriented_adjacency
+from paralleltrianglecounting_spark.operators.csr import (
+    intersect_count_kernel,
+    intersect_triples_kernel,
+)
+from paralleltrianglecounting_spark.operators.degrees import vertices
+from paralleltrianglecounting_spark.operators.orientation import orient_edges
+
+def _empty_longs() -> Column:
+    return F.array().cast("array<long>")
+
+
+def _edges_with_adjacency(edges: DataFrame, broadcast_adj: bool | None = None) -> DataFrame:
+    """[src, dst, n_src, n_dst]: every oriented edge with both endpoints'
+    N⁺ arrays attached. Two equi-joins on vertex id; the top-rank vertex
+    has no N⁺ row, hence left joins + empty-array coalesce.
+
+    ``broadcast_adj=True`` forces broadcast (right for ≤ tens of MB of
+    adjacency, e.g. the bundled reference graphs); ``False`` forces
+    shuffle joins (the 100 TB setting — adjacency is |V| rows and cannot
+    broadcast); ``None`` lets Catalyst/AQE decide from stats.
+    """
+    oriented = orient_edges(edges).select("src", "dst")
+    adj = oriented_adjacency(oriented)
+    if broadcast_adj is True:
+        adj = F.broadcast(adj)
+    a_src = adj.select(F.col("vertex").alias("src"), F.col("neighbors").alias("_n_src"))
+    a_dst = adj.select(F.col("vertex").alias("dst"), F.col("neighbors").alias("_n_dst"))
+    return (
+        oriented.join(a_src, "src", "left")
+        .join(a_dst, "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce(F.col("_n_src"), _empty_longs()).alias("n_src"),
+            F.coalesce(F.col("_n_dst"), _empty_longs()).alias("n_dst"),
+        )
+    )
+
+
+def edge_triangle_counts(
+    edges: DataFrame, strategy: str = "intersect", broadcast_adj: bool | None = None
+) -> DataFrame:
+    """[src, dst, tri_cnt]: per-oriented-edge triangle closings."""
+    if strategy == "wedge":
+        return _wedge_counts(edges)
+    pairs = _edges_with_adjacency(edges, broadcast_adj)
+    if strategy == "intersect":
+        return pairs.select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("n_src", "n_dst")).cast("long").alias("tri_cnt"),
+        )
+    if strategy == "csr":
+        schema = T.StructType(
+            [
+                T.StructField("src", T.LongType()),
+                T.StructField("dst", T.LongType()),
+                T.StructField("tri_cnt", T.LongType()),
+            ]
+        )
+        return pairs.mapInArrow(intersect_count_kernel, schema)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def triangle_count(
+    edges: DataFrame, strategy: str = "intersect", broadcast_adj: bool | None = None
+) -> DataFrame:
+    """[triangles: long] — the reference's one global answer, e.g. 373 on
+    graph_100 / 20,299 on graph_10k (golden screenshots + CSV).
+
+    The final Σ is a partial+final aggregate — the distributed analog of
+    the reference's ``atomic<int>``/``reduction(+:countTriangles)``.
+    """
+    per_edge = edge_triangle_counts(edges, strategy, broadcast_adj)
+    return per_edge.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
+
+
+def triangle_triples(
+    edges: DataFrame, strategy: str = "intersect", broadcast_adj: bool | None = None
+) -> DataFrame:
+    """[a, b, c]: one row per triangle (a,b = the oriented edge's low/high
+    corner, c = closing vertex). Exactly one row per triangle."""
+    pairs = _edges_with_adjacency(edges, broadcast_adj)
+    if strategy == "csr":
+        schema = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.LongType()),
+                T.StructField("c", T.LongType()),
+            ]
+        )
+        return pairs.mapInArrow(intersect_triples_kernel, schema)
+    return pairs.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.explode(F.array_intersect("n_src", "n_dst")).alias("c"),
+    )
+
+
+def triangles_per_vertex(edges: DataFrame, strategy: str = "intersect") -> DataFrame:
+    """[vertex, triangles]: per-vertex triangle participation (each
+    triangle counts once for each of its three corners). Vertices in no
+    triangle report 0 — the vertex universe comes from the edge table,
+    never a declared count (SURVEY.md §1.1)."""
+    triples = triangle_triples(edges, strategy)
+    corners = (
+        triples.select(F.col("a").alias("vertex"))
+        .unionAll(triples.select(F.col("b").alias("vertex")))
+        .unionAll(triples.select(F.col("c").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        vertices(edges)
+        .join(corners, "vertex", "left")
+        .select("vertex", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """[vertex, coeff]: local clustering coefficient
+    2·tri(v) / (deg(v)·(deg(v)−1)); 0 where degree < 2."""
+    from paralleltrianglecounting_spark.operators.degrees import degrees
+
+    tri = triangles_per_vertex(edges)
+    deg = degrees(edges)
+    return tri.join(deg, "vertex").select(
+        "vertex",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )
+
+
+def _wedge_counts(edges: DataFrame) -> DataFrame:
+    """Relational strategy: wedges (s→t, s→w with rank t < rank w) closed
+    by a left-semi join against the oriented edge table. The semi-join is
+    the reference's hash-set probe (J3); Catalyst picks broadcast/
+    shuffled-hash/SMJ from stats."""
+    oriented = orient_edges(edges).select("src", "dst", "dst_rank")
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst_rank") < F.col("e2.dst_rank")),
+    ).select(
+        F.col("e1.src").alias("apex"),
+        F.col("e1.dst").alias("t"),
+        F.col("e2.dst").alias("w"),
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("t"), F.col("dst").alias("w")),
+        ["t", "w"],
+        "left_semi",
+    )
+    return closed.groupBy(F.col("apex").alias("src"), F.col("t").alias("dst")).agg(
+        F.count("*").alias("tri_cnt")
+    )

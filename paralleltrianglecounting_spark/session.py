@@ -1,0 +1,60 @@
+"""SparkSession factory for the link-graph engine.
+
+Defaults are chosen for the shape of this workload — iterative graph
+algorithms dominated by self-joins and aggregations on long vertex ids:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- Arrow on (all Python-side compute is pandas/Arrow-vectorized — the
+  engine bans row-at-a-time Python UDFs, see ``plans.lint``);
+- explicit ``spark.sql.shuffle.partitions`` sized to the core count
+  rather than the 200 default (local mode; on a real cluster this would
+  be ~2-3x total cores and AQE coalesces down).
+
+The reference hand-rolls its parallelism (std::thread chunking at
+``parallel_edge_it_manual_threads_CPP/parallel_edge_it_manual_threads_v1.cpp:248-258``,
+``#define NUM_THREADS`` sweeps); here the equivalent knobs are the master
+thread count and shuffle partitioning, swept by ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "spark-link-graph",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for link-graph analytics.
+
+    ``cores`` maps to ``local[N]``; on a real cluster the same code runs
+    unchanged under ``spark-submit --py-files`` with executor settings
+    supplied externally (the builder only sets SQL-level conf there).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

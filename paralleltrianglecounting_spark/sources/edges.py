@@ -1,0 +1,109 @@
+"""Canonical edge tables from co-occurrence self-joins.
+
+The production data model (BASELINE.json ``input_hint``): an Iceberg/
+parquet table of source-code repositories ``(repo, path, commit, lang,
+content)``; the link graph has an edge between two repos that share a
+path (or commit). This module generalizes that to *any* (container,
+entity) pair — two entities are linked iff they co-occur in a container
+— and mirrors the reference generator's edge semantics exactly:
+canonical ``(min, max)`` + global dedup
+(``graph_generator/generate_graph.py:22-31``).
+
+Scale notes (the part that matters at 100 TB):
+- the self-join shuffles both sides on the container key once; Spark's
+  partial aggregation dedups pairs map-side before the final distinct;
+- a *hub* container with k members emits k² pairs. ``max_container_size``
+  drops containers above a threshold (the standard cap for bipartite
+  projections — e.g. a path like ``README.md`` shared by every repo
+  carries no link signal and would alone produce ~|repos|² edges);
+- the distinct() on (src, dst) is a hash aggregate whose key space is
+  the edge set itself — AQE coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "canonicalize_edges",
+    "cooccurrence_edges",
+    "part_graph",
+    "supplier_graph",
+    "bidirected",
+]
+
+
+def canonicalize_edges(df: DataFrame, u: str = "src", v: str = "dst") -> DataFrame:
+    """Normalize an arbitrary pair table to the canonical undirected edge
+    set: ``src < dst``, no self-loops, no duplicates.
+
+    Equivalent of the reference's undirected-equality edge set
+    (``sequential_edge_it/seq_edge_it_v1.cpp:26-40``).
+    """
+    return (
+        df.where(F.col(u) != F.col(v))
+        .select(
+            F.least(F.col(u), F.col(v)).cast("long").alias("src"),
+            F.greatest(F.col(u), F.col(v)).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    container: str,
+    entity: str,
+    max_container_size: int | None = None,
+) -> DataFrame:
+    """Edges between distinct entities sharing a container.
+
+    Plan: (optional hub filter) → self-join on the container key with the
+    strict ``a.entity < b.entity`` predicate (each unordered pair emitted
+    once per shared container — upper-triangle selection, the relational
+    form of the reference's ``j > i`` harvest,
+    ``sequential_edge_it/seq_edge_it_v1.cpp:123-128``) → distinct.
+
+    The join is an equi-join on ``container``: Catalyst picks SMJ or
+    shuffled-hash; both sides are the same table so the shuffle is
+    reused. With ``max_container_size`` set, the filter is computed with
+    one extra aggregation and applied *before* the join — at scale this
+    is the difference between |E| and |repos|² rows.
+    """
+    pairs = df.select(
+        F.col(container).alias("_c"), F.col(entity).cast("long").alias("_e")
+    ).distinct()
+    if max_container_size is not None:
+        sizes = pairs.groupBy("_c").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= max_container_size).select("_c")
+        pairs = pairs.join(F.broadcast(keep), "_c")
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a._c") == F.col("b._c")) & (F.col("a._e") < F.col("b._e")))
+        .select(F.col("a._e").alias("src"), F.col("b._e").alias("dst"))
+        .distinct()
+    )
+
+
+def part_graph(spark, sf_dir: str, max_container_size: int | None = None) -> DataFrame:
+    """The engine's canonical benchmark graph: parts co-occurring in an
+    order (testdata's analog of repos sharing a path). ~2k vertices /
+    116k edges at sf0.01; ~20k vertices at sf0.1."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", max_container_size)
+
+
+def supplier_graph(spark, sf_dir: str) -> DataFrame:
+    """Smaller/denser variant: suppliers co-occurring in an order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    return cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+
+
+def bidirected(edges: DataFrame) -> DataFrame:
+    """Both directions of each canonical edge — the adjacency-map view
+    (``utils/utils.cpp:58-59`` inserts u→v and v→u)."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

@@ -1,0 +1,98 @@
+"""Sequential NumPy test oracles — the reference's own verification
+methodology (SURVEY.md §5): the closed-form ``trace(A³)/6`` check every
+CPU main prints (``sequential_node_it/seq_node_it_v1.cpp:144-160``),
+plus brute-force enumeration for tiny graphs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+
+
+def relabel(edges: list[tuple[int, int]]) -> tuple[np.ndarray, int]:
+    """Dense 0..n-1 relabeling of arbitrary vertex ids."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    arr = np.array([(idx[u], idx[v]) for u, v in edges], dtype=np.int64)
+    return arr, len(ids)
+
+
+def triangle_count_trace(edges: list[tuple[int, int]]) -> int:
+    """trace(A³)/6 on the dense adjacency matrix (oracle ≤ ~5k vertices)."""
+    if not edges:
+        return 0
+    arr, n = relabel(edges)
+    a = np.zeros((n, n), dtype=np.int64)
+    a[arr[:, 0], arr[:, 1]] = 1
+    a[arr[:, 1], arr[:, 0]] = 1
+    return int(np.trace(a @ a @ a) // 6)
+
+
+def triangle_count_brute(edges: list[tuple[int, int]]) -> int:
+    """Enumerate vertex triples (oracle ≤ ~60 vertices)."""
+    es = {tuple(sorted(e)) for e in edges}
+    vs = sorted({v for e in edges for v in e})
+    return sum(
+        1
+        for a, b, c in combinations(vs, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+
+
+def triangles_per_vertex_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Per-vertex triangle participation: diag(A³)/2."""
+    if not edges:
+        return {}
+    ids = sorted({v for e in edges for v in e})
+    arr, n = relabel(edges)
+    a = np.zeros((n, n), dtype=np.int64)
+    a[arr[:, 0], arr[:, 1]] = 1
+    a[arr[:, 1], arr[:, 0]] = 1
+    d = np.diag(a @ a @ a) // 2
+    return {v: int(d[i]) for i, v in enumerate(ids)}
+
+
+def pagerank_oracle(
+    edges: list[tuple[int, int]],
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> dict[int, float]:
+    """Synchronous power iteration on the undirected graph, matching the
+    engine's semantics: uniform init 1/n, dangling mass NOT redistributed
+    (undirected graphs have no dangling vertices once degree ≥ 1)."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for u, v in edges:
+        deg[idx[u]] += 1
+        deg[idx[v]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = pr / deg
+        nxt = np.zeros(n)
+        for u, v in edges:
+            nxt[idx[u]] += contrib[idx[v]]
+            nxt[idx[v]] += contrib[idx[u]]
+        pr = (1 - damping) / n + damping * nxt
+    return {v: float(pr[idx[v]]) for v in ids}
+
+
+def components_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; component id = min vertex id in the component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {v: find(v) for v in parent}
