@@ -1,0 +1,128 @@
+"""Connected components via large-star / small-star alternation
+(Kiveris et al., "Connected Components in MapReduce and Beyond" —
+the algorithm the north star names; converges in O(log² n) rounds,
+vs O(diameter) for naive min-label flooding).
+
+Representation: a parent-pointer edge set ``(u, parent)`` evolving
+toward star graphs — every vertex pointing at the minimum vertex id of
+its component (the deterministic component label, matching the
+union-find oracle).
+
+- **large-star**: for each vertex u, connect every *strictly larger*
+  neighbor to m(u) = min(N(u) ∪ {u}).
+- **small-star**: for each vertex u, connect every neighbor ≤ u (and u
+  itself) to m(u) computed over those neighbors.
+
+Each phase is one groupBy(min) + one re-expansion join — two shuffles
+per round, all on vertex id. Self-loops produced by the contraction are
+dropped; the edge multiset is deduped each round (it only shrinks or
+re-points, never grows beyond the original size).
+
+Convergence: the SuperstepRunner's state fingerprint goes stable when
+neither phase changes the edge set; labels are then read off the stars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.degrees import vertices
+from paralleltrianglecounting_spark.plans.superstep import SuperstepResult, SuperstepRunner
+from paralleltrianglecounting_spark.sources.edges import bidirected
+
+
+def _min_neighbor(pairs: DataFrame, include_self: bool = True) -> DataFrame:
+    """[u, m]: minimum over each vertex's neighbor multiset (∪ {u})."""
+    agg = pairs.groupBy("u").agg(F.min("v").alias("_mn"))
+    if include_self:
+        return agg.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return agg.select("u", F.col("_mn").alias("m"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over an undirected pair set [u, v]."""
+    nbrs = bidirected(edges).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    m = _min_neighbor(nbrs)
+    bigger = nbrs.where(F.col("v") > F.col("u"))
+    return (
+        bigger.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.least("v", "m").alias("src"), F.greatest("v", "m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: operate on each vertex's ≤-neighbors."""
+    # orient each edge from the larger endpoint to the smaller: u > v
+    pointed = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    m = _min_neighbor(pointed)  # min over smaller-neighbors ∪ {u}
+    relinked = (
+        pointed.join(m, "u")
+        .select(
+            F.explode(F.array(F.col("v"), F.col("u"))).alias("a"),
+            F.col("m"),
+        )
+        .where(F.col("a") != F.col("m"))
+        .select(F.least("a", "m").alias("src"), F.greatest("a", "m").alias("dst"))
+        .distinct()
+    )
+    return relinked
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex, component] — component id = min vertex id in the
+    component (deterministic, matches the union-find oracle)."""
+    return components_run(edges, checkpoint_dir, max_iterations, resume).state
+
+
+def components_run(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+    resume: bool = True,
+) -> SuperstepResult:
+    spark = edges.sparkSession
+    base = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        after_large = _large_star(state)
+        after_small = _small_star(after_large)
+        return after_small, {"edges": after_small.count(), "round": i}
+
+    runner = SuperstepRunner(
+        spark,
+        name="connected_components",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+    )
+    result = runner.run(base, step, stop_when_stable=True, resume=resume)
+
+    stars = result.state
+    # at fixpoint every edge is (root, member) with root = component min;
+    # labels: member -> root, root -> itself, untouched vertices -> themselves
+    labels = bidirected(stars).where(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("vertex"), F.col("dst").alias("component")
+    )
+    all_vertices = vertices(edges)
+    final = (
+        all_vertices.join(labels, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("component", F.col("vertex")).alias("component"),
+        )
+    )
+    return SuperstepResult(
+        state=final,
+        iterations=result.iterations,
+        converged=result.converged,
+        metrics=result.metrics,
+    )

@@ -1,0 +1,83 @@
+"""PageRank by synchronous power iteration (north-star extension).
+
+Semantics (fixed, oracle-checked): undirected graph, uniform init 1/n,
+damping d=0.85; each iteration every vertex sends rank/degree along
+every incident edge and receives
+``rank' = (1-d)/n + d * Σ incoming``. An edge-derived graph has no
+degree-0 vertices, so there is no dangling mass to redistribute — the
+semantics match the NumPy oracle exactly and are SQL-unrollable for the
+DuckDB correctness gate.
+
+Plan per superstep: ranks ⋈ degrees (broadcast-eligible: |V| rows of
+two numbers) → contributions → shuffle-join with the *bidirected* edge
+table on src → hash agg by dst (partial+final). One shuffle per
+iteration on vertex id; lineage is truncated by the SuperstepRunner.
+
+At 100 TB the dominant cost is the per-iteration edges⋈ranks shuffle;
+pre-partitioning BOTH the cached edge table and the rank state by the
+same hash of vertex id keeps the edge side's exchange out of the loop
+(Spark reuses the edge shuffle across iterations once the table is
+persisted partitioned; only the small rank side moves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.degrees import degrees
+from paralleltrianglecounting_spark.plans.superstep import SuperstepResult, SuperstepRunner
+from paralleltrianglecounting_spark.sources.edges import bidirected
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex, rank] after a fixed number of synchronous iterations."""
+    return pagerank_run(edges, damping, iterations, checkpoint_dir, resume).state
+
+
+def pagerank_run(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    spark = edges.sparkSession
+    deg = degrees(edges).persist()
+    n = deg.count()  # also materializes the degree cache
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex long, rank double")
+        return SuperstepResult(state=empty, iterations=0, converged=True)
+    adj = bidirected(edges).persist()
+    edge_count = adj.count()  # materialize the message topology once
+
+    init = deg.select("vertex", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        contrib = state.join(deg, "vertex").select(
+            "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
+        )
+        messages = adj.join(
+            contrib.withColumnRenamed("vertex", "src"), "src"
+        ).select(F.col("dst").alias("vertex"), "contrib")
+        new_rank = messages.groupBy("vertex").agg(
+            ((1.0 - damping) / n + damping * F.sum("contrib")).alias("rank")
+        )
+        return new_rank, {"messages_sent": edge_count, "vertices": n}
+
+    runner = SuperstepRunner(
+        spark,
+        name="pagerank",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=iterations,
+    )
+    result = runner.run(init, step, stop_when_stable=False, resume=resume)
+    deg.unpersist()
+    adj.unpersist()
+    return result

@@ -79,6 +79,29 @@ def pagerank_oracle(
     return {v: float(pr[idx[v]]) for v in ids}
 
 
+def label_propagation_oracle(
+    edges: list[tuple[int, int]], iterations: int = 5
+) -> dict[int, int]:
+    """Synchronous LPA, most-frequent neighbor label, ties -> min label."""
+    from collections import Counter, defaultdict
+
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nbrs:
+            c = Counter(labels[w] for w in nbrs[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        if nxt == labels:
+            break
+        labels = nxt
+    return labels
+
+
 def components_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find; component id = min vertex id in the component."""
     parent: dict[int, int] = {}

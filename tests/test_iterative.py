@@ -1,0 +1,117 @@
+"""PageRank / connected components / label propagation vs sequential
+NumPy oracles, plus superstep checkpoint + resume semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.components import connected_components
+from paralleltrianglecounting_spark.operators.labelprop import label_propagation
+from paralleltrianglecounting_spark.operators.pagerank import pagerank, pagerank_run
+from paralleltrianglecounting_spark.sources.gfile import read_g_file
+from paralleltrianglecounting_spark.sources.planted import planted_triangles
+from tests.conftest import reference_graph
+from tests.oracles import (
+    components_oracle,
+    label_propagation_oracle,
+    pagerank_oracle,
+)
+
+
+def _local_edges(df):
+    return [(r.src, r.dst) for r in df.collect()]
+
+
+def test_pagerank_matches_oracle(spark):
+    edges = planted_triangles(spark, num_nodes=150, num_triangles=80, seed=13).cache()
+    local = _local_edges(edges)
+    want = pagerank_oracle(local, damping=0.85, iterations=10)
+    got = {r.vertex: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # ranks are a probability distribution over vertices
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_on_reference_graph(spark):
+    edges = read_g_file(spark, reference_graph("graph_100")).cache()
+    local = _local_edges(edges)
+    want = pagerank_oracle(local, iterations=15)
+    got = {r.vertex: r.rank for r in pagerank(edges, iterations=15).collect()}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_connected_components_matches_union_find(spark):
+    # disconnected structure: several planted clumps with disjoint id ranges
+    e1 = planted_triangles(spark, num_nodes=40, num_triangles=25, seed=1)
+    e2 = planted_triangles(spark, num_nodes=40, num_triangles=25, seed=2).select(
+        (F.col("src") + 1000).alias("src"), (F.col("dst") + 1000).alias("dst")
+    )
+    chain = spark.createDataFrame(
+        [(5000 + i, 5000 + i + 1) for i in range(30)], "src long, dst long"
+    )
+    edges = e1.unionByName(e2).unionByName(chain).cache()
+    local = _local_edges(edges)
+    want = components_oracle(local)
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == want
+    assert len(set(got.values())) == len(set(want.values()))
+
+
+def test_components_on_reference_graph(spark):
+    edges = read_g_file(spark, reference_graph("graph_11")).cache()
+    local = _local_edges(edges)
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == components_oracle(local)
+
+
+def test_label_propagation_matches_oracle(spark):
+    edges = planted_triangles(spark, num_nodes=60, num_triangles=35, seed=21).cache()
+    local = _local_edges(edges)
+    want = label_propagation_oracle(local, iterations=5)
+    got = {r.vertex: r.label for r in label_propagation(edges, iterations=5).collect()}
+    assert got == want
+
+
+def test_checkpoint_and_resume(spark, tmp_path):
+    """Kill-and-resume: run 4 iterations, then rerun asking for 8 with the
+    same checkpoint dir — the first 4 must load from disk and the final
+    state must equal an uninterrupted 8-iteration run."""
+    edges = planted_triangles(spark, num_nodes=100, num_triangles=50, seed=31).cache()
+    ck = str(tmp_path / "ck")
+
+    r1 = pagerank_run(edges, iterations=4, checkpoint_dir=ck)
+    assert r1.iterations == 4
+    # manifests on disk with lineage + metrics
+    it_dirs = sorted(os.listdir(os.path.join(ck, "pagerank")))
+    assert len(it_dirs) == 4
+    with open(os.path.join(ck, "pagerank", it_dirs[0], "manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"] > 0 and "partitions" in m and m["metrics"]["messages_sent"] > 0
+
+    r2 = pagerank_run(edges, iterations=8, checkpoint_dir=ck, resume=True)
+    assert r2.iterations == 8
+    assert len(r2.metrics) == 8
+
+    straight = pagerank(edges, iterations=8)
+    a = {r.vertex: r.rank for r in r2.state.collect()}
+    b = {r.vertex: r.rank for r in straight.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_components_converge_flag(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    from paralleltrianglecounting_spark.operators.components import components_run
+
+    res = components_run(edges)
+    assert res.converged
+    got = {r.vertex: r.component for r in res.state.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
