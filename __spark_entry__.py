@@ -36,7 +36,36 @@ from paralleltrianglecounting_spark.operators.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
+from paralleltrianglecounting_spark.operators.dedup import (
+    MINHASH_PARAMS,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from paralleltrianglecounting_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_ann_topk,
+)
+from paralleltrianglecounting_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
 from paralleltrianglecounting_spark.sources.edges import part_graph
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 # ---------------------------------------------------------------------------
 # shared SQL prelude: the part co-occurrence graph in DuckDB terms
@@ -186,6 +215,71 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(part_graph(spark, sf_dir), iterations=LPA_ITERS)
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
+def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_topk(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic embeddings are near-random (same-label cosine tops out
+    # ~0.45), so the "near-dup" threshold is set where data exists
+    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.3)
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_triangle_count(spark, "/root/testdata/sf0.001")
@@ -204,6 +298,199 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "pagerank": _q_pagerank,
         "label_propagation": _q_label_propagation,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "exact_duplicates": _q_exact_duplicates,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_near_duplicates": _q_simhash_near_dups,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,  # rows-only: xxhash64 hyperplanes
+        "embedding_near_duplicates": _q_embedding_near_dups,
+        "events_windowed": _q_events_windowed,
+    }
+
+
+# SQL fragments shared by the document oracles
+_TOKS_CTE = r"""
+toks_t AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+  FROM documents
+)
+""".strip()
+
+_DISTINCT_TOKS_CTE = r"""
+dtoks AS (
+  SELECT doc_id, list_distinct(toks) AS toks FROM toks_t
+)
+""".strip()
+
+_H56 = "('0x' || substr(md5({x}), 1, 14))::BIGINT"
+_M = 2_147_483_647
+
+
+def _minhash_params_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+
+
+def _doc_oracles() -> dict[str, str]:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    h56_tok = _H56.format(x="tok")
+    lang_score_cols = ",\n       ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in LANG_MARKERS
+    )
+    # fold argmax in declaration order, strict > to switch
+    pred = f"'{LANG_MARKERS[0][0]}'"
+    best = f"s_{LANG_MARKERS[0][0]}"
+    for lang, _ in LANG_MARKERS[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return {
+        "token_stats": f"""WITH {_TOKS_CTE}
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_actual,
+       round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
+             / greatest(len(toks), 1), 6) AS avg_token_len_r
+FROM toks_t""",
+        "quality_scores": f"""WITH {_TOKS_CTE},
+q AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         least(len(toks) / 100.0, 1.0) AS length_score
+  FROM toks_t
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio_r,
+       round(stop_ratio, 6) AS stop_ratio_r,
+       round(length_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality_r
+FROM q""",
+        "lang_id": f"""WITH {_TOKS_CTE},
+scores AS (
+  SELECT doc_id, lang,
+       {lang_score_cols}
+  FROM toks_t
+)
+SELECT doc_id, lang AS lang_declared, {pred} AS lang_pred FROM scores""",
+        "fingerprints": f"""WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, cs), (a, b) -> (a * 31 + b) % {_M})::BIGINT AS fp
+FROM codes""",
+        "exact_duplicates": """SELECT sha256(text) AS text_sha,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY sha256(text) HAVING count(*) >= 2""",
+        "minhash_lsh_dedup": f"""WITH {_TOKS_CTE},
+{_DISTINCT_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
+h AS (SELECT doc_id, ({h56_tok} % {_M}) AS h0 FROM tok),
+params(i, a, b) AS (VALUES {_minhash_params_values()}),
+mh AS (
+  SELECT doc_id, p.i AS i, min((p.a * h.h0 + p.b) % {_M}) AS mh
+  FROM h CROSS JOIN params p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
+  FROM mh GROUP BY doc_id, i // 4
+),
+bsize AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bands_f AS (
+  SELECT bands.doc_id, bands.band, bands.key FROM bands
+  JOIN bsize ON bands.band = bsize.band AND bands.key = bsize.key
+  WHERE bsize.n <= 200
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands_f x JOIN bands_f y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               / greatest(len(ta.toks) + len(tb.toks)
+                          - len(list_intersect(ta.toks, tb.toks)), 1), 6) AS jaccard_r
+  FROM cand c
+  JOIN dtoks ta ON ta.doc_id = c.doc_a
+  JOIN dtoks tb ON tb.doc_id = c.doc_b
+)
+SELECT * FROM j WHERE jaccard_r >= 0.5""",
+        "ngram_jaccard_dedup": f"""WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id, lang, len(toks)::BIGINT AS ntok,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS grams
+  FROM toks_t WHERE len(toks) >= 3
+),
+blocked AS (SELECT *, ntok // 10 AS bucket FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / greatest(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)), 1), 6) AS jaccard_r
+FROM blocked a JOIN blocked b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+            / greatest(len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.3""",
+        "simhash": f"""WITH {_TOKS_CTE},
+{_DISTINCT_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
+h AS (SELECT doc_id, {h56_tok} AS h FROM tok),
+bits AS (
+  SELECT doc_id, gs.j AS j,
+         sum(CASE WHEN (h >> gs.j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+  FROM h CROSS JOIN generate_series(0, 31) gs(j)
+  GROUP BY doc_id, gs.j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN tot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id""",
+        "cosine_topk": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_emb, e.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos_r
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_r,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_r DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+        "embedding_near_duplicates": """WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_r
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+         * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3""",
+        "events_windowed": """SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     }
 
 
@@ -247,4 +534,5 @@ cc(v, l) AS (
 SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
         "pagerank": _pagerank_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
+        **_doc_oracles(),
     }

@@ -1,0 +1,87 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing convention follows the reference: the clock wraps the algorithm,
+not the input load (``sequential_node_it/seq_node_it_v1.cpp:205-210``) —
+the edge table is built and materialized once, then each headline query
+is timed to completion (count/collect of its result).
+
+Extra keys (ignored by the driver, used by BENCH/BASELINE.md):
+edges, vertices, triangles, edges_per_sec for the flagship count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from paralleltrianglecounting_spark.operators.components import connected_components
+from paralleltrianglecounting_spark.operators.labelprop import label_propagation
+from paralleltrianglecounting_spark.operators.pagerank import pagerank
+from paralleltrianglecounting_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from paralleltrianglecounting_spark.session import get_spark
+
+
+def run(sf_dir: str, cores: int) -> dict:
+    from paralleltrianglecounting_spark.sources.edges import part_graph
+
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+
+    edges = part_graph(spark, sf_dir).persist()
+    t0 = time.monotonic()
+    n_edges = edges.count()  # materialize once; load excluded from query timings
+    build_sec = time.monotonic() - t0
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float | int] = {"edges": n_edges, "edge_build_sec": round(build_sec, 3)}
+
+    def timed(name: str, thunk):
+        t = time.monotonic()
+        out = thunk()
+        timings[name] = round(time.monotonic() - t, 3)
+        return out
+
+    tri = timed(
+        "triangle_count",
+        lambda: triangle_count(edges, strategy="intersect").collect()[0]["triangles"],
+    )
+    timed(
+        "triangle_count_csr",
+        lambda: triangle_count(edges, strategy="csr").collect()[0]["triangles"],
+    )
+    timed(
+        "triangles_per_vertex",
+        lambda: triangles_per_vertex(edges).count(),
+    )
+    timed("pagerank_5", lambda: pagerank(edges, iterations=5).count())
+    timed("connected_components", lambda: connected_components(edges).count())
+    timed("label_propagation_3", lambda: label_propagation(edges, iterations=3).count())
+
+    extras["triangles"] = tri
+    extras["edges_per_sec_triangle_count"] = round(n_edges / timings["triangle_count"], 1)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "headline_link_graph_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+        **extras,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run(sf_dir, cores)
+    print(json.dumps(result))

@@ -96,7 +96,9 @@ def components_run(
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         after_large = _large_star(state)
         after_small = _small_star(after_large)
-        return after_small, {"edges": after_small.count(), "round": i}
+        # row count is recorded by the runner (manifest/fingerprint);
+        # an extra count() here would be one whole job per superstep
+        return after_small, {"round": i}
 
     runner = SuperstepRunner(
         spark,

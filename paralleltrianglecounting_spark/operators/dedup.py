@@ -1,0 +1,254 @@
+"""Deduplication operators over the ``documents`` table — exact,
+MinHash+LSH, SimHash, and n-gram Jaccard. First-class training-data
+pipeline components.
+
+Everything is built from JVM column expressions over a *shared*
+engine-portable hash (``text.hash56``: md5-derived 56-bit integer),
+which makes even the MinHash signatures and LSH bands reproducible in
+ANSI SQL for the DuckDB correctness gate — no library RNG, no
+engine-specific hash.
+
+Scale shape (the 100 TB story):
+- signatures/fingerprints are one narrow row per document — linear
+  scans, hash aggregates, no shuffle wider than (doc_id, band);
+- candidate generation is a self-join on the LSH band key (or simhash
+  chunk), i.e. only documents sharing a bucket ever meet — the whole
+  point of LSH; the verify step touches candidate pairs only;
+- the only dangerous skew is a degenerate bucket (e.g. empty docs all
+  hashing alike); ``max_bucket`` caps it exactly like the hub-container
+  cap in edge derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.text import HASH56_MOD, hash56, tokens
+
+# deterministic affine MinHash parameters (a_i odd, b_i): published
+# constants derived from small primes — NOT runtime-random, so Spark,
+# DuckDB, and any reimplementation agree bit-for-bit.
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    ((2 * k + 1) * 2_654_435_761 % HASH56_MOD, (k * 40_503 + 7) % HASH56_MOD)
+    for k in range(16)
+]
+LSH_BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """[text_sha, n_docs, min_doc_id]: exact-content duplicate groups
+    (groups with ≥ 2 docs), keyed by sha256 — the same per-row content
+    invariant the corpus carries (input_hint)."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _token_table(docs: DataFrame) -> DataFrame:
+    """[doc_id, tok]: distinct whitespace tokens per document."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+
+
+def minhash_signatures(docs: DataFrame, params: list[tuple[int, int]] | None = None) -> DataFrame:
+    """[doc_id, i, mh]: MinHash row i of each document's token set:
+    ``min over tokens of (a_i * h56(tok) % M + b_i) % M``."""
+    params = params or MINHASH_PARAMS
+    tok = _token_table(docs).select(
+        "doc_id", (hash56(F.col("tok")) % HASH56_MOD).alias("h0")
+    )
+    plist = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    expanded = tok.select(
+        "doc_id", "h0", F.explode(plist).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.i").alias("i"),
+        ((F.col("p.a") * F.col("h0") + F.col("p.b")) % HASH56_MOD).alias("hv"),
+    )
+    return expanded.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = LSH_BAND_ROWS) -> DataFrame:
+    """[doc_id, band, key]: band key = md5 of the band's minhash values
+    joined in row order (portable across engines)."""
+    return (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("i", "mh"))).mh)
+            ).alias("key")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """[doc_a, doc_b, jaccard_r]: LSH candidate pairs (some band
+    collides) whose EXACT token-set Jaccard ≥ threshold.
+
+    Candidates from bucket self-join; degenerate buckets capped at
+    ``max_bucket`` members (skew guard). Jaccard verified exactly via
+    |A∩B| / (|A|+|B|−|A∩B|) on sorted token arrays.
+    """
+    bands = lsh_bands(minhash_signatures(docs))
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    bands = bands.join(
+        sizes.where(F.col("_n") <= max_bucket).select("band", "key"), ["band", "key"]
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard_r"),
+        )
+        .where(F.col("jaccard_r") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """[doc_a, doc_b, jaccard_r]: exact token-n-gram-set Jaccard over
+    candidate pairs blocked by (lang, token-count bucket) — the
+    brute-force-within-blocks baseline that LSH approximates.
+    """
+    toks = tokens(F.col("text"))
+    shingled = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("ntok"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("grams"),
+    ).where(F.col("ntok") >= n)
+    blocked = shingled.withColumn("bucket", (F.col("ntok") / 10).cast("long"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard_r"),
+        )
+        .where(F.col("jaccard_r") >= threshold)
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """[doc_id, simhash]: per-document SimHash — bit j is the sign of
+    Σ_tokens (bit j of h56(token) ? +1 : −1). Distinct-token weighted.
+    """
+    tok = _token_table(docs).select("doc_id", hash56(F.col("tok")).alias("h"))
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        "h",
+    ).select(
+        "doc_id",
+        "j",
+        # shift amount is a column -> SQL expr (the python wrapper only
+        # accepts int literals for numBits)
+        F.when(F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias("s"),
+    )
+    return (
+        bit.groupBy("doc_id", "j")
+        .agg(F.sum("s").alias("tot"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("tot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """[doc_a, doc_b, hamming]: pairs within ``max_hamming`` bits,
+    candidates blocked on exact match of one of 4 simhash chunks
+    (pigeonhole: ≤3 differing bits leave ≥1 of 4 chunks identical)."""
+    sh = simhash(docs)
+    chunk_bits = SIMHASH_BITS // 4
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn(
+        "ckey",
+        F.expr(f"shiftright(simhash, chunk * {chunk_bits})").bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        ),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,120 @@
+"""Text analysis over the ``documents`` table — the training-data
+pipeline operators (language-id, quality scoring, token counting,
+fingerprinting). All pure JVM-side column expressions: no UDFs at all.
+
+Portability contract: every function here has an exact ANSI-SQL twin
+(DuckDB) used by the correctness gate, so each transformation is
+restricted to constructs with identical semantics in both engines
+(regexp_split, md5, integer arithmetic, lambda higher-order functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared 56-bit integer hash: identical in Spark and DuckDB —
+# Spark:  conv(substr(md5(x), 1, 14), 16, 10) :: long
+# DuckDB: ('0x' || substr(md5(x), 1, 14)) :: BIGINT
+HASH56_MOD = 2_147_483_647  # 2^31 - 1, keeps (a*h+b) inside int64
+
+
+def hash56(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empties dropped (identical to
+    DuckDB ``list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')``)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# marker-word profiles for the n-gram/function-word language heuristic;
+# checked in declaration order, ties -> earlier entry
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "is"]),
+    ("de", ["der", "die", "das", "und", "ist"]),
+    ("es", ["el", "la", "de", "que", "es"]),
+    ("fr", ["le", "la", "les", "et", "est"]),
+]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, n_chars_actual, avg_token_len_r]"""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(total_len / F.greatest(n, F.lit(1)), 6).alias("avg_token_len_r"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, punct_ratio_r, stop_ratio_r, quality_r]
+
+    Heuristic quality: long-enough docs with normal word lengths, some
+    stopwords, and little punctuation score high — the standard cheap
+    pre-filter shape for web/code corpora.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", ""))
+    chars = F.greatest(F.length("text"), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stops = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct_ratio = punct / chars
+    stop_ratio = stops / F.greatest(n, F.lit(1))
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    quality = length_score * (1.0 - punct_ratio) * (0.5 + stop_ratio)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio_r"),
+        F.round(stop_ratio, 6).alias("stop_ratio_r"),
+        F.round(quality, 6).alias("quality_r"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """[doc_id, lang_declared, lang_pred]: deterministic function-word
+    language heuristic — argmax of marker-word hits, ties resolved by
+    profile declaration order."""
+    toks = tokens(F.col("text"))
+
+    def marker_hits(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        # one-arg lambda: F.filter passes (element, index) to 2-arg lambdas
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS}
+    # fold: best = first profile with strictly-max score
+    best = F.lit(LANG_MARKERS[0][0])
+    best_score = scores[LANG_MARKERS[0][0]]
+    for lang, _ in LANG_MARKERS[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_declared"), best.alias("lang_pred")
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """[doc_id, fp]: polynomial rolling hash over the document's
+    characters, ``fp = fold(acc*31 + codepoint) mod (2^31-1)`` — the
+    deterministic document fingerprint (a content hash expressible in
+    both engines, unlike xxhash64)."""
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH56_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fp"))

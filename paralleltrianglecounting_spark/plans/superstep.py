@@ -96,6 +96,10 @@ class SuperstepRunner:
         assert self.dir is not None
         return os.path.join(self.dir, f"iter_{i:05d}")
 
+    def _manifest(self, i: int) -> dict:
+        with open(os.path.join(self._iter_dir(i), "manifest.json")) as f:
+            return json.load(f)
+
     def _complete_iterations(self) -> list[int]:
         if not self.dir or not os.path.isdir(self.dir):
             return []
@@ -169,17 +173,15 @@ class SuperstepRunner:
             new_state, step_metrics = step(state, i)
             state = self._checkpoint(new_state, i, step_metrics)
             manifest = {"iteration": i, "metrics": step_metrics}
-            if self.dir is None:
-                metrics.append(manifest)
-            else:
-                with open(os.path.join(self._iter_dir(i), "manifest.json")) as f:
-                    metrics.append(json.load(f))
             if stop_when_stable:
                 fp = _state_fingerprint(state)
+                manifest["rows"] = fp[0]  # reuse the convergence count
                 if fp == prev_fp:
                     converged = True
+                    metrics.append(manifest if self.dir is None else self._manifest(i))
                     i += 1
                     break
                 prev_fp = fp
+            metrics.append(manifest if self.dir is None else self._manifest(i))
             i += 1
         return SuperstepResult(state=state, iterations=i, converged=converged, metrics=metrics)
