@@ -37,6 +37,7 @@ from paralleltrianglecounting_spark.operators.triangles import (
     triangles_per_vertex,
 )
 from paralleltrianglecounting_spark.operators.dedup import (
+    LSH_BAND_ROWS,
     MINHASH_PARAMS,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -402,9 +403,9 @@ mh AS (
   FROM h CROSS JOIN params p GROUP BY doc_id, p.i
 ),
 bands AS (
-  SELECT doc_id, i // 4 AS band,
+  SELECT doc_id, i // {LSH_BAND_ROWS} AS band,
          md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
-  FROM mh GROUP BY doc_id, i // 4
+  FROM mh GROUP BY doc_id, i // {LSH_BAND_ROWS}
 ),
 bsize AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
 bands_f AS (

@@ -33,7 +33,10 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
     ((2 * k + 1) * 2_654_435_761 % HASH56_MOD, (k * 40_503 + 7) % HASH56_MOD)
     for k in range(16)
 ]
-LSH_BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
+# 16 hashes / 2 rows = 8 bands: P(candidate | J) = 1-(1-J^2)^8 —
+# ≈0.995 at J=0.7, ≈0.90 at J=0.5; the exact-Jaccard verify step
+# removes the false positives the looser bands admit
+LSH_BAND_ROWS = 2
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -216,20 +219,31 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """[doc_a, doc_b, hamming]: pairs within ``max_hamming`` bits,
-    candidates blocked on exact match of one of 4 simhash chunks
-    (pigeonhole: ≤3 differing bits leave ≥1 of 4 chunks identical)."""
+    """[doc_a, doc_b, hamming]: pairs within ``max_hamming`` bits.
+
+    Candidates are blocked on exact match of one of ``max_hamming + 1``
+    simhash chunks — pigeonhole: ≤ max_hamming differing bits leave at
+    least one chunk identical, so recall within the radius is exact.
+    """
     sh = simhash(docs)
-    chunk_bits = SIMHASH_BITS // 4
+    n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError("max_hamming too large for the simhash width")
+    chunk_bits = SIMHASH_BITS // n_chunks
+    # chunk i covers bits [i*w, (i+1)*w); the last chunk absorbs the
+    # remainder bits so the full word is covered
     chunks = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
     ).withColumn(
         "ckey",
-        F.expr(f"shiftright(simhash, chunk * {chunk_bits})").bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
-        ),
+        F.when(
+            F.col("chunk") < n_chunks - 1,
+            F.expr(f"shiftright(simhash, chunk * {chunk_bits})").bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            ),
+        ).otherwise(F.expr(f"shiftright(simhash, {(n_chunks - 1) * chunk_bits})")),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")

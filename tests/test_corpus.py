@@ -1,0 +1,67 @@
+"""Synthetic repo corpus: determinism, the sha256(content) per-row
+invariant across repartition/rewrite, and co-occurrence edge derivation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.triangles import triangle_count
+from paralleltrianglecounting_spark.sources.corpus import (
+    repo_cooccurrence_edges,
+    repo_files,
+    with_content_sha,
+)
+
+
+def test_corpus_shape_and_determinism(spark):
+    c1 = repo_files(spark, n_repos=20, files_per_repo=6, seed=7)
+    c2 = repo_files(spark, n_repos=20, files_per_repo=6, seed=7)
+    rows1 = sorted(tuple(r) for r in c1.collect())
+    rows2 = sorted(tuple(r) for r in c2.collect())
+    assert rows1 == rows2  # bit-identical regeneration
+    assert set(c1.columns) == {"repo", "path", "commit", "lang", "content"}
+    # every repo has the hub path (skew signal)
+    hubs = c1.where(F.col("path") == "README.md").count()
+    assert hubs == 20
+
+
+def test_sha256_invariant_survives_repartition(spark, tmp_path):
+    """input_hint: per-row sha256(content) equality through any
+    repartition/rewrite."""
+    corpus = with_content_sha(repo_files(spark, n_repos=15, files_per_repo=5, seed=3))
+    before = {
+        (r.repo, r.path): r.content_sha256 for r in corpus.collect()
+    }
+    out = str(tmp_path / "corpus")
+    corpus.repartition(13).write.mode("overwrite").parquet(out)
+    reread = spark.read.parquet(out).repartition(3)
+    after = {(r.repo, r.path): r.content_sha256 for r in reread.collect()}
+    recomputed = {
+        (r.repo, r.path): r.sha
+        for r in reread.select(
+            "repo", "path", F.sha2("content", 256).alias("sha")
+        ).collect()
+    }
+    assert after == before
+    assert recomputed == before
+
+
+def test_repo_cooccurrence_edges(spark):
+    corpus = repo_files(spark, n_repos=12, files_per_repo=6, seed=5)
+    edges = repo_cooccurrence_edges(corpus, on="path")
+    rows = edges.collect()
+    assert all(r.src < r.dst for r in rows)
+    assert len(rows) == len({(r.src, r.dst) for r in rows})
+    # hub paths make the repo graph dense: every repo shares README.md,
+    # so the graph is complete — 12 choose 2 edges, 12 choose 3 triangles
+    assert len(rows) == 66
+    tri = triangle_count(edges).collect()[0]["triangles"]
+    assert tri == 220
+
+
+def test_commit_cooccurrence_variant(spark):
+    corpus = repo_files(spark, n_repos=10, files_per_repo=4, seed=9)
+    edges = repo_cooccurrence_edges(corpus, on="commit")
+    # commits are sha256(seed|repo|path) — unique per row, so no two
+    # repos share one: the commit graph of this corpus is empty
+    assert edges.count() == 0

@@ -1,0 +1,122 @@
+"""Multimodal plumbing (stubbed decode, real Spark plan) and
+Structured Streaming (file-source stream must equal its batch twin)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from paralleltrianglecounting_spark.streaming import (
+    stream_edge_counts,
+    stream_windowed_events,
+)
+
+
+def test_feature_extraction_plumbing(spark):
+    media = synthetic_media(spark, n=60, seed=4)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r.feature) == 8
+        assert r.n_bytes > 0
+    # deterministic across re-runs and repartitionings
+    again = {r.media_id: r.feature for r in extract_features(media.repartition(7), fake=True).collect()}
+    first = {r.media_id: r.feature for r in rows}
+    assert again == first
+
+
+def test_real_decode_is_stubbed(spark):
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, fake=False).collect()
+
+
+def test_metadata_filter_prunes_before_decode(spark):
+    media = synthetic_media(spark, n=90, seed=6)
+    imgs = extract_features(media, kinds=["image"], fake=True)
+    kinds = {r.kind for r in imgs.collect()}
+    assert kinds == {"image"}
+
+
+def test_frame_sampling(spark):
+    media = synthetic_media(spark, n=50, seed=8)
+    frames = frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    vids = {r.media_id: r.duration_ms for r in media.where("kind = 'video'").collect()}
+    assert set(by_media) == set(vids)
+    for mid, rs in by_media.items():
+        assert len(rs) == max(vids[mid] // 1000, 1)
+        assert sorted(x.ts_ms for x in rs) == [i * 1000 for i in range(len(rs))]
+
+
+def test_stream_windowed_events_equals_batch(spark, tmp_path, sf_tiny):
+    """Feed the events table through the file stream; the finished
+    stream must equal the batch aggregation (same logical plan)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    events = spark.read.parquet(f"{sf_tiny}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pdf = events.toPandas()
+    for i, chunk in enumerate([pdf.iloc[:400], pdf.iloc[400:]]):
+        with open(src / f"chunk{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(json.dumps({
+                    "event_id": int(row.event_id),
+                    "ts": row.ts.isoformat(),
+                    "user_id": int(row.user_id),
+                    "event_type": row.event_type,
+                    "value": float(row.value),
+                }) + "\n")
+
+    agg = stream_windowed_events(spark, str(src), window="1 hour", watermark="10 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n, round(r.s, 6))
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_stream_edge_degrees(spark, tmp_path):
+    src = tmp_path / "edges_src"
+    src.mkdir()
+    (src / "e1.csv").write_text("1 2\n2 3\n3 1\n")
+    (src / "e2.csv").write_text("3 4\n4 4\n")  # self-loop must drop
+    deg = stream_edge_counts(spark, str(src))
+    q = (
+        deg.writeStream.format("memory")
+        .queryName("deg_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vertex: r.degree for r in spark.sql("SELECT * FROM deg_agg").collect()}
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
