@@ -216,6 +216,20 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(part_graph(spark, sf_dir), iterations=LPA_ITERS)
 
 
+def _q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``pagerank`` (same oracle) with the hub-salted
+    message join engaged (operators/skew.py) — the gate proves the skew
+    path is value-identical, not just row-count-identical."""
+    pr = pagerank(
+        part_graph(spark, sf_dir),
+        damping=PAGERANK_DAMPING,
+        iterations=PAGERANK_ITERS,
+        hub_threshold=256,
+        n_salts=8,
+    )
+    return pr.select("vertex", F.round("rank", ROUND).alias("rank_r"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -298,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": _q_wedge_count,
         "connected_components": _q_connected_components,
         "pagerank": _q_pagerank,
+        "pagerank_salted": _q_pagerank_salted,
         "label_propagation": _q_label_propagation,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
@@ -534,6 +549,7 @@ cc(v, l) AS (
 )
 SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_salted": _pagerank_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
         **_doc_oracles(),
     }

@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.operators.degrees import degrees
+from paralleltrianglecounting_spark.operators.skew import (
+    hot_vertices_by_degree,
+    salted_join,
+)
 from paralleltrianglecounting_spark.plans.superstep import SuperstepResult, SuperstepRunner
 from paralleltrianglecounting_spark.sources.edges import bidirected
 
@@ -36,9 +40,13 @@ def pagerank(
     iterations: int = 20,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    hub_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """[vertex, rank] after a fixed number of synchronous iterations."""
-    return pagerank_run(edges, damping, iterations, checkpoint_dir, resume).state
+    return pagerank_run(
+        edges, damping, iterations, checkpoint_dir, resume, hub_threshold, n_salts
+    ).state
 
 
 def pagerank_run(
@@ -47,6 +55,8 @@ def pagerank_run(
     iterations: int = 20,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    hub_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> SuperstepResult:
     spark = edges.sparkSession
     deg = degrees(edges).persist()
@@ -57,15 +67,32 @@ def pagerank_run(
     adj = bidirected(edges).persist()
     edge_count = adj.count()  # materialize the message topology once
 
+    # Hub mitigation (north_star): the per-iteration edges⋈ranks join is
+    # the one place a hub vertex concentrates fan-out on one shuffle key.
+    # With hub_threshold set, hot src keys are salted over n_salts tasks
+    # (operators/skew.py); results are row-identical, only the physical
+    # key distribution changes. The hot set is computed once, outside the
+    # loop, from the already-cached degree table.
+    hot = (
+        hot_vertices_by_degree(deg, hub_threshold)
+        .withColumnRenamed("vertex", "src")
+        .persist()
+        if hub_threshold is not None
+        else None
+    )
+
     init = deg.select("vertex", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         contrib = state.join(deg, "vertex").select(
             "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
         )
-        messages = adj.join(
-            contrib.withColumnRenamed("vertex", "src"), "src"
-        ).select(F.col("dst").alias("vertex"), "contrib")
+        contrib_src = contrib.withColumnRenamed("vertex", "src")
+        if hot is not None:
+            joined = salted_join(adj, contrib_src, "src", hot, n_salts)
+        else:
+            joined = adj.join(contrib_src, "src")
+        messages = joined.select(F.col("dst").alias("vertex"), "contrib")
         new_rank = messages.groupBy("vertex").agg(
             ((1.0 - damping) / n + damping * F.sum("contrib")).alias("rank")
         )
@@ -80,4 +107,6 @@ def pagerank_run(
     result = runner.run(init, step, stop_when_stable=False, resume=resume)
     deg.unpersist()
     adj.unpersist()
+    if hot is not None:
+        hot.unpersist()
     return result
