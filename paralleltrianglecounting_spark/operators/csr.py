@@ -12,16 +12,24 @@ intersection kernel below runs on the packed arrays directly.
 The kernel is fully vectorized — zero per-row Python (BASELINE.json
 ``input_hint`` bans it). Per Arrow batch:
 
-1. densify vertex ids with one ``np.unique`` over both flattened value
-   arrays (codes are order-isomorphic, so per-row sortedness survives);
-2. tag every neighbor with its row: ``key = row * K + code`` — both key
-   arrays are globally sorted (rows ascending, codes ascending within);
-3. one ``np.intersect1d(assume_unique=True)`` computes ALL per-row
-   intersections of the batch at once (the batched form of the
-   reference's two-pointer merge, ``cuda_edge_it/cuda_edge_it_v2.cu:79-109``
-   / ``std::set_intersection``, ``sequential_edge_it/seq_edge_it_v1.cpp:156-160``);
-4. ``np.bincount(key // K)`` recovers per-row counts; ``uniq[key % K]``
+1. tag every neighbor with its row: ``key = row * K + value`` — both key
+   arrays are then *globally sorted with no sorting done* (rows arrive
+   ascending, values are sorted within each row by construction,
+   ``operators/adjacency.py``), picking K = a power of two above the
+   batch max value;
+2. one vectorized ``np.searchsorted`` of the a-keys into the b-keys plus
+   an equality probe computes ALL per-row intersections of the batch at
+   once — the batched form of the reference's two-pointer merge
+   (``cuda_edge_it/cuda_edge_it_v2.cu:79-109`` /
+   ``std::set_intersection``, ``sequential_edge_it/seq_edge_it_v1.cpp:156-160``),
+   at O((|a|+|b|)·log) with zero allocations beyond the key arrays;
+3. ``np.bincount(row[hit])`` recovers per-row counts; ``key & (K-1)``
    recovers the closing vertices when triples are requested.
+
+When ``row_max * K`` would overflow int64 (possible with raw xxhash64
+vertex ids near 2^63), the kernel falls back to densifying ids first
+with ``np.unique`` (codes are order-isomorphic, so sortedness survives)
+— same key construction, one extra sort.
 """
 
 from __future__ import annotations
@@ -55,17 +63,35 @@ def batch_intersections(
         return np.zeros(n, dtype=np.int64), (empty if want_values else None), (
             empty if want_values else None
         )
-    uniq, inv = np.unique(np.concatenate([a_val, b_val]), return_inverse=True)
-    a_code = inv[: a_val.size]
-    b_code = inv[a_val.size :]
-    k = np.int64(uniq.size + 1)
+
     a_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(a_ptr))
     b_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(b_ptr))
-    common = np.intersect1d(a_row * k + a_code, b_row * k + b_code, assume_unique=True)
-    rows = common // k
+
+    max_val = max(int(a_val.max()), int(b_val.max()))
+    min_val = min(int(a_val.min()), int(b_val.min()))
+    k = np.int64(1) << max(int(max_val).bit_length(), 1)
+    if min_val >= 0 and n * int(k) < (1 << 62):
+        # fast path: keys sorted for free (rows ascending, values sorted
+        # within rows by construction) — no sort anywhere
+        a_key = a_row * k + a_val
+        b_key = b_row * k + b_val
+        decode = lambda key: key & (k - 1)  # noqa: E731
+    else:
+        # fallback: densify ids (order-isomorphic codes keep sortedness)
+        uniq, inv = np.unique(np.concatenate([a_val, b_val]), return_inverse=True)
+        k = np.int64(uniq.size + 1)
+        a_key = a_row * k + inv[: a_val.size]
+        b_key = b_row * k + inv[a_val.size :]
+        decode = lambda key: uniq[key % k]  # noqa: E731
+
+    idx = np.searchsorted(b_key, a_key)
+    idx_c = np.minimum(idx, b_key.size - 1)
+    hit = b_key[idx_c] == a_key
+    common = a_key[hit]
+    rows = a_row[hit]
     sizes = np.bincount(rows, minlength=n).astype(np.int64)
     if want_values:
-        return sizes, rows, uniq[common % k]
+        return sizes, rows, decode(common)
     return sizes, None, None
 
 
@@ -79,7 +105,11 @@ def intersect_count_kernel(
     for batch in batches:
         sizes, _, _ = batch_intersections(batch.column("n_src"), batch.column("n_dst"))
         yield pa.RecordBatch.from_arrays(
-            [batch.column("src"), batch.column("dst"), pa.array(sizes, pa.int64())],
+            [
+                batch.column("src").cast(pa.int64()),
+                batch.column("dst").cast(pa.int64()),
+                pa.array(sizes, pa.int64()),
+            ],
             names=["src", "dst", "tri_cnt"],
         )
 
@@ -94,8 +124,16 @@ def intersect_triples_kernel(
         _, rows, vals = batch_intersections(
             batch.column("n_src"), batch.column("n_dst"), want_values=True
         )
-        src = batch.column("src").to_numpy(zero_copy_only=False)[rows]
-        dst = batch.column("dst").to_numpy(zero_copy_only=False)[rows]
+        src = (
+            batch.column("src")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[rows]
+        )
+        dst = (
+            batch.column("dst")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[rows]
+        )
         yield pa.RecordBatch.from_arrays(
             [pa.array(src, pa.int64()), pa.array(dst, pa.int64()), pa.array(vals, pa.int64())],
             names=["a", "b", "c"],

@@ -42,11 +42,32 @@ from paralleltrianglecounting_spark.operators.csr import (
 from paralleltrianglecounting_spark.operators.degrees import vertices
 from paralleltrianglecounting_spark.operators.orientation import orient_edges
 
-def _empty_longs() -> Column:
-    return F.array().cast("array<long>")
+def _empty_arr(dtype: str) -> Column:
+    return F.array().cast(f"array<{dtype}>")
 
 
-def _edges_with_adjacency(edges: DataFrame, broadcast_adj: bool | None = None) -> DataFrame:
+_INT32_MAX = (1 << 31) - 1
+
+
+def _use_compact_ids(edges: DataFrame, compact_ids: bool | None) -> bool:
+    """Resolve the compact-id switch. ``None`` auto-detects with one
+    cheap max() aggregate over the canonical edge table (dst ≥ src by
+    canonicalization, so max(dst) bounds every id)."""
+    if compact_ids is not None:
+        return compact_ids
+    row = edges.agg(F.max("dst").alias("m"), F.min("src").alias("n")).first()
+    return (
+        row["m"] is not None
+        and 0 <= int(row["n"])
+        and int(row["m"]) <= _INT32_MAX
+    )
+
+
+def _edges_with_adjacency(
+    edges: DataFrame,
+    broadcast_adj: bool | None = None,
+    compact_ids: bool | None = None,
+) -> DataFrame:
     """[src, dst, n_src, n_dst]: every oriented edge with both endpoints'
     N⁺ arrays attached. Two equi-joins on vertex id; the top-rank vertex
     has no N⁺ row, hence left joins + empty-array coalesce.
@@ -55,8 +76,23 @@ def _edges_with_adjacency(edges: DataFrame, broadcast_adj: bool | None = None) -
     adjacency, e.g. the bundled reference graphs); ``False`` forces
     shuffle joins (the 100 TB setting — adjacency is |V| rows and cannot
     broadcast); ``None`` lets Catalyst/AQE decide from stats.
+
+    ``compact_ids``: store ids and neighbor arrays as int32 when every
+    id fits (auto-detected by default). The array payload is this
+    plan's dominant memory/shuffle traffic; halving its width measurably
+    lifts both absolute throughput and core-scaling on bandwidth-bound
+    hosts (BENCH/scaling.json). At 10^9-vertex scale this is exactly the
+    standard dense-id dictionary encoding (ids 0..|V|-1 < 2^31); raw
+    xxhash64 ids auto-detect to the long path.
     """
     oriented = orient_edges(edges).select("src", "dst")
+    compact = _use_compact_ids(edges, compact_ids)
+    id_type = "int" if compact else "bigint"
+    if compact:
+        oriented = oriented.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
     adj = oriented_adjacency(oriented)
     if broadcast_adj is True:
         adj = F.broadcast(adj)
@@ -68,23 +104,27 @@ def _edges_with_adjacency(edges: DataFrame, broadcast_adj: bool | None = None) -
         .select(
             "src",
             "dst",
-            F.coalesce(F.col("_n_src"), _empty_longs()).alias("n_src"),
-            F.coalesce(F.col("_n_dst"), _empty_longs()).alias("n_dst"),
+            F.coalesce(F.col("_n_src"), _empty_arr(id_type)).alias("n_src"),
+            F.coalesce(F.col("_n_dst"), _empty_arr(id_type)).alias("n_dst"),
         )
     )
 
 
 def edge_triangle_counts(
-    edges: DataFrame, strategy: str = "intersect", broadcast_adj: bool | None = None
+    edges: DataFrame,
+    strategy: str = "intersect",
+    broadcast_adj: bool | None = None,
+    compact_ids: bool | None = None,
 ) -> DataFrame:
-    """[src, dst, tri_cnt]: per-oriented-edge triangle closings."""
+    """[src, dst, tri_cnt]: per-oriented-edge triangle closings.
+    Ids are long at this boundary regardless of the internal width."""
     if strategy == "wedge":
         return _wedge_counts(edges)
-    pairs = _edges_with_adjacency(edges, broadcast_adj)
+    pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
     if strategy == "intersect":
         return pairs.select(
-            "src",
-            "dst",
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
             F.size(F.array_intersect("n_src", "n_dst")).cast("long").alias("tri_cnt"),
         )
     if strategy == "csr":
@@ -100,7 +140,10 @@ def edge_triangle_counts(
 
 
 def triangle_count(
-    edges: DataFrame, strategy: str = "intersect", broadcast_adj: bool | None = None
+    edges: DataFrame,
+    strategy: str = "intersect",
+    broadcast_adj: bool | None = None,
+    compact_ids: bool | None = None,
 ) -> DataFrame:
     """[triangles: long] — the reference's one global answer, e.g. 373 on
     graph_100 / 20,299 on graph_10k (golden screenshots + CSV).
@@ -108,16 +151,20 @@ def triangle_count(
     The final Σ is a partial+final aggregate — the distributed analog of
     the reference's ``atomic<int>``/``reduction(+:countTriangles)``.
     """
-    per_edge = edge_triangle_counts(edges, strategy, broadcast_adj)
+    per_edge = edge_triangle_counts(edges, strategy, broadcast_adj, compact_ids)
     return per_edge.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
 
 
 def triangle_triples(
-    edges: DataFrame, strategy: str = "intersect", broadcast_adj: bool | None = None
+    edges: DataFrame,
+    strategy: str = "intersect",
+    broadcast_adj: bool | None = None,
+    compact_ids: bool | None = None,
 ) -> DataFrame:
     """[a, b, c]: one row per triangle (a,b = the oriented edge's low/high
-    corner, c = closing vertex). Exactly one row per triangle."""
-    pairs = _edges_with_adjacency(edges, broadcast_adj)
+    corner, c = closing vertex). Exactly one row per triangle.
+    Ids are long at this boundary regardless of the internal width."""
+    pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
     if strategy == "csr":
         schema = T.StructType(
             [
@@ -128,9 +175,9 @@ def triangle_triples(
         )
         return pairs.mapInArrow(intersect_triples_kernel, schema)
     return pairs.select(
-        F.col("src").alias("a"),
-        F.col("dst").alias("b"),
-        F.explode(F.array_intersect("n_src", "n_dst")).alias("c"),
+        F.col("src").cast("long").alias("a"),
+        F.col("dst").cast("long").alias("b"),
+        F.explode(F.array_intersect("n_src", "n_dst").cast("array<long>")).alias("c"),
     )
 
 
@@ -170,6 +217,76 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("coeff"),
     )
+
+
+def triangle_count_resumable(
+    edges: DataFrame,
+    chunks: int = 16,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+):
+    """Chunked, checkpointed triangle count — the Spark analog of the
+    reference's bounded sequential kernel launches
+    (``cuda_edge_it/cuda_edge_it_v1_1.cu:236-262``), satisfying the
+    north-star resumability contract for the flagship query itself:
+    every superstep persists per-partition lineage plus the metrics
+    (edges_scanned, wedges_checked, triangles_closed), and a killed run
+    resumes from the last completed chunk.
+
+    The oriented edge table is split into ``chunks`` deterministic
+    slices by ``xxhash64(src, dst) % chunks``; superstep i counts the
+    triangles closed at chunk i's edges and appends one row to the
+    cumulative state ``[chunk, edges_scanned, wedges_checked,
+    triangles_closed]``. ``wedges_checked`` = Σ (|N⁺(s)| + |N⁺(t)|)
+    over the chunk — the number of merge-comparisons a two-pointer
+    intersection performs (the reference's per-thread probe count).
+    Total = Σ triangles_closed over all chunk rows, bit-equal to the
+    one-shot count (each triangle is counted at exactly one oriented
+    edge, and each edge lives in exactly one chunk).
+
+    Returns a SuperstepResult whose state is the per-chunk metrics table.
+    """
+    from paralleltrianglecounting_spark.plans.superstep import SuperstepRunner
+
+    spark = edges.sparkSession
+    pairs = _edges_with_adjacency(edges).withColumn(
+        "_chunk", F.pmod(F.xxhash64("src", "dst"), F.lit(chunks))
+    ).persist()
+
+    init = spark.createDataFrame(
+        [],
+        "chunk long, edges_scanned long, wedges_checked long, triangles_closed long",
+    )
+
+    def step(state: DataFrame, i: int):
+        chunk = pairs.where(F.col("_chunk") == i)
+        per_edge = chunk.select(
+            F.size(F.array_intersect("n_src", "n_dst")).cast("long").alias("tri"),
+            (F.size("n_src") + F.size("n_dst")).cast("long").alias("probes"),
+        )
+        row = per_edge.agg(
+            F.count(F.lit(1)).alias("edges_scanned"),
+            F.coalesce(F.sum("probes"), F.lit(0)).alias("wedges_checked"),
+            F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles_closed"),
+        ).select(F.lit(i).cast("long").alias("chunk"), "edges_scanned", "wedges_checked", "triangles_closed")
+        new_state = state.unionByName(row)
+        return new_state, {"chunk": i, "of": chunks}
+
+    runner = SuperstepRunner(
+        spark,
+        name="triangle_count_chunked",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=chunks,
+    )
+    result = runner.run(init, step, stop_when_stable=False, resume=resume)
+    pairs.unpersist()
+    return result
+
+
+def resumable_total(result) -> int:
+    """Total triangles from a ``triangle_count_resumable`` state table."""
+    row = result.state.agg(F.coalesce(F.sum("triangles_closed"), F.lit(0)).alias("t")).collect()[0]
+    return int(row["t"])
 
 
 def _wedge_counts(edges: DataFrame) -> DataFrame:

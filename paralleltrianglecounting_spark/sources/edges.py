@@ -31,6 +31,7 @@ __all__ = [
     "part_graph",
     "supplier_graph",
     "bidirected",
+    "replicated",
 ]
 
 
@@ -99,6 +100,23 @@ def supplier_graph(spark, sf_dir: str) -> DataFrame:
     """Smaller/denser variant: suppliers co-occurring in an order."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
     return cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+
+
+def replicated(edges: DataFrame, copies: int, offset: int = 1 << 32) -> DataFrame:
+    """Disjoint union of ``copies`` isomorphic copies of the graph,
+    vertex ids shifted by ``k * offset`` per copy — the deterministic
+    scale-up used by the scaling bench (tools/scaling.py) to make the
+    compute part of a job dominate its fixed per-query cost at sandbox
+    scale. Every per-copy invariant (triangle count, component sizes,
+    degree histogram) multiplies by exactly ``copies``; ids must be
+    below ``offset`` (true for all testdata graphs; production xxhash64
+    ids would replicate by hashing (id, copy) instead)."""
+    spark = edges.sparkSession
+    copy_ids = spark.range(copies).select(F.col("id").alias("_copy"))
+    return edges.crossJoin(copy_ids).select(
+        (F.col("src") + F.col("_copy") * F.lit(offset)).alias("src"),
+        (F.col("dst") + F.col("_copy") * F.lit(offset)).alias("dst"),
+    )
 
 
 def bidirected(edges: DataFrame) -> DataFrame:

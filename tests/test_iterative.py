@@ -115,3 +115,33 @@ def test_components_converge_flag(spark):
     assert res.converged
     got = {r.vertex: r.component for r in res.state.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_resumable_triangle_count(spark, tmp_path):
+    """Chunked flagship: per-chunk metrics sum to the one-shot golden
+    count, and a second run over the same checkpoint dir resumes from
+    the completed chunks instead of recomputing them."""
+    from paralleltrianglecounting_spark.operators.triangles import (
+        resumable_total,
+        triangle_count_resumable,
+    )
+    from paralleltrianglecounting_spark.sources.gfile import read_g_file
+    from tests.conftest import reference_graph
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    ck = str(tmp_path / "tri_ck")
+
+    r1 = triangle_count_resumable(edges, chunks=4, checkpoint_dir=ck)
+    assert r1.iterations == 4
+    assert resumable_total(r1) == 373
+    state = {tuple(r) for r in r1.state.collect()}
+    assert len(state) == 4
+    # every chunk reports its lineage-bearing metrics
+    assert sum(r.edges_scanned for r in r1.state.collect()) == 600
+    assert all(r.wedges_checked >= r.triangles_closed for r in r1.state.collect())
+
+    # resume: all 4 chunks already complete -> no new supersteps run
+    r2 = triangle_count_resumable(edges, chunks=4, checkpoint_dir=ck, resume=True)
+    assert resumable_total(r2) == 373
+    assert {tuple(r) for r in r2.state.collect()} == state
+    assert len(r2.metrics) == 4

@@ -130,3 +130,16 @@ def test_clustering_coefficient(spark):
     assert got[2] == pytest.approx(1.0)
     assert got[3] == pytest.approx(1 / 3)
     assert got[4] == 0.0
+
+
+def test_replicated_multiplies_invariants(spark):
+    """The scaling bench's scale-up (sources.edges.replicated) must
+    multiply every exact invariant by the copy count."""
+    from paralleltrianglecounting_spark.sources.edges import replicated
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    big = replicated(edges, 3)
+    assert big.count() == 3 * 600
+    assert triangle_count(big).collect()[0]["triangles"] == 3 * 373
+    # copies are vertex-disjoint: id ranges do not overlap
+    assert big.select("src").union(big.select("dst")).distinct().count() == 3 * 100
