@@ -13,3 +13,4 @@ from paralleltrianglecounting_spark.sources.edges import (  # noqa: F401
     supplier_graph,
 )
 from paralleltrianglecounting_spark.sources.gfile import read_g_file  # noqa: F401
+from paralleltrianglecounting_spark.sources.sinks import to_dot, write_g_file  # noqa: F401

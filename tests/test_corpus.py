@@ -65,3 +65,29 @@ def test_commit_cooccurrence_variant(spark):
     # commits are sha256(seed|repo|path) — unique per row, so no two
     # repos share one: the commit graph of this corpus is empty
     assert edges.count() == 0
+
+
+def test_dot_and_gfile_sinks_round_trip(spark, tmp_path):
+    """S9 DOT formatter matches the reference's printDot shape; the .g
+    writer round-trips through read_g_file with a truthful header."""
+    from paralleltrianglecounting_spark.sources.gfile import (
+        declared_vertex_count,
+        read_g_file,
+    )
+    from paralleltrianglecounting_spark.sources.sinks import to_dot, write_g_file
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    dot = to_dot(edges)
+    assert dot.startswith("graph G {") and dot.endswith("}")
+    assert "0 -- 1;" in dot and "1 -- 2;" in dot and "0 -- 2;" in dot
+
+    path = str(tmp_path / "tri.g")
+    assert write_g_file(edges, path) == 3
+    assert declared_vertex_count(spark, path) == 3  # actual count, not a guess
+    back = read_g_file(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == [(0, 1), (0, 2), (1, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        to_dot(edges, max_edges=2)
