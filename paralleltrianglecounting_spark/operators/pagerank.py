@@ -42,10 +42,13 @@ def pagerank(
     resume: bool = True,
     hub_threshold: int | None = None,
     n_salts: int = 16,
+    tol: float | None = None,
 ) -> DataFrame:
-    """[vertex, rank] after a fixed number of synchronous iterations."""
+    """[vertex, rank] after ``iterations`` synchronous supersteps, or —
+    with ``tol`` set — at convergence (first superstep whose
+    max |Δrank| < tol; ``iterations`` then acts as the safety cap)."""
     return pagerank_run(
-        edges, damping, iterations, checkpoint_dir, resume, hub_threshold, n_salts
+        edges, damping, iterations, checkpoint_dir, resume, hub_threshold, n_salts, tol
     ).state
 
 
@@ -57,6 +60,7 @@ def pagerank_run(
     resume: bool = True,
     hub_threshold: int | None = None,
     n_salts: int = 16,
+    tol: float | None = None,
 ) -> SuperstepResult:
     spark = edges.sparkSession
     deg = degrees(edges).persist()
@@ -98,13 +102,30 @@ def pagerank_run(
         )
         return new_rank, {"messages_sent": edge_count, "vertices": n}
 
+    def converged(prev: DataFrame, new: DataFrame) -> bool:
+        # max |Δrank| via one join + one aggregate — the L∞ convergence
+        # test of classic power iteration (north_star: per-vertex scores
+        # at convergence, allclose 1e-6)
+        delta = (
+            new.join(prev.withColumnRenamed("rank", "_prev"), "vertex")
+            .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        return delta is not None and float(delta) < tol
+
     runner = SuperstepRunner(
         spark,
         name="pagerank",
         checkpoint_dir=checkpoint_dir,
         max_iterations=iterations,
     )
-    result = runner.run(init, step, stop_when_stable=False, resume=resume)
+    result = runner.run(
+        init,
+        step,
+        stop_when_stable=False,
+        resume=resume,
+        stop_when=converged if tol is not None else None,
+    )
     deg.unpersist()
     adj.unpersist()
     if hot is not None:

@@ -145,10 +145,17 @@ class SuperstepRunner:
         max_iterations: int | None = None,
         stop_when_stable: bool = True,
         resume: bool = True,
+        stop_when: Callable[[DataFrame, DataFrame], bool] | None = None,
     ) -> SuperstepResult:
         """Iterate ``step`` from ``init_state`` (or the latest complete
         checkpoint when resuming) until the state fingerprint stabilizes
-        or the iteration cap is hit."""
+        or the iteration cap is hit.
+
+        ``stop_when(prev_state, new_state) -> bool`` is an optional
+        numeric convergence predicate evaluated after each superstep
+        (e.g. PageRank's max-|Δrank| < tol); when it returns True the
+        run stops converged. It composes with, and is checked before,
+        the exact fingerprint check."""
         max_iterations = max_iterations or self.max_iterations
         metrics: list[dict] = []
         start_iter = 0
@@ -171,8 +178,14 @@ class SuperstepRunner:
         i = start_iter
         while i < max_iterations:
             new_state, step_metrics = step(state, i)
+            prev_state = state
             state = self._checkpoint(new_state, i, step_metrics)
             manifest = {"iteration": i, "metrics": step_metrics}
+            if stop_when is not None and stop_when(prev_state, state):
+                converged = True
+                metrics.append(manifest if self.dir is None else self._manifest(i))
+                i += 1
+                break
             if stop_when_stable:
                 fp = _state_fingerprint(state)
                 manifest["rows"] = fp[0]  # reuse the convergence count

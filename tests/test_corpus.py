@@ -91,3 +91,24 @@ def test_dot_and_gfile_sinks_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         to_dot(edges, max_edges=2)
+
+
+def test_scan_column_pruning_reaches_parquet(spark, sf_tiny):
+    """100 TB load-bearing: the co-occurrence derivation must read ONLY
+    (container, entity) off the corpus scan — the 16-column lineitem
+    table is pruned to 2 columns in ReadSchema (SCALE.md 'Edge
+    derivation')."""
+    from paralleltrianglecounting_spark.plans.lint import (
+        assert_pruned_scan,
+        scan_read_schemas,
+    )
+    from paralleltrianglecounting_spark.sources.edges import part_graph
+
+    pg = part_graph(spark, sf_tiny)
+    assert scan_read_schemas(pg), "expected a parquet scan in the plan"
+    assert_pruned_scan(pg, {"l_orderkey", "l_partkey"})
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        assert_pruned_scan(pg, {"l_orderkey"})  # detector must actually detect

@@ -145,3 +145,24 @@ def test_resumable_triangle_count(spark, tmp_path):
     assert resumable_total(r2) == 373
     assert {tuple(r) for r in r2.state.collect()} == state
     assert len(r2.metrics) == 4
+
+
+def test_pagerank_to_convergence(spark):
+    """tol mode: run until max |Δrank| < tol, match the NumPy oracle run
+    to its own fixpoint within 1e-6 per vertex (north_star contract)."""
+    from paralleltrianglecounting_spark.operators.pagerank import pagerank_run
+    from paralleltrianglecounting_spark.sources.gfile import read_g_file
+    from tests.conftest import reference_graph
+    from tests.oracles import pagerank_oracle
+
+    edges_df = read_g_file(spark, reference_graph("graph_100"))
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+
+    res = pagerank_run(edges_df, iterations=100, tol=1e-9)
+    assert res.converged
+    assert res.iterations < 100  # actually stopped on tol, not the cap
+    got = {r["vertex"]: r["rank"] for r in res.state.collect()}
+    want = pagerank_oracle(edges, iterations=200)  # oracle far past fixpoint
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, abs=1e-6)
