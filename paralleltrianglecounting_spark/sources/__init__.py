@@ -14,3 +14,7 @@ from paralleltrianglecounting_spark.sources.edges import (  # noqa: F401
 )
 from paralleltrianglecounting_spark.sources.gfile import read_g_file  # noqa: F401
 from paralleltrianglecounting_spark.sources.sinks import to_dot, write_g_file  # noqa: F401
+from paralleltrianglecounting_spark.sources.iceberg import (  # noqa: F401
+    iceberg_session_conf,
+    read_corpus,
+)

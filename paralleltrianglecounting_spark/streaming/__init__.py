@@ -4,5 +4,6 @@ this is a north-star-adjacent extension kept deliberately small)."""
 
 from paralleltrianglecounting_spark.streaming.edge_stream import (  # noqa: F401
     stream_edge_counts,
+    stream_exact_dedup,
     stream_windowed_events,
 )

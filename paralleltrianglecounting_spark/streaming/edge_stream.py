@@ -1,11 +1,14 @@
 """Structured Streaming operators.
 
-Two streaming shapes the engine supports:
+Three streaming shapes the engine supports:
 
 - ``stream_windowed_events``: the canonical watermark + tumbling-window
   aggregation over an event stream (batch twin: the ``events_windowed``
   contract query — same logical plan, so batch results are the oracle
   for the stream);
+- ``stream_exact_dedup``: custom *stateful* operator via
+  ``applyInPandasWithState`` — first-seen exact dedup keyed on
+  sha256(text), state maintained across micro-batches;
 - ``stream_edge_counts``: incremental link-graph ingestion — new edge
   rows arrive as files, degrees maintained as a streaming aggregate.
   Exact incremental *triangle* counting needs the full adjacency as
@@ -66,6 +69,67 @@ def stream_windowed_events(
             "n_events",
             "sum_value",
         )
+    )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+_DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("text_sha", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+
+def stream_exact_dedup(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming exact dedup via ``applyInPandasWithState`` — the custom
+    *stateful* operator surface of the engine: emit each distinct
+    ``sha256(text)`` exactly once (first ``doc_id`` wins within a batch
+    by min), across ALL micro-batches.
+
+    State = one boolean per sha, keyed by the sha — state volume is the
+    distinct-document count, partitioned by Spark's state store across
+    executors; the grouping key (text_sha) is the shuffle key, so each
+    sha's decision is local to one state partition. This is the stream
+    twin of the batch ``exact_duplicates`` contract query (first-seen
+    semantics instead of group-counts, because a stream never sees "the
+    whole group"). Processing-time semantics, no timeout: boilerplate
+    shas live forever by design — dedup state must not expire.
+    """
+    import pandas as pd  # local import: workers ship the function
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    hashed = stream.select(F.sha2("text", 256).alias("text_sha"), "doc_id")
+
+    def dedup(key, pdfs, state):
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and (first is None or pdf["doc_id"].min() < first):
+                first = int(pdf["doc_id"].min())
+        if state.exists or first is None:
+            return iter(())
+        state.update((True,))
+        return iter([pd.DataFrame({"text_sha": [key[0]], "doc_id": [first]})])
+
+    return hashed.groupBy("text_sha").applyInPandasWithState(
+        dedup,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 

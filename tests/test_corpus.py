@@ -3,6 +3,7 @@ invariant across repartition/rewrite, and co-occurrence edge derivation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.operators.triangles import triangle_count
@@ -112,3 +113,33 @@ def test_scan_column_pruning_reaches_parquet(spark, sf_tiny):
 
     with _pytest.raises(AssertionError):
         assert_pruned_scan(pg, {"l_orderkey"})  # detector must actually detect
+
+
+def test_read_corpus_layered_resolution(spark, tmp_path):
+    """Iceberg-first reader: falls back to parquet in this sandbox,
+    validates the input_hint contract columns, and feeds the standard
+    edge derivation unchanged."""
+    from paralleltrianglecounting_spark.sources.corpus import repo_files
+    from paralleltrianglecounting_spark.sources.iceberg import read_corpus
+
+    out = str(tmp_path / "corpus_pq")
+    repo_files(spark, n_repos=12, files_per_repo=4).write.parquet(out)
+
+    corpus = read_corpus(spark, out)
+    assert set(corpus.columns) >= {"repo", "path", "commit", "lang", "content"}
+    assert corpus.count() > 0
+
+    from paralleltrianglecounting_spark.sources.corpus import repo_cooccurrence_edges
+
+    edges = repo_cooccurrence_edges(corpus)
+    assert edges.where("src >= dst").count() == 0  # canonical
+
+    # missing contract columns must be rejected, not silently accepted
+    bad = str(tmp_path / "bad_pq")
+    corpus.select("repo", "path").write.parquet(bad)
+    with pytest.raises(ValueError, match="missing contract columns"):
+        read_corpus(spark, bad)
+
+    # unknown source -> clear error listing what was tried
+    with pytest.raises(ValueError, match="could not load corpus"):
+        read_corpus(spark, str(tmp_path / "nope"))

@@ -120,3 +120,42 @@ def test_stream_edge_degrees(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.vertex: r.degree for r in spark.sql("SELECT * FROM deg_agg").collect()}
     assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: each distinct sha emitted once
+    across micro-batches; duplicates in later batches are suppressed by
+    the state store."""
+    import json as _json
+
+    from paralleltrianglecounting_spark.streaming import stream_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    # batch 1: A,B (+ in-batch dup of A); batch 2: dup of A and B, new C
+    write_batch("b1.json", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    write_batch("b2.json", [(4, "alpha"), (5, "beta"), (6, "gamma")])
+
+    q = (
+        stream_exact_dedup(spark, str(src), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"] for r in spark.sql("select * from dedup_out").collect()}
+    shas = [r["text_sha"] for r in spark.sql("select * from dedup_out").collect()]
+    assert len(shas) == len(set(shas)) == 3  # alpha, beta, gamma each once
+    # first-seen doc wins for in-batch dups; cross-batch dups suppressed
+    assert 1 in out and 2 in out and 6 in out
+    assert not {3, 4, 5} & out
