@@ -39,8 +39,13 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Under spark-submit (tools/submit.sh) the master comes from the
+    # launcher via SPARK_GRAFT_MASTER so cluster managers (YARN/k8s/
+    # standalone) work unchanged; standalone python runs default to
+    # local[cores].
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -5,8 +5,8 @@
 # Packages the engine as a zip and submits a job script against it. In
 # the sandbox the master is local[N]; on a real cluster point MASTER at
 # YARN/k8s and size executors with the usual flags — the engine code is
-# identical either way (session.get_spark only sets SQL-level conf when
-# a master is already provided by spark-submit).
+# identical either way: the launcher exports SPARK_GRAFT_MASTER, which
+# session.get_spark follows instead of forcing local[N].
 #
 # Usage:
 #   tools/submit.sh bench.py                    # default local[32]
@@ -32,6 +32,9 @@ EXTRA=()
 if [[ -n "${EXECUTORS:-}" ]]; then
   EXTRA+=(--num-executors "$EXECUTORS")
 fi
+
+# the engine's session factory honors this instead of forcing local[N]
+export SPARK_GRAFT_MASTER="$MASTER"
 
 exec spark-submit \
   --master "$MASTER" \
