@@ -366,6 +366,19 @@ def _doc_oracles() -> dict[str, str]:
     for lang, _ in LANG_MARKERS[1:]:
         pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    simhash_sql = f"""WITH {_TOKS_CTE},
+{_DISTINCT_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
+h AS (SELECT doc_id, {h56_tok} AS h FROM tok),
+bits AS (
+  SELECT doc_id, gs.j AS j,
+         sum(CASE WHEN (h >> gs.j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+  FROM h CROSS JOIN generate_series(0, 31) gs(j)
+  GROUP BY doc_id, gs.j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN tot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
     return {
         "token_stats": f"""WITH {_TOKS_CTE}
 SELECT doc_id,
@@ -462,19 +475,17 @@ FROM blocked a JOIN blocked b
 WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
             / greatest(len(a.grams) + len(b.grams)
                        - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.3""",
-        "simhash": f"""WITH {_TOKS_CTE},
-{_DISTINCT_TOKS_CTE},
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
-h AS (SELECT doc_id, {h56_tok} AS h FROM tok),
-bits AS (
-  SELECT doc_id, gs.j AS j,
-         sum(CASE WHEN (h >> gs.j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
-  FROM h CROSS JOIN generate_series(0, 31) gs(j)
-  GROUP BY doc_id, gs.j
+        "simhash": simhash_sql,
+        # pigeonhole blocking on the Spark side finds EVERY pair within
+        # the hamming radius, so the brute-force pair scan is an exact
+        # oracle, not an approximation of one
+        "simhash_near_duplicates": f"""WITH s AS (
+{simhash_sql}
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN tot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id""",
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
