@@ -69,10 +69,11 @@ def run(sf_dir: str, cores: int) -> dict:
         "triangle_count",
         lambda: triangle_count(edges, strategy="intersect").collect()[0]["triangles"],
     )
-    timed(
+    tri_csr = timed(
         "triangle_count_csr",
         lambda: triangle_count(edges, strategy="csr").collect()[0]["triangles"],
     )
+    assert tri_csr == tri, f"strategy disagreement: intersect={tri} csr={tri_csr}"
     timed(
         "triangles_per_vertex",
         lambda: triangles_per_vertex(edges).count(),
@@ -82,6 +83,7 @@ def run(sf_dir: str, cores: int) -> dict:
     timed("label_propagation_3", lambda: label_propagation(edges, iterations=3).count())
 
     extras["triangles"] = tri
+    extras["strategies_agree"] = True  # asserted above
     extras["edges_per_sec_triangle_count"] = round(n_edges / timings["triangle_count"], 1)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
