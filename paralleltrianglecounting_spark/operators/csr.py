@@ -69,8 +69,15 @@ def batch_intersections(
 
     max_val = max(int(a_val.max()), int(b_val.max()))
     min_val = min(int(a_val.min()), int(b_val.min()))
-    k = np.int64(1) << max(int(max_val).bit_length(), 1)
-    if min_val >= 0 and n * int(k) < (1 << 62):
+    # compute k in Python-int space BEFORE any np.int64 cast: for ids in
+    # [2^62, 2^63) bit_length()==63 and np.int64(1)<<63 wraps negative,
+    # which made the old guard (n * k < 2^62 on the wrapped value) pass
+    # and run the fast path with a negative stride — silently wrong
+    # counts. Python ints never wrap, so the guard below is exact; the
+    # np.int64 cast happens only once the guard proves it fits.
+    k_int = 1 << max(max_val.bit_length(), 1)
+    if min_val >= 0 and n * k_int < (1 << 62):
+        k = np.int64(k_int)
         # fast path: keys sorted for free (rows ascending, values sorted
         # within rows by construction) — no sort anywhere
         a_key = a_row * k + a_val

@@ -33,6 +33,9 @@ def _rand_lists(rng, n, maxv, shift=0):
         (2**40, 0),  # sparse huge ids -> still sort-free (fits int64)
         (100, -50),  # negative ids -> unique fallback
         (2**62, 0),  # near-overflow ids -> unique fallback
+        (2**62, 2**62),  # ids in [2^62, 2^63): bit_length 63, the case
+        # where np.int64(1) << 63 used to wrap negative and pass the
+        # fast-path guard (ADVICE r01) -> must take the unique fallback
     ],
 )
 def test_kernel_matches_bruteforce(maxv, shift):
@@ -48,6 +51,16 @@ def test_kernel_matches_bruteforce(maxv, shift):
         got.setdefault(r, set()).add(v)
     for i, (x, y) in enumerate(zip(A, B)):
         assert got.get(i, set()) == set(x) & set(y)
+
+
+def test_kernel_high_bit_ids_exact():
+    """Direct ADVICE-r01 repro: one id in [2^62, 2^63) used to flip the
+    guard and return sizes [2, 0] with a negative stride."""
+    a = pa.array([[5, 9, (1 << 62) + 1], [2, 6]], pa.list_(pa.int64()))
+    b = pa.array([[5, 9, 11], [6, 7]], pa.list_(pa.int64()))
+    sizes, rows, vals = batch_intersections(a, b, want_values=True)
+    assert sizes.tolist() == [2, 1]
+    assert sorted(vals.tolist()) == [5, 6, 9]
 
 
 def test_kernel_empty_inputs():
