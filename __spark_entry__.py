@@ -46,8 +46,13 @@ from paralleltrianglecounting_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from paralleltrianglecounting_spark.operators.similarity import (
+    ANN_BANDS,
+    ANN_PLANES_PER_BAND,
+    NEAR_DUP_BANDS,
+    NEAR_DUP_PLANES_PER_BAND,
     cosine_topk,
     embedding_near_duplicates,
+    hyperplane_signs,
     lsh_ann_topk,
 )
 from paralleltrianglecounting_spark.operators.text import (
@@ -213,7 +218,13 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return label_propagation(part_graph(spark, sf_dir), iterations=LPA_ITERS)
+    # fixed-iteration contract (oracle unrolls exactly LPA_ITERS steps):
+    # stability detection off skips the per-superstep fingerprint job;
+    # the synchronous step is idempotent at a fixpoint so the output is
+    # byte-identical either way
+    return label_propagation(
+        part_graph(spark, sf_dir), iterations=LPA_ITERS, detect_stability=False
+    )
 
 
 def _q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,9 +291,25 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # synthetic embeddings are near-random (same-label cosine tops out
-    # ~0.45), so the "near-dup" threshold is set where data exists
+    # synthetic embeddings are near-random (cosine tops out ~0.45), so
+    # the "near-dup" threshold is set where data exists; blocking is
+    # multi-band LSH over the embedding itself — no fixture column
     return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.3)
+
+
+def _bucket_sql(emb_expr: str, dim: int, planes: int, band: int = 0) -> str:
+    """DuckDB expression computing the SAME hyperplane bucket as
+    ``similarity._hyperplane_bucket`` — the ±1 sign matrix is the same
+    driver-side md5-derived literal table on both sides, so the bucket
+    assignment (and therefore the LSH gates) is value-exact."""
+    terms = []
+    for p, signs in enumerate(hyperplane_signs(dim, planes, band)):
+        lst = "[" + ", ".join(str(s) for s in signs) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({emb_expr}, {lst}) > 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + "\n + ".join(terms) + ")"
 
 
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near_duplicates": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
-        "lsh_ann_topk": _q_lsh_ann_topk,  # rows-only: xxhash64 hyperplanes
+        "lsh_ann_topk": _q_lsh_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "events_windowed": _q_events_windowed,
     }
@@ -502,17 +529,61 @@ SELECT query_id, neighbor_id, cos_r,
                                ORDER BY cos_r DESC, neighbor_id) AS INT) AS rank
 FROM scored
 QUALIFY rank <= 5""",
-        "embedding_near_duplicates": """WITH e AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        "lsh_ann_topk": f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+k AS (
+  {" UNION ALL ".join(
+      f'''SELECT vec_id, emb, {band} AS band,
+          {_bucket_sql("emb", 64, ANN_PLANES_PER_BAND, band)} AS bucket FROM e'''
+      for band in range(ANN_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM k q JOIN k n
+    ON q.band = n.band AND q.bucket = n.bucket AND n.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(eq.emb, en.emb)
+               / (sqrt(list_dot_product(eq.emb, eq.emb))
+                  * sqrt(list_dot_product(en.emb, en.emb))), 6) AS cos_r
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_r
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.emb, b.emb)
-      / (sqrt(list_dot_product(a.emb, a.emb))
-         * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3""",
+SELECT query_id, neighbor_id, cos_r,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_r DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+        "embedding_near_duplicates": f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+k AS (
+  {" UNION ALL ".join(
+      f'''SELECT vec_id, emb, {band} AS band,
+          {_bucket_sql("emb", 64, NEAR_DUP_PLANES_PER_BAND, band)} AS bucket FROM e'''
+      for band in range(NEAR_DUP_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM k a JOIN k b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(ea.emb, eb.emb)
+             / (sqrt(list_dot_product(ea.emb, ea.emb))
+                * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos_r
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round(list_dot_product(ea.emb, eb.emb)
+      / (sqrt(list_dot_product(ea.emb, ea.emb))
+         * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.3""",
         "events_windowed": """SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,

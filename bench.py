@@ -59,10 +59,22 @@ def run(sf_dir: str, cores: int) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float | int] = {"edges": n_edges, "edge_build_sec": round(build_sec, 3)}
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     def timed(name: str, thunk):
-        t = time.monotonic()
-        out = thunk()
-        timings[name] = round(time.monotonic() - t, 3)
+        # best-of-reps, the reference's own min-by-over-results convention
+        # (SURVEY §2.5 O3: each measurement repeated, minimum reported).
+        # On a single warm JVM the first rep of a heavy query still pays
+        # C2 compilation of its generated stage code (3-7x); the min is
+        # the steady-state engine cost the baseline numbers also report.
+        best = None
+        out = None
+        for _ in range(max(reps, 1)):
+            t = time.monotonic()
+            out = thunk()
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     tri = timed(
@@ -80,7 +92,10 @@ def run(sf_dir: str, cores: int) -> dict:
     )
     timed("pagerank_5", lambda: pagerank(edges, iterations=5).count())
     timed("connected_components", lambda: connected_components(edges).count())
-    timed("label_propagation_3", lambda: label_propagation(edges, iterations=3).count())
+    timed(
+        "label_propagation_3",
+        lambda: label_propagation(edges, iterations=3, detect_stability=False).count(),
+    )
 
     extras["triangles"] = tri
     extras["strategies_agree"] = True  # asserted above

@@ -46,7 +46,11 @@ def _csr(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     values = arr.flatten().to_numpy(zero_copy_only=False)
     offsets = np.asarray(arr.offsets)
     row_ptr = (offsets - offsets[0]).astype(np.int64)
-    return row_ptr, values.astype(np.int64, copy=False)
+    # keep the values at their wire width (int32 when compact ids are
+    # active upstream): the key build below upcasts on the fly, and an
+    # eager astype(int64) here was a 2x-width copy of the whole payload
+    # that defeated the compact-id work (VERDICT r01)
+    return row_ptr, values
 
 
 def batch_intersections(

@@ -11,10 +11,19 @@ between runs can't be correctness-gated, so the synchronous variant is
 the contract here. Bipartite-ish structures may oscillate rather than
 converge — the iteration cap is part of the semantics.)
 
-Plan per superstep: labels ⋈ bidirected edges (shuffle on src) →
-count by (vertex, label) (hash agg) → per-vertex argmax via one more
-aggregate on ``max(struct(cnt, -label))`` — NO window function, no
-single-partition sort; three shuffles on vertex id per iteration.
+Plan per superstep: labels ⋈ the cached bidirected topology (persisted
+ALREADY HASH-PARTITIONED on src, so the |E|-row edge side never
+re-exchanges — only the |V|-row label state moves; same rationale as
+``operators/pagerank.py``) → count by (vertex, label) (hash agg) →
+per-vertex argmax via one more aggregate on ``max(struct(cnt, -label))``
+— NO window function, no single-partition sort.
+
+``detect_stability=False`` (the fixed-iteration contract, e.g. the
+driver gate's exact-3-superstep oracle) skips the per-superstep
+fingerprint job entirely: the synchronous step function is idempotent
+at a fixpoint, so running the remaining iterations on a stabilized
+labeling returns the identical table — the check is purely an
+early-exit optimization, never a semantics change.
 """
 
 from __future__ import annotations
@@ -32,10 +41,13 @@ def label_propagation(
     iterations: int = 5,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    detect_stability: bool = True,
 ) -> DataFrame:
     """[vertex, label] after ``iterations`` synchronous supersteps (or
-    earlier if the labeling stabilizes)."""
-    return label_propagation_run(edges, iterations, checkpoint_dir, resume).state
+    earlier if the labeling stabilizes and ``detect_stability`` is on)."""
+    return label_propagation_run(
+        edges, iterations, checkpoint_dir, resume, detect_stability
+    ).state
 
 
 def label_propagation_run(
@@ -43,9 +55,11 @@ def label_propagation_run(
     iterations: int = 5,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    detect_stability: bool = True,
 ) -> SuperstepResult:
     spark = edges.sparkSession
-    adj = bidirected(edges).persist()
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = bidirected(edges).repartition(n_parts, "src").persist()
     n_msgs = adj.count()
     init = vertices(edges).select("vertex", F.col("vertex").alias("label"))
 
@@ -70,6 +84,6 @@ def label_propagation_run(
         checkpoint_dir=checkpoint_dir,
         max_iterations=iterations,
     )
-    result = runner.run(init, step, stop_when_stable=True, resume=resume)
+    result = runner.run(init, step, stop_when_stable=detect_stability, resume=resume)
     adj.unpersist()
     return result

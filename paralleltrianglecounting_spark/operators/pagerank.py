@@ -8,16 +8,24 @@ degree-0 vertices, so there is no dangling mass to redistribute — the
 semantics match the NumPy oracle exactly and are SQL-unrollable for the
 DuckDB correctness gate.
 
-Plan per superstep: ranks ⋈ degrees (broadcast-eligible: |V| rows of
-two numbers) → contributions → shuffle-join with the *bidirected* edge
-table on src → hash agg by dst (partial+final). One shuffle per
-iteration on vertex id; lineage is truncated by the SuperstepRunner.
+Plan per superstep: ONE join — ranks ⋈ the cached degree-annotated
+topology ``(src, dst, degree_src)`` on src → per-edge contribution
+``rank/degree`` → hash agg by dst (partial+final; the partial combine
+shrinks the |E|-row message stream to ≤ |V|·P rows before it moves).
+Lineage is truncated by the SuperstepRunner.
 
-At 100 TB the dominant cost is the per-iteration edges⋈ranks shuffle;
-pre-partitioning BOTH the cached edge table and the rank state by the
-same hash of vertex id keeps the edge side's exchange out of the loop
-(Spark reuses the edge shuffle across iterations once the table is
-persisted partitioned; only the small rank side moves).
+At 100 TB the scale-killer would be re-exchanging the |E|-row topology
+every iteration. The topology is therefore persisted ALREADY HASH-
+PARTITIONED on the join key (``repartition(P, "src")`` before
+``persist``): the cached ``InMemoryTableScan`` reports
+``HashPartitioning(src, P)``, which satisfies the join's distribution
+requirement, so the executed plan of every superstep shows no Exchange
+above the cached side — only the |V|-row rank state moves per
+iteration (asserted by tests/test_iterative.py via
+``tools/explain_audit``; when the rank side is small enough Catalyst
+broadcasts it instead, which also leaves the cached side exchange-free).
+The per-vertex degree is folded into the cached topology once, so the
+old per-iteration ranks⋈degrees join is gone entirely.
 """
 
 from __future__ import annotations
@@ -32,6 +40,20 @@ from paralleltrianglecounting_spark.operators.skew import (
 )
 from paralleltrianglecounting_spark.plans.superstep import SuperstepResult, SuperstepRunner
 from paralleltrianglecounting_spark.sources.edges import bidirected
+
+
+def message_topology(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """``[src, dst, degree]`` — the degree-annotated bidirected message
+    topology, hash-partitioned on the per-iteration join key BEFORE it
+    is cached, so no superstep ever re-exchanges it (a plain union's
+    output partitioning is unknown to Catalyst, which re-shuffled the
+    full |E|-row table every iteration in the naive formulation)."""
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        bidirected(edges)
+        .join(deg.withColumnRenamed("vertex", "src"), "src")
+        .repartition(n_parts, "src")
+    )
 
 
 def pagerank(
@@ -68,7 +90,7 @@ def pagerank_run(
     if n == 0:
         empty = spark.createDataFrame([], "vertex long, rank double")
         return SuperstepResult(state=empty, iterations=0, converged=True)
-    adj = bidirected(edges).persist()
+    adj = message_topology(edges, deg).persist()
     edge_count = adj.count()  # materialize the message topology once
 
     # Hub mitigation (north_star): the per-iteration edges⋈ranks join is
@@ -88,15 +110,19 @@ def pagerank_run(
     init = deg.select("vertex", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        contrib = state.join(deg, "vertex").select(
-            "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
-        )
-        contrib_src = contrib.withColumnRenamed("vertex", "src")
+        # one join per superstep: |V|-row rank state against the cached
+        # pre-partitioned topology; contribution = rank/degree computed
+        # in the join projection (bit-identical to the two-join plan and
+        # to the oracle's sum(rank/degree))
+        ranks_src = state.select(F.col("vertex").alias("src"), "rank")
         if hot is not None:
-            joined = salted_join(adj, contrib_src, "src", hot, n_salts)
+            joined = salted_join(adj, ranks_src, "src", hot, n_salts)
         else:
-            joined = adj.join(contrib_src, "src")
-        messages = joined.select(F.col("dst").alias("vertex"), "contrib")
+            joined = adj.join(ranks_src, "src")
+        messages = joined.select(
+            F.col("dst").alias("vertex"),
+            (F.col("rank") / F.col("degree")).alias("contrib"),
+        )
         new_rank = messages.groupBy("vertex").agg(
             ((1.0 - damping) / n + damping * F.sum("contrib")).alias("rank")
         )

@@ -9,7 +9,18 @@ embedding: array<float>, label).
                         inside a bucket, so the join is |Q|·bucket_size
                         instead of |Q|·N. Hyperplanes are hash-derived
                         (deterministic, no RNG state to ship);
-- ``embedding_near_duplicates`` cosine ≥ τ pairs within a blocking key.
+- ``embedding_near_duplicates`` cosine ≥ τ pairs blocked by multi-band
+                        LSH buckets — no reliance on any fixture column
+                        (the r01 version blocked on the synthetic
+                        ``label`` column, which production embedding
+                        tables don't have).
+
+Hyperplane portability: the ±1 sign matrix is derived driver-side from
+md5 (``hyperplane_signs``) and embedded as LITERALS in the Spark plan —
+so the DuckDB oracle can embed the *same* literals and reproduce the
+bucket assignment bit-for-bit, making the LSH operators value-checkable
+end-to-end (r01 used executor-side xxhash64, which DuckDB cannot
+evaluate, leaving the gate rows-only).
 
 At 100 TB the brute-force path is a broadcast of the (small) query set
 against a full scan — linear, embarrassingly parallel, no shuffle; the
@@ -18,6 +29,8 @@ in whole-stage codegen.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -80,23 +93,42 @@ def cosine_topk(
 
 
 N_HYPERPLANES = 8
+ANN_BANDS = 4
+ANN_PLANES_PER_BAND = 4
+NEAR_DUP_BANDS = 4
+NEAR_DUP_PLANES_PER_BAND = 6
 
 
-def _hyperplane_bucket(emb: Column, dim: int, planes: int = N_HYPERPLANES) -> Column:
+def hyperplane_signs(dim: int, planes: int, band: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplane sign matrix, ``planes`` rows of
+    ``dim`` components. Component (p, j) of band ``band`` is +1 iff
+    md5("band:p:j") is even — no RNG state, and portable: the matrix is
+    embedded as literals in both the Spark plan and the DuckDB oracle
+    SQL, so bucket assignment is reproducible in any engine with md5
+    (or none at all — the literals ARE the contract)."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{band}:{p}:{j}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _hyperplane_bucket(
+    emb: Column, dim: int, planes: int = N_HYPERPLANES, band: int = 0
+) -> Column:
     """LSH bucket id: sign pattern of ``planes`` deterministic
-    pseudo-random hyperplanes. Plane p's component j is ±1 from
-    xxhash64(p, j) — reproducible everywhere, no RNG to broadcast."""
+    hyperplanes (``hyperplane_signs``), evaluated entirely in
+    whole-stage codegen (zip_with over a literal array + fold)."""
     bucket = F.lit(0).cast("long")
-    for p in range(planes):
+    for p, signs in enumerate(hyperplane_signs(dim, planes, band)):
         proj = F.aggregate(
             F.zip_with(
                 emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j, p=p: F.when(
-                        F.pmod(F.xxhash64(F.lit(p), j), F.lit(2)) == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.array(*[F.lit(s) for s in signs]),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -106,32 +138,69 @@ def _hyperplane_bucket(emb: Column, dim: int, planes: int = N_HYPERPLANES) -> Co
     return bucket
 
 
+def _banded(emb: DataFrame, dim: int, planes: int, bands: int) -> DataFrame:
+    """[vec_id, embedding, band, bucket]: one row per (vector, band)
+    with the band's hyperplane bucket — the multi-table LSH key set."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        _hyperplane_bucket(
+                            F.col("embedding"), dim, planes, band
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_queries: int = 20,
     dim: int = 64,
-    planes: int = N_HYPERPLANES,
+    planes: int = ANN_PLANES_PER_BAND,
+    bands: int = ANN_BANDS,
 ) -> DataFrame:
     """[query_id, neighbor_id, cos_r, rank]: approximate top-k — exact
-    cosine, but only among vectors sharing the query's LSH bucket.
-    Recall measured in tests against ``cosine_topk``."""
-    emb = _as_double(embeddings).select(
-        "vec_id", "embedding", _hyperplane_bucket(F.col("embedding"), dim, planes).alias("bucket")
-    )
-    q = emb.where(F.col("vec_id") < n_queries).select(
+    cosine, but only among vectors colliding with the query in at least
+    one of ``bands`` independent LSH tables (multi-probe recall:
+    1-(1-p^planes)^bands per neighbor). Recall measured in tests
+    against ``cosine_topk``; value-exactness vs the DuckDB oracle comes
+    from the portable literal sign matrix (``hyperplane_signs``)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    keyed = _banded(emb, dim, planes, bands)
+    q = keyed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        "band",
         "bucket",
     )
-    pairs = F.broadcast(q).join(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("n_emb"),
-            "bucket",
-        ),
-        "bucket",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    pairs = (
+        F.broadcast(q)
+        .join(
+            keyed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                "band",
+                "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # collided in >= 1 band
+    )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -148,24 +217,47 @@ def lsh_ann_topk(
 
 
 def embedding_near_duplicates(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bands: int = NEAR_DUP_BANDS,
+    planes_per_band: int = NEAR_DUP_PLANES_PER_BAND,
 ) -> DataFrame:
     """[vec_a, vec_b, cos_r]: embedding-cosine near-duplicate pairs,
-    blocked by the ``label`` column (cluster id) to bound the pair
-    explosion — the embedding analog of n-gram-Jaccard blocking."""
-    emb = _as_double(embeddings)
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return (
+    blocked by multi-band LSH buckets — ``bands`` independent
+    hyperplane bucketings; a pair is a candidate iff it collides in at
+    least one band (the cosine analog of MinHash-LSH banding; recall
+    rises as 1-(1-p^r)^b with per-plane agreement p = 1 - θ/π).
+
+    Needs only the (vec_id, embedding) columns — no fixture/cluster
+    column (r01 blocked on the synthetic ``label``). Each band's
+    self-join is on the (band, bucket) key, never all-pairs; the exact
+    cosine runs only on collided candidates, so at 100 TB the cost is
+    Σ bucket², bounded by the bucket granularity (bands × 2^planes)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    keyed = _banded(emb, dim, planes_per_band, bands)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_r"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])  # collided in >= 1 band
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_r"),
         )
         .where(F.col("cos_r") >= threshold)
     )

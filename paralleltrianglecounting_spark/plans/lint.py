@@ -28,13 +28,104 @@ def assert_no_scalar_python(df: DataFrame, context: str = "") -> None:
             )
 
 
+def _schema_fragments(plan: str) -> list[str]:
+    """Every ``ReadSchema: struct<...>`` fragment, extracted with
+    bracket-depth matching — a ``[^>]*`` regex truncates at the first
+    ``>`` of any *nested* type (``toks:array<string>``), silently
+    dropping every column after it and letting the pruning assertion
+    pass vacuously (ADVICE r01)."""
+    out: list[str] = []
+    marker = "ReadSchema: struct<"
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            return out
+        start = j + len("ReadSchema: ")
+        depth = 0
+        for pos in range(start, len(plan)):
+            ch = plan[pos]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    out.append(plan[start : pos + 1])
+                    i = pos + 1
+                    break
+        else:
+            return out
+
+
+def _top_level_cols(fragment: str) -> set[str]:
+    """Column names at nesting depth 0 of a ``struct<...>`` fragment
+    (inner struct/map field names are type detail, not scanned columns)."""
+    inner = fragment[len("struct<") : -1]
+    cols: set[str] = set()
+    depth = 0
+    token: list[str] = []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif depth == 0:
+            if ch == ",":
+                token = []
+            elif ch == ":":
+                if token:
+                    cols.add("".join(token))
+                token = []
+            else:
+                token.append(ch)
+    return cols
+
+
+def count_ensure_exchanges(df: DataFrame) -> int:
+    """Number of runtime shuffle exchanges (``ENSURE_REQUIREMENTS``) in
+    the executed plan — the per-execution data movements Catalyst had to
+    insert. Cache-build shuffles print as ``REPARTITION_BY_NUM`` inside
+    the nested ``InMemoryRelation`` plan and are deliberately excluded:
+    they are paid once at persist time, not per superstep. Used by the
+    iterative-operator tests to prove the cached topology never
+    re-exchanges inside the loop."""
+    count = 0
+    for node in _walk_plan(df._jdf.queryExecution().executedPlan()):
+        name = node.getClass().getSimpleName()
+        if name == "ShuffleExchangeExec" and "ENSURE_REQUIREMENTS" in str(
+            node.shuffleOrigin()
+        ):
+            count += 1
+    return count
+
+
+def _walk_plan(node):
+    """Depth-first walk of a JVM SparkPlan via py4j, descending through
+    AQE wrappers (AdaptiveSparkPlanExec / query stages) but treating
+    ``InMemoryTableScanExec`` as the leaf it is — the cached relation's
+    build plan is persist-time history, not part of this execution.
+    ``ReusedExchangeExec`` is likewise a leaf: its exchange is counted
+    where it physically runs."""
+    name = node.getClass().getSimpleName()
+    yield node
+    if name in ("InMemoryTableScanExec", "ReusedExchangeExec"):
+        return
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_plan(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_plan(node.plan())
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_plan(it.next())
+
+
 def scan_read_schemas(df: DataFrame) -> list[str]:
     """The ``ReadSchema: struct<...>`` fragment of every file scan in the
     physical plan — what actually gets read off parquet after Catalyst
     column pruning."""
-    import re
-
-    return re.findall(r"ReadSchema: (struct<[^>]*>)", physical_plan(df))
+    return _schema_fragments(physical_plan(df))
 
 
 def assert_pruned_scan(
@@ -46,13 +137,11 @@ def assert_pruned_scan(
     carries payload columns it doesn't need reads the whole corpus
     (SCALE.md "Edge derivation" — only two columns of the 100 TB are
     read)."""
-    import re
-
     schemas = scan_read_schemas(df)
     if not schemas:
         raise AssertionError(f"no file scan found in plan{context and ' of ' + context}")
     for s in schemas:
-        cols = {m.group(1) for m in re.finditer(r"(\w+):", s[len("struct<") :])}
+        cols = _top_level_cols(s)
         extra = cols - allowed_cols
         if extra:
             raise AssertionError(

@@ -112,6 +112,16 @@ class SuperstepRunner:
         return out
 
     def _checkpoint(self, df: DataFrame, i: int, metrics: dict) -> DataFrame:
+        # record how many runtime shuffles this superstep plans
+        # (ENSURE_REQUIREMENTS exchanges; cache-build REPARTITION
+        # shuffles excluded) — the scale telemetry that catches a
+        # topology re-exchange regression the moment it happens
+        from paralleltrianglecounting_spark.plans.lint import count_ensure_exchanges
+
+        try:
+            metrics["shuffle_exchanges"] = count_ensure_exchanges(df)
+        except Exception:  # plan stringification must never fail a run
+            pass
         if self.dir is None:
             # in-memory truncation only (tests / ad-hoc): cuts lineage,
             # not resumable across driver restarts

@@ -115,6 +115,45 @@ def test_scan_column_pruning_reaches_parquet(spark, sf_tiny):
         assert_pruned_scan(pg, {"l_orderkey"})  # detector must actually detect
 
 
+def test_pruning_detector_sees_past_nested_types(spark, tmp_path):
+    """ADVICE r01: a `struct<[^>]*>` regex truncated at the first '>' of
+    any nested column type, silently excluding later columns from the
+    pruning assertion. The depth-aware parser must flag an unpruned
+    column that FOLLOWS an array<> column in the ReadSchema."""
+    from pyspark.sql import functions as F
+
+    from paralleltrianglecounting_spark.plans.lint import (
+        _schema_fragments,
+        _top_level_cols,
+        assert_pruned_scan,
+        scan_read_schemas,
+    )
+
+    out = str(tmp_path / "nested_pq")
+    spark.range(10).select(
+        F.col("id"),
+        F.array(F.lit("a"), F.lit("b")).alias("toks"),
+        (F.col("id") * 2).alias("payload"),
+    ).write.parquet(out)
+    df = spark.read.parquet(out).select("id", "toks", "payload")
+    schemas = scan_read_schemas(df)
+    assert schemas and all(s.endswith(">") for s in schemas)
+    # all three columns must be visible, incl. the one after the array
+    assert _top_level_cols(schemas[0]) == {"id", "toks", "payload"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        assert_pruned_scan(df, {"id", "toks"})  # payload must be flagged
+
+    # unit check of the fragment parser on a synthetic deep-nested plan
+    frag = _schema_fragments(
+        "... ReadSchema: struct<a:int,m:map<string,struct<x:int,y:array<long>>>,b:bigint> ..."
+    )
+    assert frag == ["struct<a:int,m:map<string,struct<x:int,y:array<long>>>,b:bigint>"]
+    assert _top_level_cols(frag[0]) == {"a", "m", "b"}
+
+
 def test_read_corpus_layered_resolution(spark, tmp_path):
     """Iceberg-first reader: falls back to parquet in this sandbox,
     validates the input_hint contract columns, and feeds the standard

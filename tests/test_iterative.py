@@ -147,6 +147,77 @@ def test_resumable_triangle_count(spark, tmp_path):
     assert len(r2.metrics) == 4
 
 
+def test_superstep_topology_never_reexchanges(spark, tmp_path):
+    """The r01 scale-killer, regression-proofed: the cached |E|-row
+    topology must not re-exchange inside the superstep loop. Every
+    manifest records the superstep's planned ENSURE_REQUIREMENTS
+    shuffle count — with the topology pre-partitioned on the join key
+    it is exactly 1 (the partial→final aggregate); a re-exchange of the
+    edge side would make it 2+."""
+    edges = planted_triangles(spark, num_nodes=120, num_triangles=60, seed=41).cache()
+    ck = str(tmp_path / "ck_px")
+    res = pagerank_run(edges, iterations=3, checkpoint_dir=ck)
+    assert res.iterations == 3
+    for m in res.metrics:
+        assert m["metrics"]["shuffle_exchanges"] == 1, m
+
+
+def test_superstep_join_shuffles_only_rank_side_without_broadcast(spark):
+    """100 TB shape: with broadcast disabled (a 10^9-vertex rank state
+    cannot broadcast), the superstep join must exchange ONLY the |V|-row
+    rank side — the cached topology's HashPartitioning(src) satisfies
+    the join requirement. Planned shuffles: rank side + final agg = 2;
+    an edge-side re-exchange would make it 3."""
+    from paralleltrianglecounting_spark.operators.degrees import degrees
+    from paralleltrianglecounting_spark.operators.pagerank import message_topology
+    from paralleltrianglecounting_spark.plans.lint import (
+        count_ensure_exchanges,
+        physical_plan,
+    )
+
+    edges = planted_triangles(spark, num_nodes=100, num_triangles=50, seed=43).cache()
+    deg = degrees(edges).persist()
+    n = deg.count()
+    adj = message_topology(edges, deg).persist()
+    adj.count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        state = deg.select(
+            "vertex", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
+        ranks_src = state.select(F.col("vertex").alias("src"), "rank")
+        msgs = adj.join(ranks_src, "src").select(
+            F.col("dst").alias("vertex"),
+            (F.col("rank") / F.col("degree")).alias("contrib"),
+        )
+        new_rank = msgs.groupBy("vertex").agg(
+            ((1.0 - 0.85) / n + 0.85 * F.sum("contrib")).alias("rank")
+        )
+        new_rank.collect()
+        assert count_ensure_exchanges(new_rank) == 2, physical_plan(new_rank)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        adj.unpersist()
+        deg.unpersist()
+
+
+def test_lpa_fixed_iterations_output_identical(spark):
+    """detect_stability=False (fingerprint job skipped) must return the
+    byte-identical labeling for the same iteration count."""
+    edges = planted_triangles(spark, num_nodes=60, num_triangles=30, seed=47).cache()
+    a = sorted(
+        map(tuple, label_propagation(edges, iterations=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges, iterations=3, detect_stability=False).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_pagerank_to_convergence(spark):
     """tol mode: run until max |Δrank| < tol, match the NumPy oracle run
     to its own fixpoint within 1e-6 per vertex (north_star contract)."""
