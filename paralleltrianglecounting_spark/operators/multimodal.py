@@ -2,12 +2,19 @@
 columns with typed metadata, processed by Arrow-vectorized
 ``mapInPandas`` stages.
 
-The decode step itself is STUBBED (this container ships no image/audio
-libraries): ``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder stands in so
-the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and testable end-to-end. Swapping in PIL/ffmpeg is
-a one-function change; nothing in the plan moves.
+Decode support is layered (this container ships no image libraries):
+
+- **real decode, dependency-free formats**: uncompressed 24-bit BMP and
+  binary PPM (P6) are parsed in pure NumPy (``decode_bmp`` /
+  ``decode_ppm``) — a genuine payload→pixels→features path proving the
+  swap-in claim end-to-end (tests push real encoded bytes through
+  ``extract_features(fake=False)``);
+- **compressed formats** (PNG/JPEG/video): still STUBBED —
+  ``NotImplementedError`` naming the missing library. Swapping in
+  PIL/ffmpeg replaces one function (``_decode_image``); nothing in the
+  plan moves;
+- ``fake=True``: deterministic byte-histogram stand-in, for plumbing
+  tests over payloads that aren't real images.
 
 Batch contract: each pandas batch carries the binary payloads of one
 Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps
@@ -79,19 +86,115 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
 
-def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    """The decode/feature-extract kernel for one Arrow batch.
-
-    Real implementation would PIL-decode ``payload``, resize, and embed;
-    that requires libraries absent from this container:
-    """
-    if not fake:
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-NumPy decode of an uncompressed 24-bit BMP → (H, W, 3)
+    uint8 RGB. Handles bottom-up (positive height) and top-down
+    (negative height) row order and the 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "real image/audio decode needs PIL/torchaudio/ffmpeg — not "
-            "available in this environment; pass fake=True for the "
-            "deterministic stand-in decoder"
+            f"only uncompressed 24-bit BMP decodes without PIL (got "
+            f"bpp={bpp}, compression={compression})"
         )
-    feats = [_fake_decode(p).tolist() for p in pdf["payload"]]
+    top_down = h < 0
+    h = abs(h)
+    row_sz = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, row_sz * h, data_off).reshape(h, row_sz)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of ``decode_bmp`` (bottom-up, 24bpp) — the deterministic
+    test-fixture writer; also handy as a sink for decoded frames."""
+    h, w, _ = pixels.shape
+    row_sz = (w * 3 + 3) & ~3
+    img_sz = row_sz * h
+    header = (
+        b"BM"
+        + (14 + 40 + img_sz).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (14 + 40).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + int(w).to_bytes(4, "little", signed=True)
+        + int(h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + img_sz.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    body = np.zeros((h, row_sz), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + body.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-NumPy decode of a binary PPM (P6, maxval 255) → (H, W, 3)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> then a single whitespace, then raw RGB
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    return np.frombuffer(payload, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Format dispatch for the real-decode path. PNG/JPEG would slot in
+    here (PIL.Image.open) — absent from this container, so they raise
+    with the library named rather than decoding garbage."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "payload is not BMP/PPM; decoding PNG/JPEG/video needs PIL/ffmpeg "
+        "(not in this container) — swap _decode_image to add them"
+    )
+
+
+def _image_features(px: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real-pixel feature vector: per-channel means and stds, plus
+    height and width — FEATURE_DIM (8) values, deterministic."""
+    chan = px.reshape(-1, 3).astype(np.float64)
+    return np.concatenate(
+        [chan.mean(axis=0), chan.std(axis=0), [float(px.shape[0]), float(px.shape[1])]]
+    )[:dim]
+
+
+def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
+    """The decode/feature-extract kernel for one Arrow batch: payload →
+    pixels (``_decode_image``) → feature vector, or the deterministic
+    byte-histogram stand-in when ``fake=True``."""
+    if fake:
+        feats = [_fake_decode(p).tolist() for p in pdf["payload"]]
+    else:
+        feats = [_image_features(_decode_image(p)).tolist() for p in pdf["payload"]]
     return pd.DataFrame(
         {
             "media_id": pdf["media_id"],

@@ -52,15 +52,25 @@ _INT32_MAX = (1 << 31) - 1
 def _use_compact_ids(edges: DataFrame, compact_ids: bool | None) -> bool:
     """Resolve the compact-id switch. ``None`` auto-detects with one
     cheap max() aggregate over the canonical edge table (dst ≥ src by
-    canonicalization, so max(dst) bounds every id)."""
+    canonicalization, so max(dst) bounds every id). The probe result is
+    memoized on the DataFrame object, so repeated triangle queries over
+    the same (typically persisted) edge table pay the probe job once."""
     if compact_ids is not None:
         return compact_ids
+    cached = getattr(edges, "_ptc_compact_ids", None)
+    if cached is not None:
+        return cached
     row = edges.agg(F.max("dst").alias("m"), F.min("src").alias("n")).first()
-    return (
+    result = (
         row["m"] is not None
         and 0 <= int(row["n"])
         and int(row["m"]) <= _INT32_MAX
     )
+    try:
+        edges._ptc_compact_ids = result
+    except Exception:
+        pass
+    return result
 
 
 def _edges_with_adjacency(

@@ -24,6 +24,22 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# tmpfs is only a sane spill target when it has real headroom: shuffle
+# spill happens exactly when memory is tight, and /dev/shm is RAM (capped
+# at ~50% of it) — picking it on a small host turns a recoverable spill
+# into ENOSPC/OOM pressure. Below this free-space floor we stay on disk.
+_TMPFS_MIN_FREE_BYTES = 16 << 30
+
+
+def _tmpfs_roomy(path: str, min_free: int = _TMPFS_MIN_FREE_BYTES) -> bool:
+    if not (os.path.isdir(path) and os.access(path, os.W_OK)):
+        return False
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= min_free
+
 
 def get_spark(
     app_name: str = "spark-link-graph",
@@ -67,7 +83,7 @@ def get_spark(
     # of seconds of I/O noise; a cluster deployment would point this at
     # executor-local NVMe instead (it is plain `spark.local.dir`).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    if local_dir is None and _tmpfs_roomy("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -59,13 +59,28 @@ def read_corpus(spark: SparkSession, source: str) -> DataFrame:
     parquet directory. Returns the validated corpus DataFrame."""
     errors = []
     if "/" not in source:
+        df = None
         try:
-            return _validate(spark.read.table(source), source)
+            df = spark.read.table(source)
         except Exception as e:  # table not found / no catalog configured
             errors.append(f"table: {e.__class__.__name__}")
+        if df is not None:
+            # validate OUTSIDE the except: a reachable table with a broken
+            # schema must surface the explicit missing-columns error, not
+            # be misreported as "could not load" (ADVICE r01)
+            return _validate(df, source)
+        # a slash-free name may still be a relative parquet directory
+        try:
+            return _validate(spark.read.parquet(source), source)
+        except ValueError:
+            raise
+        except Exception as e:
+            errors.append(f"parquet: {e.__class__.__name__}")
     else:
         try:
             return _validate(spark.read.format("iceberg").load(source), source)
+        except ValueError:
+            raise
         except Exception as e:  # no iceberg runtime in this sandbox
             errors.append(f"iceberg: {e.__class__.__name__}")
         try:

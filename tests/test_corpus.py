@@ -182,3 +182,21 @@ def test_read_corpus_layered_resolution(spark, tmp_path):
     # unknown source -> clear error listing what was tried
     with pytest.raises(ValueError, match="could not load corpus"):
         read_corpus(spark, str(tmp_path / "nope"))
+
+    # slash-free source that is not a catalog table but IS a relative
+    # parquet directory must fall through to the parquet read (ADVICE
+    # r01); relative paths resolve against the JVM working directory
+    import shutil
+
+    rel_name = "_tmp_slashfree_corpus_pq"
+    try:
+        corpus.write.mode("overwrite").parquet(rel_name)
+        rel = read_corpus(spark, rel_name)
+        assert rel.count() == corpus.count()
+        # ...and a slash-free dir with a broken schema gets the explicit
+        # missing-columns error, not "could not load"
+        corpus.select("repo", "path").write.mode("overwrite").parquet(rel_name)
+        with pytest.raises(ValueError, match="missing contract columns"):
+            read_corpus(spark, rel_name)
+    finally:
+        shutil.rmtree(rel_name, ignore_errors=True)

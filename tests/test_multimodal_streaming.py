@@ -34,10 +34,60 @@ def test_feature_extraction_plumbing(spark):
     assert again == first
 
 
-def test_real_decode_is_stubbed(spark):
+def test_real_decode_unsupported_format_raises(spark):
+    # payloads that are not BMP/PPM (synthetic sha-chain bytes) must
+    # raise naming the missing library, not decode garbage
     media = synthetic_media(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    with pytest.raises(Exception, match="NotImplementedError|PIL|decode"):
         extract_features(media, fake=False).collect()
+
+
+def test_bmp_ppm_roundtrip_and_padding():
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(3, 2), (4, 4), (5, 3), (1, 1)]:  # odd widths hit row padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    ppm = b"P6\n# comment\n5 4\n255\n" + px.tobytes()
+    assert (decode_ppm(ppm) == px).all()
+
+
+def test_real_decode_end_to_end(spark):
+    """VERDICT r01 #8: a REAL image decoded through extract_features
+    without fake=True — payload → pixels → per-channel feature vector,
+    inside the same mapInPandas plan as the stubbed path."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(7)
+    rows = []
+    pixels = {}
+    for i in range(6):
+        w, h = 3 + i, 2 + (i % 3)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        pixels[i] = px
+        rows.append((i, "image", w, h, None, bytearray(encode_bmp(px))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, duration_ms int, payload binary"
+    )
+    feats = {r.media_id: r.feature for r in extract_features(media, fake=False).collect()}
+    assert set(feats) == set(pixels)
+    for i, px in pixels.items():
+        chan = px.reshape(-1, 3).astype(np.float64)
+        want = list(chan.mean(axis=0)) + list(chan.std(axis=0)) + [
+            float(px.shape[0]),
+            float(px.shape[1]),
+        ]
+        assert feats[i] == pytest.approx(want[:8], abs=1e-12)
 
 
 def test_metadata_filter_prunes_before_decode(spark):
