@@ -197,10 +197,11 @@ def triangles_per_vertex(edges: DataFrame, strategy: str = "intersect") -> DataF
     triangle report 0 — the vertex universe comes from the edge table,
     never a declared count (SURVEY.md §1.1)."""
     triples = triangle_triples(edges, strategy)
+    # one explode over array(a,b,c), NOT a 3-way union of projections:
+    # union branches each re-evaluate their child, so the union form
+    # recomputed the (dominant) intersection pass three times
     corners = (
-        triples.select(F.col("a").alias("vertex"))
-        .unionAll(triples.select(F.col("b").alias("vertex")))
-        .unionAll(triples.select(F.col("c").alias("vertex")))
+        triples.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count("*").alias("triangles"))
     )

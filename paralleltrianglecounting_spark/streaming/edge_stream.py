@@ -133,6 +133,58 @@ def stream_exact_dedup(
     )
 
 
+def edge_compaction_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming half of the exact-triangle cadence (the lambda split
+    SURVEY §2.7 documents): edge files stream in, get canonicalized
+    (src<dst, self-loops dropped), and are appended to a compacted
+    parquet edge table via ``foreachBatch``. The stream's checkpoint
+    makes ingestion exactly-once at the file level; cross-batch
+    duplicate *edges* are deduped at read time by the batch side
+    (`compacted_edges`), so re-delivered rows cannot change any count.
+
+    Returns the DataStreamWriter — caller starts it with
+    ``.trigger(availableNow=True).start()`` for a cadence tick or a
+    processing-time trigger for continuous ingestion.
+    """
+    stream = (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("sep", " ")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(source_dir)
+    )
+    canon = (
+        stream.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+    )
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        # within-batch dedup keeps the table near-minimal; cross-batch
+        # dedup is the reader's distinct() (idempotence beats dedup-state)
+        batch_df.dropDuplicates(["src", "dst"]).write.mode("append").parquet(table_dir)
+
+    return (
+        canon.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def compacted_edges(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Batch half of the cadence: the compacted table as a canonical
+    edge set (cross-batch distinct). Feed this to the exact batch
+    engine (triangle_count & co.) on every cadence tick — the north
+    rule demands exact counts, and approximate streaming triangle
+    counts are explicitly out of scope, so exact-batch-over-compacted
+    IS the streaming answer, with the tick interval as the staleness
+    knob."""
+    return spark.read.parquet(table_dir).distinct()
+
+
 def stream_edge_counts(spark: SparkSession, source_dir: str) -> DataFrame:
     """readStream(csv edge files) → canonicalize → running degree counts
     (complete-mode aggregate). The streaming twin of operators.degrees."""
