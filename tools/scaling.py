@@ -103,8 +103,17 @@ print("SCALEROW " + json.dumps({
 """
 
 
-def run_level(sf_dir: str, cores: int, copies: int, reps: int) -> dict:
-    """One fresh JVM per level (getOrCreate would reuse the first master)."""
+def run_level(
+    sf_dir: str, cores: int, copies: int, reps: int, cooldown: int = 20
+) -> dict:
+    """One fresh JVM per level (getOrCreate would reuse the first
+    master). A cool-down precedes each level: a child launched on the
+    heels of a just-exited heavy JVM measures uniformly ~1.8x slow
+    (observed r02 — page-cache/allocator turbulence), poisoning that
+    level's every rep."""
+    import time
+
+    time.sleep(cooldown)
     out = subprocess.run(
         [sys.executable, "-c", _CHILD, REPO, sf_dir, str(cores), str(copies), str(reps)],
         capture_output=True,
