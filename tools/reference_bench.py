@@ -62,9 +62,14 @@ def main() -> None:
         n_edges = edges.count()  # load excluded from timing (reference convention)
         row: dict = {"edges": n_edges}
         for strategy in ("intersect", "csr", "wedge"):
-            t0 = time.monotonic()
-            tri = triangle_count(edges, strategy=strategy).collect()[0]["triangles"]
-            dt = time.monotonic() - t0
+            dt, tri = None, None
+            # best-of-3: the reference's own min-over-repetitions
+            # convention (SURVEY §2.5 O3); rep 1 pays C2 compilation
+            for _ in range(3):
+                t0 = time.monotonic()
+                tri = triangle_count(edges, strategy=strategy).collect()[0]["triangles"]
+                d = time.monotonic() - t0
+                dt = d if dt is None else min(dt, d)
             assert tri == GOLDEN[name], f"{name}/{strategy}: {tri} != {GOLDEN[name]}"
             row[strategy] = {
                 "sec": round(dt, 3),
