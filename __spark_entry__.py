@@ -34,11 +34,13 @@ from paralleltrianglecounting_spark.operators.pagerank import pagerank
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
+    triangle_count_resumable,
     triangles_per_vertex,
 )
 from paralleltrianglecounting_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_PARAMS,
+    deduplicated_docs,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -266,6 +268,21 @@ def _q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def _q_deduplicated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deduplicated_docs(_docs(spark, sf_dir))
+
+
+def _q_triangle_count_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunked/checkpointed flagship, gated against the SAME oracle
+    as the one-shot count: the per-chunk metric rows must sum to the
+    exact global answer (each triangle closes at exactly one oriented
+    edge, each edge lives in exactly one chunk)."""
+    res = triangle_count_resumable(part_graph(spark, sf_dir), chunks=4, resume=False)
+    return res.state.agg(
+        F.coalesce(F.sum("triangles_closed"), F.lit(0)).alias("triangles")
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_docs(spark, sf_dir), threshold=0.5)
 
@@ -334,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangle_count_csr": _q_triangle_count_csr,
         "triangle_count_wedge": _q_triangle_count_wedge,
+        "triangle_count_resumable": _q_triangle_count_resumable,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "clustering_coefficient": _q_clustering_coefficient,
         "wedge_count": _q_wedge_count,
@@ -346,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "exact_duplicates": _q_exact_duplicates,
+        "deduplicated_docs": _q_deduplicated_docs,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -448,6 +467,9 @@ FROM codes""",
         "exact_duplicates": """SELECT sha256(text) AS text_sha,
        count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM documents GROUP BY sha256(text) HAVING count(*) >= 2""",
+        "deduplicated_docs": """SELECT min(doc_id) AS doc_id,
+       sha256(text) AS text_sha
+FROM documents GROUP BY sha256(text)""",
         "minhash_lsh_dedup": f"""WITH {_TOKS_CTE},
 {_DISTINCT_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
@@ -602,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": tri_sql,
         "triangle_count_csr": tri_sql,
         "triangle_count_wedge": tri_sql,
+        "triangle_count_resumable": tri_sql,
         "triangles_per_vertex": f"""WITH {_EDGES_CTE},
 {_TRI_CTE},
 corners AS (

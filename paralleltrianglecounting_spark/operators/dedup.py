@@ -50,6 +50,19 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def deduplicated_docs(docs: DataFrame) -> DataFrame:
+    """[doc_id, text_sha]: the KEPT document per exact-content group —
+    min(doc_id) wins, singletons kept as themselves. This is the
+    materialization step of exact dedup (what a training-data pipeline
+    actually writes out), the complement of ``exact_duplicates``'s
+    report. One hash aggregate, partial+final — linear at any scale."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_sha")
+    )
+
+
 def _token_table(docs: DataFrame) -> DataFrame:
     """[doc_id, tok]: distinct whitespace tokens per document."""
     return docs.select(
