@@ -202,6 +202,26 @@ def test_superstep_join_shuffles_only_rank_side_without_broadcast(spark):
         deg.unpersist()
 
 
+def test_lpa_and_cc_steady_state_exchange_budget(spark):
+    """Pin the documented per-superstep shuffle budgets (recorded in
+    every manifest): LPA = 1 exchange (the single mode() aggregation —
+    the cached topology and broadcast state move nothing), CC = 3 per
+    round (large-star join side, small-star repartition shared by its
+    agg+join, small-star distinct). The first superstep additionally
+    carries the init-state/base-derivation lineage and is exempt."""
+    from paralleltrianglecounting_spark.operators.components import components_run
+    from paralleltrianglecounting_spark.operators.labelprop import (
+        label_propagation_run,
+    )
+
+    edges = planted_triangles(spark, num_nodes=120, num_triangles=60, seed=41).cache()
+    lpa = label_propagation_run(edges, iterations=3, detect_stability=False)
+    assert [m["metrics"]["shuffle_exchanges"] for m in lpa.metrics][1:] == [1, 1]
+    cc = components_run(edges)
+    steady = [m["metrics"]["shuffle_exchanges"] for m in cc.metrics][1:]
+    assert steady and all(n == 3 for n in steady), steady
+
+
 def test_lpa_fixed_iterations_output_identical(spark):
     """detect_stability=False (fingerprint job skipped) must return the
     byte-identical labeling for the same iteration count."""
