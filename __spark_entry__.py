@@ -63,6 +63,7 @@ from paralleltrianglecounting_spark.operators.text import (
     fingerprints,
     lang_id,
     quality_scores,
+    subword_stats,
     token_stats,
 )
 from paralleltrianglecounting_spark.sources.edges import part_graph
@@ -252,6 +253,10 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def _q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subword_stats(_docs(spark, sf_dir))
+
+
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
@@ -360,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_salted": _q_pagerank_salted,
         "label_propagation": _q_label_propagation,
         "token_stats": _q_token_stats,
+        "subword_stats": _q_subword_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -400,6 +406,9 @@ def _minhash_params_values() -> str:
 
 
 def _doc_oracles() -> dict[str, str]:
+    from paralleltrianglecounting_spark.operators.text import BPE_SPLIT_PATTERN
+
+    bpe_sql_pat = BPE_SPLIT_PATTERN.replace("'", "''")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     h56_tok = _H56.format(x="tok")
     lang_score_cols = ",\n       ".join(
@@ -433,6 +442,18 @@ SELECT doc_id,
        round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
              / greatest(len(toks), 1), 6) AS avg_token_len_r
 FROM toks_t""",
+        "subword_stats": f"""WITH sub AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '{bpe_sql_pat}'),
+                     t -> trim(t) != '') AS sw,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(sw)::BIGINT AS n_subwords,
+       len(ws)::BIGINT AS n_ws_tokens,
+       round(len(sw)::DOUBLE / greatest(len(ws), 1), 6) AS subwords_per_token_r
+FROM sub""",
         "quality_scores": f"""WITH {_TOKS_CTE},
 q AS (
   SELECT doc_id,

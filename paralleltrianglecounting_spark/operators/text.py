@@ -56,6 +56,41 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style BPE pre-tokenizer pattern, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB) support identically — i.e. the
+# canonical pattern minus its `\s+(?!\S)` lookahead (RE2 has no
+# lookahead; trailing-whitespace runs therefore tokenize as one blob,
+# which is fine for *counting*). Ordered alternation: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: the token-budget estimator a training
+    pipeline runs before the (proprietary) real tokenizer. Pure JVM
+    ``regexp_extract_all``; DuckDB computes the identical list."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def subword_stats(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_subwords, n_ws_tokens, subwords_per_token_r]: BPE-ish
+    subword count next to the whitespace count — the fertility ratio
+    (subwords per word) is the standard per-document tokenizer-cost
+    signal."""
+    sub = F.filter(
+        subword_tokens(F.col("text")), lambda t: F.trim(t) != F.lit("")
+    )
+    ws = tokens(F.col("text"))
+    n_sub = F.size(sub)
+    n_ws = F.size(ws)
+    return docs.select(
+        "doc_id",
+        n_sub.cast("long").alias("n_subwords"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(n_sub / F.greatest(n_ws, F.lit(1)), 6).alias("subwords_per_token_r"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """[doc_id, n_tokens, punct_ratio_r, stop_ratio_r, quality_r]
 

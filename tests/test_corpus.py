@@ -154,6 +154,28 @@ def test_pruning_detector_sees_past_nested_types(spark, tmp_path):
     assert _top_level_cols(frag[0]) == {"a", "m", "b"}
 
 
+def test_subword_stats_bpe_pretokenization(spark):
+    """BPE-ish pre-tokenizer: contractions split off, letter/digit/punct
+    runs split, space-prefix absorbed — the GPT-2 pattern minus the
+    RE2-incompatible lookahead."""
+    from paralleltrianglecounting_spark.operators.text import subword_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "it's 2024, don't stop!"),
+            (2, "hello world"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in subword_stats(docs).collect()}
+    # it|'s| 2024|,| don|'t| stop|! -> 8 subwords over 4 ws tokens
+    assert got[1].n_subwords == 8 and got[1].n_ws_tokens == 4
+    assert got[1].subwords_per_token_r == 2.0
+    assert got[2].n_subwords == 2 and got[2].n_ws_tokens == 2
+    assert got[3].n_subwords == 0 and got[3].subwords_per_token_r == 0.0
+
+
 def test_read_corpus_layered_resolution(spark, tmp_path):
     """Iceberg-first reader: falls back to parquet in this sandbox,
     validates the input_hint contract columns, and feeds the standard
