@@ -137,5 +137,11 @@ def run(sf_dir: str, cores: int) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # cool-down before measuring: a JVM launched on the heels of
+    # sustained heavy load measures uniformly ~2x slow on this host
+    # (controlled A/B: 61s total right after a 3.5-min test session vs
+    # 33s after ~1 min idle — see BENCH/BASELINE.md measurement-noise
+    # note). 45s of idle restores the fast profile.
+    time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45")))
     result = run(sf_dir, cores)
     print(json.dumps(result))
