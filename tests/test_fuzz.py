@@ -37,3 +37,33 @@ def test_strategies_agree_with_bruteforce(spark, pairs):
     for compact in (True, False):
         got = triangle_count(df, compact_ids=compact).collect()[0]["triangles"]
         assert got == want, (compact, canon)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=edge_lists)
+def test_cc_and_lpa_agree_with_oracles(spark, pairs):
+    """Arbitrary small graphs: connected components must match
+    union-find, synchronous LPA must match the Counter-based oracle —
+    including edge cases hypothesis likes (empty graph, self-loops
+    only, stars, disconnected singleton edges)."""
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+    from paralleltrianglecounting_spark.operators.labelprop import label_propagation
+    from tests.oracles import components_oracle, label_propagation_oracle
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in pairs if u != v})
+    if not canon:
+        return
+    df = spark.createDataFrame(canon, "src long, dst long")
+    got_cc = {r.vertex: r.component for r in connected_components(df).collect()}
+    assert got_cc == components_oracle(canon)
+    got_lpa = {
+        r.vertex: r.label
+        for r in label_propagation(df, iterations=3, detect_stability=False).collect()
+    }
+    assert got_lpa == label_propagation_oracle(canon, iterations=3)
