@@ -15,5 +15,5 @@ Training-data toolkit (first-class, graded alongside §2):
 - ``dedup``       exact / MinHash-LSH / SimHash / n-gram Jaccard / cosine
 - ``similarity``  brute-force + LSH-bucketed ANN over embeddings
 - ``text``        language-id, quality scores, token counts, fingerprints
-- ``multimodal``  binary-column plumbing with stubbed decoders
+- ``multimodal``  binary-column plumbing, pure-NumPy BMP/PPM decode
 """
