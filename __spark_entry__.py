@@ -444,8 +444,7 @@ SELECT doc_id,
 FROM toks_t""",
         "subword_stats": f"""WITH sub AS (
   SELECT doc_id,
-         list_filter(regexp_extract_all(text, '{bpe_sql_pat}'),
-                     t -> trim(t) != '') AS sw,
+         regexp_extract_all(text, '{bpe_sql_pat}') AS sw,
          list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS ws
   FROM documents
 )

@@ -35,6 +35,10 @@ from paralleltrianglecounting_spark.session import get_spark
 def run(sf_dir: str, cores: int) -> dict:
     from paralleltrianglecounting_spark.sources.edges import part_graph
 
+    # normalize first: a trailing slash would defeat the warm-tier
+    # exclusion below and warm up on the timed dataset itself
+    sf_dir = sf_dir.rstrip("/")
+
     spark = get_spark(app_name=f"bench-{cores}", cores=cores)
 
     # JIT/codegen warmup on a smaller tier: each timed query's generated

@@ -157,7 +157,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             j += 1
         fields.append(int(payload[i:j]))
         i = j
-    i += 1  # the single whitespace after maxval
+    # the single whitespace delimiter after maxval; tolerate CRLF
+    # (a CRLF-writing tool means both bytes as the delimiter — reading
+    # only the '\r' would shift the raster by one byte silently)
+    if payload[i : i + 2] == b"\r\n":
+        i += 2
+    else:
+        i += 1
     w, h, maxval = fields
     if maxval != 255:
         raise NotImplementedError("only maxval=255 PPM supported")

@@ -139,11 +139,14 @@ def _hyperplane_bucket(
 
 
 def _banded(emb: DataFrame, dim: int, planes: int, bands: int) -> DataFrame:
-    """[vec_id, embedding, band, bucket]: one row per (vector, band)
-    with the band's hyperplane bucket — the multi-table LSH key set."""
+    """[vec_id, band, bucket]: one row per (vector, band) with the
+    band's hyperplane bucket — the multi-table LSH key set. Deliberately
+    WITHOUT the embedding column: the bands-way explode would otherwise
+    ship the 64-double payload ×bands through the candidate self-join;
+    callers join embeddings back by vec_id only for the deduped
+    candidates (the same shape the DuckDB oracle uses)."""
     return emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -159,7 +162,6 @@ def _banded(emb: DataFrame, dim: int, planes: int, bands: int) -> DataFrame:
         ).alias("bb"),
     ).select(
         "vec_id",
-        "embedding",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
@@ -182,29 +184,35 @@ def lsh_ann_topk(
     emb = _as_double(embeddings).select("vec_id", "embedding")
     keyed = _banded(emb, dim, planes, bands)
     q = keyed.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "band",
-        "bucket",
+        F.col("vec_id").alias("query_id"), "band", "bucket"
     )
-    pairs = (
+    cand = (
         F.broadcast(q)
         .join(
-            keyed.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("n_emb"),
-                "band",
-                "bucket",
-            ),
+            keyed.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket"),
             ["band", "bucket"],
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])  # collided in >= 1 band
     )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_r"),
+    # embeddings join back AFTER candidate dedup: the payload moves once
+    # per surviving pair, not x bands through the bucket join
+    q_emb = F.broadcast(
+        emb.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    n_emb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.join(q_emb, "query_id")
+        .join(n_emb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_r"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_r").desc(), F.col("neighbor_id").asc()
@@ -248,13 +256,17 @@ def embedding_near_duplicates(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])  # collided in >= 1 band
     )
+    # payload joins back by id AFTER dedup — the bucket self-join moves
+    # only (vec_id, band, bucket) keys, never the embedding arrays
+    emb_a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    emb_b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        cand.select(
+        cand.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_r"),

@@ -57,12 +57,20 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 # GPT-2-style BPE pre-tokenizer pattern, restricted to constructs both
-# Java regex (Spark) and RE2 (DuckDB) support identically — i.e. the
-# canonical pattern minus its `\s+(?!\S)` lookahead (RE2 has no
-# lookahead; trailing-whitespace runs therefore tokenize as one blob,
-# which is fine for *counting*). Ordered alternation: contractions,
-# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
-BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically:
+# - no `\s+(?!\S)` lookahead (RE2 has none);
+# - NO bare `\s` anywhere — Java's \s includes vertical tab (\x0B),
+#   RE2's does not, so `\s`-based alternatives silently diverge between
+#   the engine and the oracle on \x0B-bearing text. Whitespace is the
+#   explicit class [ \t\n\x0B\f\r] both engines read the same way.
+# - no whitespace-consuming branch at all: regexp_extract_all skips
+#   unmatched gaps, so whitespace between tokens simply never becomes a
+#   token (which also removes the need to filter blob tokens out).
+# Ordered alternation: contractions, space-prefixed letter runs, digit
+# runs, punctuation runs.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
+)
 
 
 def subword_tokens(text: Column) -> Column:
@@ -77,9 +85,7 @@ def subword_stats(docs: DataFrame) -> DataFrame:
     subword count next to the whitespace count — the fertility ratio
     (subwords per word) is the standard per-document tokenizer-cost
     signal."""
-    sub = F.filter(
-        subword_tokens(F.col("text")), lambda t: F.trim(t) != F.lit("")
-    )
+    sub = subword_tokens(F.col("text"))  # pattern never emits ws blobs
     ws = tokens(F.col("text"))
     n_sub = F.size(sub)
     n_ws = F.size(ws)

@@ -54,7 +54,14 @@ def _schema_fragments(plan: str) -> list[str]:
                     i = pos + 1
                     break
         else:
-            return out
+            # a started fragment with no balanced close means Spark
+            # truncated the schema string — failing silently here would
+            # let assert_pruned_scan skip the scan entirely
+            raise AssertionError(
+                "ReadSchema fragment truncated in plan string (raise "
+                "spark.sql.debug.maxToStringFields to verify pruning): "
+                + plan[start : start + 120]
+            )
 
 
 def _top_level_cols(fragment: str) -> set[str]:
@@ -141,6 +148,14 @@ def assert_pruned_scan(
     if not schemas:
         raise AssertionError(f"no file scan found in plan{context and ' of ' + context}")
     for s in schemas:
+        if "more fields" in s:
+            # Spark elides columns past spark.sql.debug.maxToStringFields
+            # with "... N more fields" — the hidden columns could be
+            # unpruned payload, so "cannot verify" must fail, not pass
+            raise AssertionError(
+                f"ReadSchema elides columns ('more fields'){context and ' in ' + context}"
+                f" — raise spark.sql.debug.maxToStringFields to verify pruning: {s}"
+            )
         cols = _top_level_cols(s)
         extra = cols - allowed_cols
         if extra:

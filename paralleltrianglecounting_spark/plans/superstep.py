@@ -112,10 +112,13 @@ class SuperstepRunner:
         return out
 
     def _checkpoint(self, df: DataFrame, i: int, metrics: dict) -> DataFrame:
-        # record how many runtime shuffles this superstep plans
-        # (ENSURE_REQUIREMENTS exchanges; cache-build REPARTITION
-        # shuffles excluded) — the scale telemetry that catches a
-        # topology re-exchange regression the moment it happens
+        # record how many runtime shuffles this superstep PLANS
+        # (ENSURE_REQUIREMENTS exchanges in the pre-execution plan;
+        # cache-build REPARTITION shuffles excluded). This is an upper
+        # bound on what physically runs: AQE re-optimization can only
+        # REMOVE exchanges at runtime (e.g. SMJ→broadcast), never add
+        # one — so a topology re-exchange regression always shows up
+        # here the moment it is introduced
         from paralleltrianglecounting_spark.plans.lint import count_ensure_exchanges
 
         try:

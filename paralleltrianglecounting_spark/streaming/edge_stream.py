@@ -181,7 +181,15 @@ def compacted_edges(spark: SparkSession, table_dir: str) -> DataFrame:
     rule demands exact counts, and approximate streaming triangle
     counts are explicitly out of scope, so exact-batch-over-compacted
     IS the streaming answer, with the tick interval as the staleness
-    knob."""
+    knob.
+
+    A tick that fires before any batch has been appended (empty source,
+    cold start) sees no table directory yet — that is an empty edge
+    set, not an error."""
+    import os
+
+    if not os.path.isdir(table_dir):
+        return spark.createDataFrame([], "src long, dst long")
     return spark.read.parquet(table_dir).distinct()
 
 

@@ -176,6 +176,44 @@ def test_subword_stats_bpe_pretokenization(spark):
     assert got[3].n_subwords == 0 and got[3].subwords_per_token_r == 0.0
 
 
+def test_subword_pattern_avoids_engine_divergent_whitespace(spark):
+    """Review r02: bare `\\s` means different things to Java (includes
+    \\x0B) and RE2 (excludes it). The pattern uses an explicit class and
+    never emits whitespace tokens, so both engines must agree — checked
+    here directly against DuckDB on adversarial whitespace."""
+    import duckdb
+
+    from paralleltrianglecounting_spark.operators.text import (
+        BPE_SPLIT_PATTERN,
+        subword_stats,
+    )
+
+    texts = ["a.\x0bb", "tab\there", "crlf\r\nline", "x \x0b\x0b y", "a\fb"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_subwords for r in subword_stats(docs).collect()}
+    con = duckdb.connect()
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    for i, t in enumerate(texts):
+        want = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_pruning_detector_rejects_truncated_schemas():
+    from paralleltrianglecounting_spark.plans.lint import _schema_fragments
+
+    import pytest as _pytest
+
+    # unbalanced fragment (plan string cut mid-schema) must raise
+    with _pytest.raises(AssertionError, match="truncated"):
+        _schema_fragments("... ReadSchema: struct<a:int,b:array<string ...")
+    # balanced fragments still parse
+    assert _schema_fragments("ReadSchema: struct<a:int> tail") == ["struct<a:int>"]
+
+
 def test_read_corpus_layered_resolution(spark, tmp_path):
     """Iceberg-first reader: falls back to parquet in this sandbox,
     validates the input_hint contract columns, and feeds the standard

@@ -58,6 +58,10 @@ def test_bmp_ppm_roundtrip_and_padding():
     px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
     ppm = b"P6\n# comment\n5 4\n255\n" + px.tobytes()
     assert (decode_ppm(ppm) == px).all()
+    # CRLF-terminated header (review r02): both bytes are the delimiter;
+    # reading only '\r' would shift the raster one byte and decode wrong
+    ppm_crlf = b"P6\r\n5 4\r\n255\r\n" + px.tobytes()
+    assert (decode_ppm(ppm_crlf) == px).all()
 
 
 def test_real_decode_end_to_end(spark):
@@ -143,6 +147,12 @@ def test_exact_triangle_cadence_over_compacted_stream(spark, tmp_path):
         return int(
             triangle_count(compacted_edges(spark, table)).collect()[0]["triangles"]
         )
+
+    # cold start (review r02): a tick before any batch exists is an
+    # empty edge set, not a PATH_NOT_FOUND crash
+    assert (
+        triangle_count(compacted_edges(spark, table)).collect()[0]["triangles"] == 0
+    )
 
     # wave 1: first half (plus a few self-loops that must be dropped)
     with open(src / "wave1.txt", "w") as f:
