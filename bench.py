@@ -103,6 +103,11 @@ def run(sf_dir: str, cores: int) -> dict:
         lambda: triangle_count(edges, strategy="csr").collect()[0]["triangles"],
     )
     assert tri_csr == tri, f"strategy disagreement: intersect={tri} csr={tri_csr}"
+    tri_wedge = timed(
+        "triangle_count_wedge",
+        lambda: triangle_count(edges, strategy="wedge").collect()[0]["triangles"],
+    )
+    assert tri_wedge == tri, f"strategy disagreement: intersect={tri} wedge={tri_wedge}"
     # consume tpv through a SUM, not count(): the per-vertex table joins
     # a unique-keyed aggregate to the vertex list, and Catalyst
     # (correctly) eliminates that join under count(*) — count() measured
@@ -123,8 +128,11 @@ def run(sf_dir: str, cores: int) -> dict:
     )
 
     extras["triangles"] = tri
-    extras["strategies_agree"] = True  # asserted above
+    extras["strategies_agree"] = True  # asserted above (all three)
     extras["edges_per_sec_triangle_count"] = round(n_edges / timings["triangle_count"], 1)
+    extras["csr_over_intersect"] = round(
+        timings["triangle_count_csr"] / timings["triangle_count"], 2
+    )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
