@@ -36,8 +36,15 @@ fi
 # the engine's session factory honors this instead of forcing local[N]
 export SPARK_GRAFT_MASTER="$MASTER"
 
+# driver memory MUST come from the launcher: under spark-submit the JVM
+# is already running when get_spark sets spark.driver.memory, so the
+# conf is silently ignored and the Arrow stages hit netty's 1 GiB
+# direct-memory default (OutOfDirectMemoryError at sf0.1 scale)
+DRIVER_MEM="${DRIVER_MEM:-${SPARK_GRAFT_DRIVER_MEM:-16g}}"
+
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "$DRIVER_MEM" \
   --py-files "$ZIP" \
   "${EXTRA[@]}" \
   "$JOB"
