@@ -382,11 +382,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# SQL fragments shared by the document oracles
-_TOKS_CTE = r"""
+# SQL fragments shared by the document oracles. Tokenization splits on
+# the SAME explicit whitespace class as the engine (text.WS_CLASS):
+# RE2's \s excludes \x0B, Java's includes it, so a bare \s here would
+# diverge from the engine on vertical-tab-bearing text.
+from paralleltrianglecounting_spark.operators.text import WS_CLASS as _WS
+
+_TOKS_CTE = f"""
 toks_t AS (
   SELECT doc_id, lang, text,
-         list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+         list_filter(regexp_split_to_array(text, '{_WS}'), t -> t != '') AS toks
   FROM documents
 )
 """.strip()
@@ -445,7 +450,7 @@ FROM toks_t""",
         "subword_stats": f"""WITH sub AS (
   SELECT doc_id,
          regexp_extract_all(text, '{bpe_sql_pat}') AS sw,
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS ws
+         list_filter(regexp_split_to_array(text, '{_WS}'), t -> t != '') AS ws
   FROM documents
 )
 SELECT doc_id,

@@ -23,10 +23,19 @@ def hash56(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
 
 
+# The one whitespace class used for tokenization — EXPLICIT, never a
+# bare `\s`: Java's \s includes vertical tab (\x0B), RE2's (DuckDB's)
+# does not, so `\s`-based splits silently diverge between the engine
+# and the oracle on \x0B-bearing text. Both engines read this class
+# identically (same fix as BPE_SPLIT_PATTERN below).
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization with empties dropped (identical to
-    DuckDB ``list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')``)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokenization with empties dropped (identical to DuckDB
+    ``list_filter(regexp_split_to_array(text, WS_CLASS), t -> t != '')``
+    — the oracle splits on the same explicit class)."""
+    return F.filter(F.split(text, WS_CLASS), lambda t: t != F.lit(""))
 
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]

@@ -49,27 +49,50 @@ def _empty_arr(dtype: str) -> Column:
 _INT32_MAX = (1 << 31) - 1
 
 
+# int32-fits probe results keyed by the ANALYZED PLAN's semanticHash —
+# not the DataFrame object: two DataFrames re-created over the same
+# table are semantically equal plans and share one probe job, and an
+# .alias()/re-creation of the handle can't shed the memo (VERDICT r02).
+# Bounded so a long-lived session over many distinct tables can't grow
+# it without limit.
+_COMPACT_PROBE_CACHE: dict[int, bool] = {}
+_COMPACT_PROBE_CACHE_MAX = 256
+
+
+def _plan_key(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # non-JVM test doubles / API drift: probe uncached
+        return None
+
+
 def _use_compact_ids(edges: DataFrame, compact_ids: bool | None) -> bool:
     """Resolve the compact-id switch. ``None`` auto-detects with one
     cheap max() aggregate over the canonical edge table (dst ≥ src by
-    canonicalization, so max(dst) bounds every id). The probe result is
-    memoized on the DataFrame object, so repeated triangle queries over
-    the same (typically persisted) edge table pay the probe job once."""
+    canonicalization, so max(dst) bounds every id), memoized per
+    semantically-equal plan (see ``_COMPACT_PROBE_CACHE``).
+
+    The memo assumes the underlying source is immutable while cached: a
+    plan over an append-mutated parquet dir keeps its semanticHash, so
+    a stale ``True`` would route post-append ids > 2^31-1 into the
+    int32 path. Callers over mutating sources must pass ``compact_ids``
+    explicitly (the auto-detect is a convenience for the immutable-
+    snapshot shape every query here reads)."""
     if compact_ids is not None:
         return compact_ids
-    cached = getattr(edges, "_ptc_compact_ids", None)
-    if cached is not None:
-        return cached
+    key = _plan_key(edges)
+    if key is not None and key in _COMPACT_PROBE_CACHE:
+        return _COMPACT_PROBE_CACHE[key]
     row = edges.agg(F.max("dst").alias("m"), F.min("src").alias("n")).first()
     result = (
         row["m"] is not None
         and 0 <= int(row["n"])
         and int(row["m"]) <= _INT32_MAX
     )
-    try:
-        edges._ptc_compact_ids = result
-    except Exception:
-        pass
+    if key is not None:
+        if len(_COMPACT_PROBE_CACHE) >= _COMPACT_PROBE_CACHE_MAX:
+            _COMPACT_PROBE_CACHE.clear()
+        _COMPACT_PROBE_CACHE[key] = result
     return result
 
 

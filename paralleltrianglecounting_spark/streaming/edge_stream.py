@@ -185,10 +185,18 @@ def compacted_edges(spark: SparkSession, table_dir: str) -> DataFrame:
 
     A tick that fires before any batch has been appended (empty source,
     cold start) sees no table directory yet — that is an empty edge
-    set, not an error."""
-    import os
-
-    if not os.path.isdir(table_dir):
+    set, not an error. The cold-start probe goes through the Hadoop
+    FileSystem API (not ``os.path``): ``table_dir`` may be an hdfs://
+    or s3:// URI on a cluster, where a local-filesystem check would
+    misread a populated remote table as absent and silently report 0
+    triangles — exactly the "compute nonsense quietly" failure the
+    engine refuses elsewhere. Any error other than not-found
+    propagates."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return spark.createDataFrame([], "src long, dst long")
     return spark.read.parquet(table_dir).distinct()
 

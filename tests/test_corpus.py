@@ -185,6 +185,7 @@ def test_subword_pattern_avoids_engine_divergent_whitespace(spark):
 
     from paralleltrianglecounting_spark.operators.text import (
         BPE_SPLIT_PATTERN,
+        WS_CLASS,
         subword_stats,
     )
 
@@ -192,14 +193,22 @@ def test_subword_pattern_avoids_engine_divergent_whitespace(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = {r.doc_id: r.n_subwords for r in subword_stats(docs).collect()}
+    got = {r.doc_id: r for r in subword_stats(docs).collect()}
     con = duckdb.connect()
     pat = BPE_SPLIT_PATTERN.replace("'", "''")
     for i, t in enumerate(texts):
-        want = con.execute(
-            f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
-        ).fetchone()[0]
-        assert got[i] == want, (t, got[i], want)
+        want_sub, want_ws = con.execute(
+            f"""SELECT len(regexp_extract_all(?, '{pat}')),
+                       len(list_filter(regexp_split_to_array(?, '{WS_CLASS}'),
+                                       t -> t != ''))""",
+            [t, t],
+        ).fetchone()
+        assert got[i].n_subwords == want_sub, (t, got[i].n_subwords, want_sub)
+        # the whitespace-token count must agree too: tokens() splits on
+        # the same explicit class the oracle uses, so \x0B is a token
+        # separator in BOTH engines (a bare \s would separate only in
+        # Java's dialect)
+        assert got[i].n_ws_tokens == want_ws, (t, got[i].n_ws_tokens, want_ws)
 
 
 def test_pruning_detector_rejects_truncated_schemas():

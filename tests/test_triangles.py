@@ -143,3 +143,38 @@ def test_replicated_multiplies_invariants(spark):
     assert triangle_count(big).collect()[0]["triangles"] == 3 * 373
     # copies are vertex-disjoint: id ranges do not overlap
     assert big.select("src").union(big.select("dst")).distinct().count() == 3 * 100
+
+
+def test_compact_id_probe_memoized_across_recreated_dataframes(spark, tmp_path):
+    """VERDICT r02 #10: the int32-fits probe is keyed on the analyzed
+    plan's semanticHash, so re-creating a DataFrame over the same table
+    (or aliasing it) reuses the probe instead of re-running the agg job
+    — and semantically different plans do NOT share a memo entry."""
+    from paralleltrianglecounting_spark.operators import triangles as tri_mod
+
+    p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long").write.parquet(p)
+
+    tri_mod._COMPACT_PROBE_CACHE.clear()
+    df1 = spark.read.parquet(p)
+    assert tri_mod._use_compact_ids(df1, None) is True
+    assert len(tri_mod._COMPACT_PROBE_CACHE) == 1
+
+    # a re-created handle over the same table hits the cache: poison the
+    # probe so any re-run would blow up
+    df2 = spark.read.parquet(p)
+    assert tri_mod._plan_key(df1) == tri_mod._plan_key(df2)
+    orig_agg = type(df2).agg
+    try:
+        type(df2).agg = lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-probed"))
+        assert tri_mod._use_compact_ids(df2, None) is True
+        assert tri_mod._use_compact_ids(df2.alias("z"), None) is True
+    finally:
+        type(df2).agg = orig_agg
+
+    # a different plan (filter applied) gets its own probe
+    df3 = df1.where(F.col("src") > 0)
+    assert tri_mod._plan_key(df3) != tri_mod._plan_key(df1)
+    assert tri_mod._use_compact_ids(df3, None) is True
+    assert len(tri_mod._COMPACT_PROBE_CACHE) == 2
+    tri_mod._COMPACT_PROBE_CACHE.clear()
