@@ -40,6 +40,8 @@ from paralleltrianglecounting_spark.operators.triangles import (
 from paralleltrianglecounting_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_PARAMS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_BUCKET,
     deduplicated_docs,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -426,19 +428,56 @@ def _doc_oracles() -> dict[str, str]:
     for lang, _ in LANG_MARKERS[1:]:
         pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    # 56 per-bit sum columns in ONE hash aggregate, mirroring the
+    # engine's fold (operators/dedup.py simhash — no ×bits row explode)
+    bit_sum_cols = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS t{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    word_terms = " + ".join(
+        f"(CASE WHEN t{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
     simhash_sql = f"""WITH {_TOKS_CTE},
 {_DISTINCT_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
 h AS (SELECT doc_id, {h56_tok} AS h FROM tok),
-bits AS (
-  SELECT doc_id, gs.j AS j,
-         sum(CASE WHEN (h >> gs.j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
-  FROM h CROSS JOIN generate_series(0, 31) gs(j)
-  GROUP BY doc_id, gs.j
+bitsums AS (
+  SELECT doc_id,
+         {bit_sum_cols}
+  FROM h GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN tot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id"""
+SELECT doc_id, CAST({word_terms} AS BIGINT) AS simhash
+FROM bitsums"""
+    # chunk blocking mirrored exactly: max_hamming+1 chunks, last chunk
+    # absorbs remainder bits, buckets over SIMHASH_MAX_BUCKET dropped
+    _mh = 3  # max_hamming of the contract query
+    _nc = _mh + 1
+    _cb = SIMHASH_BITS // _nc
+    simhash_neardup_sql = f"""WITH s AS (
+{simhash_sql}
+),
+chunks AS (
+  SELECT doc_id, simhash, gs.c AS chunk,
+         CASE WHEN gs.c < {_nc - 1}
+              THEN (simhash >> (gs.c * {_cb})) & {(1 << _cb) - 1}
+              ELSE (simhash >> {(_nc - 1) * _cb}) END AS ckey
+  FROM s CROSS JOIN generate_series(0, {_nc - 1}) gs(c)
+),
+bsize AS (SELECT chunk, ckey, count(*) AS n FROM chunks GROUP BY chunk, ckey),
+cf AS (
+  SELECT chunks.doc_id, chunks.simhash, chunks.chunk, chunks.ckey FROM chunks
+  JOIN bsize ON chunks.chunk = bsize.chunk AND chunks.ckey = bsize.ckey
+  WHERE bsize.n <= {SIMHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM cf a JOIN cf b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_mh}"""
     return {
         "token_stats": f"""WITH {_TOKS_CTE}
 SELECT doc_id,
@@ -550,16 +589,11 @@ WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
             / greatest(len(a.grams) + len(b.grams)
                        - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.3""",
         "simhash": simhash_sql,
-        # pigeonhole blocking on the Spark side finds EVERY pair within
-        # the hamming radius, so the brute-force pair scan is an exact
-        # oracle, not an approximation of one
-        "simhash_near_duplicates": f"""WITH s AS (
-{simhash_sql}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        # the oracle replicates the chunk blocking AND the bucket cap,
+        # so the gate stays value-exact even when the skew guard engages
+        # (pigeonhole still makes recall exact while no bucket overflows
+        # — tests/test_dedup_similarity.py proves both regimes)
+        "simhash_near_duplicates": simhash_neardup_sql,
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
