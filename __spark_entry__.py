@@ -40,6 +40,7 @@ from paralleltrianglecounting_spark.operators.triangles import (
 from paralleltrianglecounting_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_PARAMS,
+    NGRAM_MAX_BLOCK,
     SIMHASH_BITS,
     SIMHASH_MAX_BUCKET,
     deduplicated_docs,
@@ -578,7 +579,16 @@ sh AS (
          )) AS grams
   FROM toks_t WHERE len(toks) >= 3
 ),
-blocked AS (SELECT *, ntok // 10 AS bucket FROM sh)
+blocked_all AS (SELECT *, ntok // 10 AS bucket FROM sh),
+blksize AS (
+  SELECT lang, bucket, count(*) AS n FROM blocked_all GROUP BY lang, bucket
+),
+blocked AS (
+  SELECT blocked_all.* FROM blocked_all
+  JOIN blksize ON blocked_all.lang = blksize.lang
+              AND blocked_all.bucket = blksize.bucket
+  WHERE blksize.n <= {NGRAM_MAX_BLOCK}
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.grams, b.grams))::DOUBLE
              / greatest(len(a.grams) + len(b.grams)

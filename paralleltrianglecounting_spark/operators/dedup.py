@@ -155,15 +155,18 @@ def minhash_lsh_candidates(
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.3,
-) -> DataFrame:
-    """[doc_a, doc_b, jaccard_r]: exact token-n-gram-set Jaccard over
-    candidate pairs blocked by (lang, token-count bucket) — the
-    brute-force-within-blocks baseline that LSH approximates.
-    """
+# block-size cap for the brute-force n-gram baseline: a (lang, length-
+# bucket) block is quadratic within itself, and nothing bounds how much
+# of a real corpus lands in one block (all same-language docs of similar
+# length) — so blocks over this size are excluded from pair generation,
+# the same skew-guard shape as MinHash's max_bucket. The oracle applies
+# the identical cap, keeping the gate value-exact when it engages.
+NGRAM_MAX_BLOCK = 200
+
+
+def ngram_blocks(docs: DataFrame, n: int = 3) -> DataFrame:
+    """[doc_id, lang, ntok, grams, bucket]: distinct token n-grams per
+    doc plus the (lang, ntok//10) blocking key."""
     toks = tokens(F.col("text"))
     shingled = docs.select(
         "doc_id",
@@ -176,7 +179,45 @@ def ngram_jaccard_pairs(
             )
         ).alias("grams"),
     ).where(F.col("ntok") >= n)
-    blocked = shingled.withColumn("bucket", (F.col("ntok") / 10).cast("long"))
+    return shingled.withColumn("bucket", (F.col("ntok") / 10).cast("long"))
+
+
+def ngram_oversized_blocks(
+    docs: DataFrame, n: int = 3, max_block: int = NGRAM_MAX_BLOCK
+) -> DataFrame:
+    """[lang, bucket, n_docs]: the blocks ``ngram_jaccard_pairs`` will
+    DROP under its cap — the audit query to run (and log) alongside the
+    dedup job, so a capped corpus is a visible event, not a silent one."""
+    return (
+        ngram_blocks(docs, n)
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_block)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_block: int = NGRAM_MAX_BLOCK,
+) -> DataFrame:
+    """[doc_a, doc_b, jaccard_r]: exact token-n-gram-set Jaccard over
+    candidate pairs blocked by (lang, token-count bucket) — the
+    brute-force-within-blocks baseline that LSH approximates.
+
+    Blocks larger than ``max_block`` docs are EXCLUDED from pair
+    generation (quadratic within a block; see ``NGRAM_MAX_BLOCK``).
+    Pairs whose docs land in a dropped block are the job of the
+    MinHash/SimHash paths — this operator is the exact labeled baseline
+    for block sizes where exact is affordable. ``ngram_oversized_blocks``
+    reports what was dropped."""
+    blocked = ngram_blocks(docs, n)
+    sizes = blocked.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    blocked = blocked.join(
+        sizes.where(F.col("_n") <= max_block).select("lang", "bucket"),
+        ["lang", "bucket"],
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))

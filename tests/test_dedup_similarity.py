@@ -162,3 +162,19 @@ def test_simhash_is_56_bit_and_matches_brute_force_recall(spark):
             for p in simhash_near_duplicates(docs, max_hamming=radius).collect()
         }
         assert got == want, (radius, got, want)
+
+
+def test_ngram_block_cap_engages_on_degenerate_corpus(spark):
+    """VERDICT r03 item: a same-length same-lang corpus all lands in one
+    (lang, bucket) block; over max_block the block is dropped (reported
+    by ngram_oversized_blocks) instead of going quadratic."""
+    from paralleltrianglecounting_spark.operators.dedup import ngram_oversized_blocks
+
+    docs = _mkdocs(spark, [BASE] * 10)  # identical -> one block of 10
+    assert ngram_jaccard_pairs(docs, threshold=0.3, max_block=4).count() == 0
+    audit = ngram_oversized_blocks(docs, max_block=4).collect()
+    assert len(audit) == 1 and audit[0].n_docs == 10
+    # over-the-size cap: all 45 identical pairs at jaccard 1.0
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_block=100).collect()
+    assert len(pairs) == 45 and all(p.jaccard_r == 1.0 for p in pairs)
+    assert ngram_oversized_blocks(docs, max_block=100).count() == 0
