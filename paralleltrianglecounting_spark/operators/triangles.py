@@ -39,7 +39,7 @@ from paralleltrianglecounting_spark.operators.csr import (
     intersect_count_kernel,
     intersect_triples_kernel,
 )
-from paralleltrianglecounting_spark.operators.degrees import vertices
+from paralleltrianglecounting_spark.operators.degrees import degrees, vertices
 from paralleltrianglecounting_spark.operators.orientation import orient_edges
 
 def _empty_arr(dtype: str) -> Column:
@@ -143,6 +143,50 @@ def _edges_with_adjacency(
     )
 
 
+# auto-strategy crossover: wedge is chosen when its shuffled wedge rows
+# W = Σ_v C(d⁺(v),2) are under 1/8 of the intersect path's shuffled
+# array elements I = Σ_v d⁺(v)·deg(v) (= the merge comparisons the
+# intersection performs). The 8× per-unit gap is measured, not assumed:
+# a wedge row is a 3-long row through a full shuffle + semi-join probe,
+# an array element is one long through a vectorized SMJ + merge — at
+# W/I of 0.17-0.31 (planted-sparse through sf0.1 co-occurrence)
+# intersect measured faster every time, while the W≈0 regime (star-like
+# orientation DAGs, no two out-neighbors anywhere) is wedge's: nothing
+# to shuffle at all. The moral analog of the reference's config search
+# (CV_PROGRAM/orchestrator.cpp:105-139) — pick the execution config
+# from a cheap cost probe instead of asking the user.
+AUTO_WEDGE_RATIO = 0.125
+
+
+def strategy_cost_estimate(edges: DataFrame) -> dict[str, float]:
+    """{'wedge_rows': W, 'intersect_elems': I} — the two cost drivers,
+    from one skinny aggregate over the oriented degree tables (no array
+    materialization; SCALE.md derives both)."""
+    oriented = orient_edges(edges).select("src", "dst")
+    dplus = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("dplus"))
+    deg = degrees(edges).withColumnRenamed("vertex", "src")
+    row = (
+        dplus.join(deg, "src")
+        .agg(
+            F.sum(F.expr("dplus * (dplus - 1) / 2")).alias("W"),
+            F.sum(F.expr("dplus * degree")).alias("I"),
+        )
+        .collect()[0]
+    )
+    return {
+        "wedge_rows": float(row["W"] or 0.0),
+        "intersect_elems": float(row["I"] or 0.0),
+    }
+
+
+def choose_strategy(edges: DataFrame) -> str:
+    """Pick 'wedge' or 'intersect' from the degree-derived cost probe."""
+    est = strategy_cost_estimate(edges)
+    if est["wedge_rows"] < AUTO_WEDGE_RATIO * est["intersect_elems"]:
+        return "wedge"
+    return "intersect"
+
+
 def edge_triangle_counts(
     edges: DataFrame,
     strategy: str = "intersect",
@@ -150,7 +194,11 @@ def edge_triangle_counts(
     compact_ids: bool | None = None,
 ) -> DataFrame:
     """[src, dst, tri_cnt]: per-oriented-edge triangle closings.
-    Ids are long at this boundary regardless of the internal width."""
+    Ids are long at this boundary regardless of the internal width.
+    ``strategy='auto'`` picks wedge vs intersect from the degree-table
+    cost probe (``choose_strategy``)."""
+    if strategy == "auto":
+        strategy = choose_strategy(edges)
     if strategy == "wedge":
         return _wedge_counts(edges)
     pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
@@ -238,8 +286,6 @@ def triangles_per_vertex(edges: DataFrame, strategy: str = "intersect") -> DataF
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """[vertex, coeff]: local clustering coefficient
     2·tri(v) / (deg(v)·(deg(v)−1)); 0 where degree < 2."""
-    from paralleltrianglecounting_spark.operators.degrees import degrees
-
     tri = triangles_per_vertex(edges)
     deg = degrees(edges)
     return tri.join(deg, "vertex").select(

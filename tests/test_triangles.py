@@ -178,3 +178,30 @@ def test_compact_id_probe_memoized_across_recreated_dataframes(spark, tmp_path):
     assert tri_mod._use_compact_ids(df3, None) is True
     assert len(tri_mod._COMPACT_PROBE_CACHE) == 2
     tri_mod._COMPACT_PROBE_CACHE.clear()
+
+
+def test_auto_strategy_picks_by_cost_probe(spark):
+    """strategy='auto' (VERDICT r03 #5): the degree-derived cost probe
+    picks wedge in the W≈0 regime (star orientation — no vertex has two
+    out-neighbors, nothing to shuffle) and intersect on dense graphs
+    (W/I well above the crossover, where intersect measured faster at
+    every scale tried), and the count is unchanged either way."""
+    from paralleltrianglecounting_spark.operators.triangles import (
+        choose_strategy,
+        strategy_cost_estimate,
+    )
+
+    # star: hub 0 + 50 pendants -> every pendant has d+=1, hub d+=0 -> W=0
+    star = spark.createDataFrame([(0, i) for i in range(1, 51)], "src long, dst long")
+    est = strategy_cost_estimate(star)
+    assert est["wedge_rows"] == 0 and est["intersect_elems"] > 0
+    assert choose_strategy(star) == "wedge"
+    assert triangle_count(star, strategy="auto").collect()[0]["triangles"] == 0
+
+    # dense: the reference's graph_100 (373 triangles, W/I far above the
+    # crossover) -> intersect, count unchanged vs the golden value
+    dense = read_g_file(spark, reference_graph("graph_100"))
+    est = strategy_cost_estimate(dense)
+    assert est["wedge_rows"] > 0.125 * est["intersect_elems"]
+    assert choose_strategy(dense) == "intersect"
+    assert triangle_count(dense, strategy="auto").collect()[0]["triangles"] == 373
