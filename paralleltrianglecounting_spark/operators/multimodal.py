@@ -4,15 +4,16 @@ columns with typed metadata, processed by Arrow-vectorized
 
 Decode support is layered (this container ships no image libraries):
 
-- **real decode, dependency-free formats**: uncompressed 24-bit BMP and
-  binary PPM (P6) are parsed in pure NumPy (``decode_bmp`` /
-  ``decode_ppm``) — a genuine payload→pixels→features path proving the
-  swap-in claim end-to-end (tests push real encoded bytes through
+- **real decode, dependency-free formats**: uncompressed 24-bit BMP,
+  binary PPM (P6), and non-interlaced 8-bit PNG (gray/RGB/RGBA, all
+  five scanline filters, stdlib zlib) are parsed in pure NumPy
+  (``decode_bmp`` / ``decode_ppm`` / ``decode_png``) — a genuine
+  payload→pixels→features path proving the swap-in claim end-to-end
+  (tests push real encoded bytes through
   ``extract_features(fake=False)``);
-- **compressed formats** (PNG/JPEG/video): still STUBBED —
-  ``NotImplementedError`` naming the missing library. Swapping in
-  PIL/ffmpeg replaces one function (``_decode_image``); nothing in the
-  plan moves;
+- **JPEG/video**: still STUBBED — ``NotImplementedError`` naming the
+  missing library. Swapping in PIL/ffmpeg replaces one function
+  (``_decode_image``); nothing in the plan moves;
 - ``fake=True``: deterministic byte-histogram stand-in, for plumbing
   tests over payloads that aren't real images.
 
@@ -170,16 +171,176 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each PNG chunk, verifying CRCs."""
+    import zlib
+
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        n = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + n]
+        crc = int.from_bytes(payload[i + 8 + n : i + 12 + n], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        i += 12 + n
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + NumPy decode of a non-interlaced 8-bit PNG
+    (gray / RGB / RGBA) → (H, W, 3) uint8 RGB. Covers the dominant real
+    image format with no image library: IHDR/IDAT/IEND parsing with CRC
+    checks, inflate, and scanline unfiltering (filters 0-4 per the PNG
+    spec §9). Gray is channel-replicated, RGBA drops alpha — features
+    downstream are RGB-shaped either way. Correctness-first: the
+    Sub/Average/Paeth left-dependency runs per pixel; a production swap
+    to PIL replaces this one function, nothing in the plan moves."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = None
+    channels = 0
+    idat = b""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8:
+                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+            if channels == 0:
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette/gray+alpha) not supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — vectorized
+            rec = cur + up
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — left-dependent
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                ul = int(out[y - 1, x - bpp]) if (x >= bpp and y > 0) else 0
+                if f == 1:
+                    rec[x] = cur[x] + left
+                elif f == 3:
+                    rec[x] = cur[x] + (left + up[x]) // 2
+                else:
+                    rec[x] = cur[x] + _paeth(left, int(up[x]), ul)
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = rec & 0xFF
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[..., :3].copy()
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer (8-bit RGB, non-interlaced) — the test-fixture
+    twin of ``decode_png``. ``filters`` picks the per-row filter type
+    (default all 0) so every unfilter branch is exercisable with real
+    spec-conformant bytes."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    filters = filters or [0] * h
+    bpp = 3
+    stride = w * bpp
+    flat = pixels.reshape(h, stride).astype(np.int64)
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        up = flat[y - 1] if y > 0 else np.zeros(stride, np.int64)
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            left = flat[y, x - bpp] if x >= bpp else 0
+            ul = flat[y - 1, x - bpp] if (x >= bpp and y > 0) else 0
+            if f == 0:
+                filt[x] = cur[x]
+            elif f == 1:
+                filt[x] = cur[x] - left
+            elif f == 2:
+                filt[x] = cur[x] - up[x]
+            elif f == 3:
+                filt[x] = cur[x] - (left + up[x]) // 2
+            elif f == 4:
+                filt[x] = cur[x] - _paeth(int(left), int(up[x]), int(ul))
+            else:
+                raise ValueError(f"filter {f} invalid")
+        lines.append(f)
+        lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Format dispatch for the real-decode path. PNG/JPEG would slot in
-    here (PIL.Image.open) — absent from this container, so they raise
-    with the library named rather than decoding garbage."""
+    """Format dispatch for the real-decode path: BMP, PPM, and
+    non-interlaced 8-bit PNG decode in pure NumPy/stdlib. JPEG/video
+    would slot in here (PIL.Image.open / ffmpeg) — absent from this
+    container, so they raise with the library named rather than
+    decoding garbage."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "payload is not BMP/PPM; decoding PNG/JPEG/video needs PIL/ffmpeg "
+        "payload is not BMP/PPM/PNG; decoding JPEG/video needs PIL/ffmpeg "
         "(not in this container) — swap _decode_image to add them"
     )
 

@@ -274,3 +274,81 @@ def test_stream_exact_dedup_stateful(spark, tmp_path):
     # first-seen doc wins for in-batch dups; cross-batch dups suppressed
     assert 1 in out and 2 in out and 6 in out
     assert not {3, 4, 5} & out
+
+
+def test_png_roundtrip_all_filters():
+    """decode_png (VERDICT r03 #8): spec-conformant bytes through every
+    unfilter branch (None/Sub/Up/Average/Paeth), gray and RGBA color
+    types, CRC validation, and the unsupported-shape errors."""
+    import zlib
+
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for w, h in [(1, 1), (4, 3), (7, 5)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # every row a different filter type, cycling through all five
+        filters = [(y % 5) for y in range(h)]
+        assert (decode_png(encode_png(px, filters)) == px).all(), (w, h)
+        assert (decode_png(encode_png(px)) == px).all()
+
+    # grayscale (color type 0) -> channel-replicated RGB
+    g = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    ihdr = (4).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+
+    gray_png = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    out = decode_png(gray_png)
+    assert out.shape == (3, 4, 3) and (out[..., 0] == g).all() and (out[..., 2] == g).all()
+
+    # RGBA (color type 6) -> alpha dropped
+    rgba = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    rgba_png = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    assert (decode_png(rgba_png) == rgba[..., :3]).all()
+
+    # corrupted CRC must refuse, not decode garbage
+    px = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    good = bytearray(encode_png(px))
+    good[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    # 16-bit / interlaced refuse with the reason named
+    ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    png16 = _PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(png16)
+
+
+def test_png_decode_end_to_end(spark):
+    """A real PNG through extract_features(fake=False) — the dominant
+    real-corpus format now decodes inside the mapInPandas plan."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(17)
+    rows, pixels = [], {}
+    for i in range(4):
+        w, h = 4 + i, 3 + (i % 2)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        pixels[i] = px
+        rows.append((i, "image", w, h, None, bytearray(encode_png(px, [(y % 5) for y in range(h)]))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, duration_ms int, payload binary"
+    )
+    feats = {r.media_id: r.feature for r in extract_features(media, fake=False).collect()}
+    for i, px in pixels.items():
+        chan = px.reshape(-1, 3).astype(np.float64)
+        want = list(chan.mean(axis=0)) + list(chan.std(axis=0)) + [float(px.shape[0]), float(px.shape[1])]
+        assert feats[i] == pytest.approx(want[:8], abs=1e-12)
