@@ -352,11 +352,29 @@ def triangle_count_resumable(
         new_state = state.unionByName(row)
         return new_state, {"chunk": i, "of": chunks}
 
+    # the runner's default identity is derived from the init state, but
+    # this algorithm's init is an EMPTY metrics table (input-independent)
+    # — so the identity must name the edge table itself, or a resume
+    # against a different graph's checkpoints would go unnoticed. The
+    # chunk count is part of the identity too: chunk assignment is
+    # xxhash64 % chunks, so per-chunk metrics from a different chunking
+    # are not continuable.
+    identity = None
+    if checkpoint_dir is not None:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        identity = f"edges:{int(row['n'])}:{int(row['h'])}:chunks={chunks}"
+
     runner = SuperstepRunner(
         spark,
         name="triangle_count_chunked",
         checkpoint_dir=checkpoint_dir,
         max_iterations=chunks,
+        identity=identity,
     )
     result = runner.run(init, step, stop_when_stable=False, resume=resume)
     pairs.unpersist()

@@ -84,12 +84,25 @@ class SuperstepRunner:
         checkpoint_dir: str | None = None,
         max_iterations: int = 30,
         record_lineage: bool = True,
+        identity: str | None = None,
     ) -> None:
+        """``identity``: a caller-supplied token naming the input this
+        run iterates over (e.g. a fingerprint of the edge table). It is
+        stamped into every manifest, and ``run(resume=True)`` REFUSES to
+        continue from checkpoints stamped with a different identity —
+        resuming pagerank over graph B from graph A's iter_* dirs would
+        silently produce nonsense otherwise (VERDICT r02 #9). When not
+        supplied, run() derives one from the init state's fingerprint
+        (count + content hash + schema), which catches any graph switch
+        whose init state differs; algorithms whose init state is
+        input-independent (e.g. an empty metrics table) must pass an
+        explicit identity."""
         self.spark = spark
         self.name = name
         self.dir = os.path.join(checkpoint_dir, name) if checkpoint_dir else None
         self.max_iterations = max_iterations
         self.record_lineage = record_lineage
+        self.identity = identity
 
     # -- checkpoint layout: {dir}/iter_00003/state/*.parquet + manifest.json
     def _iter_dir(self, i: int) -> str:
@@ -140,6 +153,7 @@ class SuperstepRunner:
             "rows": reloaded_tmp.count(),
             "wall_time": time.time(),
             "metrics": metrics,
+            "identity": self.identity,
         }
         if self.record_lineage:
             manifest["partitions"] = _partition_lineage(reloaded_tmp)
@@ -174,8 +188,24 @@ class SuperstepRunner:
         start_iter = 0
         state = init_state
 
+        if self.dir and self.identity is None:
+            # derive the run identity from the init state: one cheap
+            # aggregate, only paid on checkpointed runs
+            n, h = _state_fingerprint(init_state)
+            self.identity = f"init:{n}:{h}:{','.join(init_state.columns)}"
+
         if resume and self.dir:
             done = self._complete_iterations()
+            if done:
+                stamped = self._manifest(done[0]).get("identity")
+                if stamped is not None and stamped != self.identity:
+                    raise ValueError(
+                        f"refusing to resume '{self.name}' from {self.dir}: "
+                        f"checkpoints are stamped identity={stamped!r} but this "
+                        f"run's input has identity={self.identity!r} — these "
+                        "are a different graph's checkpoints. Use a fresh "
+                        "checkpoint_dir or resume=False."
+                    )
             if done:
                 last = done[-1]
                 state = self.spark.read.parquet(
