@@ -187,6 +187,24 @@ def choose_strategy(edges: DataFrame) -> str:
     return "intersect"
 
 
+def _python_stage(pairs: DataFrame) -> DataFrame:
+    """Partitioning for a mapInArrow stage. On a local[N] master the
+    kernel stage is coalesced to N/2 tasks: mapInArrow fuses into the
+    join stage, so at N tasks the stage runs N JVM threads + N Python
+    workers on N cores — the oversubscription that made the r01/r02 csr
+    path 3-10× slower than its own kernel CPU time (SCALE.md). At N/2
+    tasks each task's JVM half and Python half pipeline on ~one core
+    apiece (measured at sf0.1/local[32]: 15.7s fused → 3.7s coalesced,
+    vs 3.2s JVM intersect). coalesce() merges partitions without a
+    shuffle. On a cluster master this is skipped: executors budget
+    Python worker cores separately (spark.task.cpus /
+    spark.executor.pyspark.memory) and the fusion is the right plan."""
+    sc = pairs.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return pairs.coalesce(max(1, sc.defaultParallelism // 2))
+    return pairs
+
+
 def edge_triangle_counts(
     edges: DataFrame,
     strategy: str = "intersect",
@@ -216,7 +234,7 @@ def edge_triangle_counts(
                 T.StructField("tri_cnt", T.LongType()),
             ]
         )
-        return pairs.mapInArrow(intersect_count_kernel, schema)
+        return _python_stage(pairs).mapInArrow(intersect_count_kernel, schema)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -254,7 +272,7 @@ def triangle_triples(
                 T.StructField("c", T.LongType()),
             ]
         )
-        return pairs.mapInArrow(intersect_triples_kernel, schema)
+        return _python_stage(pairs).mapInArrow(intersect_triples_kernel, schema)
     return pairs.select(
         F.col("src").cast("long").alias("a"),
         F.col("dst").cast("long").alias("b"),
