@@ -196,6 +196,12 @@ def _q_triangle_count_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(part_graph(spark, sf_dir), strategy="wedge")
 
 
+def _q_triangle_count_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-selected strategy (degree-table cost probe, VERDICT r03
+    #5) — gated against the same oracle as the manual strategies."""
+    return triangle_count(part_graph(spark, sf_dir), strategy="auto")
+
+
 def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(part_graph(spark, sf_dir))
 
@@ -359,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangle_count_csr": _q_triangle_count_csr,
         "triangle_count_wedge": _q_triangle_count_wedge,
+        "triangle_count_auto": _q_triangle_count_auto,
         "triangle_count_resumable": _q_triangle_count_resumable,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "clustering_coefficient": _q_clustering_coefficient,
@@ -693,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": tri_sql,
         "triangle_count_csr": tri_sql,
         "triangle_count_wedge": tri_sql,
+        "triangle_count_auto": tri_sql,
         "triangle_count_resumable": tri_sql,
         "triangles_per_vertex": f"""WITH {_EDGES_CTE},
 {_TRI_CTE},
