@@ -5,15 +5,18 @@ columns with typed metadata, processed by Arrow-vectorized
 Decode support is layered (this container ships no image libraries):
 
 - **real decode, dependency-free formats**: uncompressed 24-bit BMP,
-  binary PPM (P6), and non-interlaced 8-bit PNG (gray/RGB/RGBA, all
-  five scanline filters, stdlib zlib) are parsed in pure NumPy
-  (``decode_bmp`` / ``decode_ppm`` / ``decode_png``) — a genuine
-  payload→pixels→features path proving the swap-in claim end-to-end
-  (tests push real encoded bytes through
+  binary PPM (P6), non-interlaced 8-bit PNG (gray/RGB/RGBA, all five
+  scanline filters, stdlib zlib), and baseline sequential JPEG
+  (4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart markers —
+  ``operators.jpeg``) are parsed in pure NumPy
+  (``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg``)
+  — a genuine payload→pixels→features path proving the swap-in claim
+  end-to-end (tests push real encoded bytes through
   ``extract_features(fake=False)``);
-- **JPEG/video**: still STUBBED — ``NotImplementedError`` naming the
-  missing library. Swapping in PIL/ffmpeg replaces one function
-  (``_decode_image``); nothing in the plan moves;
+- **video**: still STUBBED — ``NotImplementedError`` naming the
+  missing library (ffmpeg). Swapping it in replaces one function
+  (``_decode_image``); nothing in the plan moves. Progressive JPEG
+  likewise raises (libjpeg would handle it in production);
 - ``fake=True``: deterministic byte-histogram stand-in, for plumbing
   tests over payloads that aren't real images.
 
@@ -328,20 +331,24 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Format dispatch for the real-decode path: BMP, PPM, and
-    non-interlaced 8-bit PNG decode in pure NumPy/stdlib. JPEG/video
-    would slot in here (PIL.Image.open / ffmpeg) — absent from this
-    container, so they raise with the library named rather than
-    decoding garbage."""
+    """Format dispatch for the real-decode path: BMP, PPM, non-interlaced
+    8-bit PNG, and baseline sequential JPEG all decode in pure
+    NumPy/stdlib (``operators.jpeg`` for the latter). Video decode
+    would slot in here (ffmpeg) — absent from this container, so it
+    raises with the library named rather than decoding garbage."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from paralleltrianglecounting_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "payload is not BMP/PPM/PNG; decoding JPEG/video needs PIL/ffmpeg "
-        "(not in this container) — swap _decode_image to add them"
+        "payload is not BMP/PPM/PNG/JPEG; decoding video needs ffmpeg "
+        "(not in this container) — swap _decode_image to add it"
     )
 
 
