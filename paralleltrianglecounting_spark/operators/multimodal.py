@@ -13,10 +13,11 @@ Decode support is layered (this container ships no image libraries):
   — a genuine payload→pixels→features path proving the swap-in claim
   end-to-end (tests push real encoded bytes through
   ``extract_features(fake=False)``);
-- **video**: still STUBBED — ``NotImplementedError`` naming the
-  missing library (ffmpeg). Swapping it in replaces one function
-  (``_decode_image``); nothing in the plan moves. Progressive JPEG
-  likewise raises (libjpeg would handle it in production);
+- **video**: MJPEG-in-AVI decodes for real (``operators.video`` —
+  RIFF walk + per-frame ``decode_jpeg``, sampled features via
+  ``video_frame_features``); inter-frame codecs (H.264 …) raise
+  ``NotImplementedError`` naming ffmpeg, as does progressive JPEG
+  (libjpeg would handle it in production);
 - ``fake=True``: deterministic byte-histogram stand-in, for plumbing
   tests over payloads that aren't real images.
 
@@ -398,9 +399,11 @@ def extract_features(
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
-    (the decode of each frame is the stubbed step). Pure column ops —
-    the explode happens before any payload touch, so Spark can size
-    partitions on row counts, not payload bytes."""
+    from metadata alone. Pure column ops — the explode happens before
+    any payload touch, so Spark can size partitions on row counts, not
+    payload bytes. For payloads that are MJPEG-AVI the decode step is
+    real: ``operators.video.video_frame_features`` samples and decodes
+    actual frames inside the same mapInPandas shape."""
     return media.where(F.col("kind") == "video").select(
         "media_id",
         F.explode(
