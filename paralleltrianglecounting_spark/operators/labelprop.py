@@ -14,11 +14,17 @@ converge — the iteration cap is part of the semantics.)
 Plan per superstep: labels ⋈ the cached bidirected topology (persisted
 ALREADY HASH-PARTITIONED on src, so the |E|-row edge side never
 re-exchanges — only the |V|-row label state moves; same rationale as
-``operators/pagerank.py``) → one ``mode(label, deterministic=True)``
-aggregate per vertex (greatest frequency, ties -> smallest label —
-exactly the contract's tie-break) — NO window function, no
-single-partition sort, and a single exchange of the message stream
-where the count-then-argmax formulation paid two.
+``operators/pagerank.py``) → count by (vertex, label) → argmax via
+``max(struct(cnt, -label))`` (greatest frequency, ties -> smallest
+label — exactly the contract's tie-break), NO window function, no
+single-partition sort. Both aggregates are whole-stage-codegen hash
+aggs over UnsafeRows; the 2|E|-row message stream partial-combines
+map-side before its one big exchange, and the second agg moves only
+the counted (≤ |V|·distinct-labels)-row table. (r02 fused these into
+one deterministic ``mode()`` — fewer exchanges on paper, but its
+partial state is the same label→count map in boxed-object form, and
+the interpreted ObjectHashAggregate measured 3× slower with bimodal
+GC stalls at 38 M messages; see R3_NOTES.md.)
 
 ``detect_stability=False`` (the fixed-iteration contract, e.g. the
 driver gate's exact-3-superstep oracle) skips the per-superstep
@@ -69,14 +75,26 @@ def label_propagation_run(
         neighbor_labels = adj.join(
             state.withColumnRenamed("vertex", "src"), "src"
         ).select(F.col("dst").alias("vertex"), "label")
-        # argmax(count), ties -> min(label), in ONE aggregation:
-        # deterministic mode() implements exactly this tie-break
-        # ("smallest value among the most frequent"), replacing the
-        # former count-by-(vertex,label) + argmax pair — one exchange of
-        # the 2|E|-row message stream per superstep instead of two
-        # (verified value-identical to the two-agg plan and the oracle)
-        new_labels = neighbor_labels.groupBy("vertex").agg(
-            F.mode("label", True).alias("label")
+        # argmax(count), ties -> min(label), as TWO codegen'd hash
+        # aggregations. The r02 single-agg deterministic mode() moved no
+        # less data (its partial state IS the per-key label→count map,
+        # the same bytes the count-by-pair partial combine ships) but
+        # ran as an interpreted ObjectHashAggregate building a boxed
+        # counter map per vertex — measured 3× slower and bimodally
+        # GC-bound at 38 M messages. count()+max(struct) stay inside
+        # whole-stage codegen on UnsafeRows: the (vertex,label) count
+        # partial-combines map-side (≤ |V|·labels rows move), and the
+        # argmax shuffles only the already-small counted table.
+        # max(struct(cnt, -label)) is exactly "greatest frequency, ties
+        # → smallest label" (verified value-identical to mode() and the
+        # unrolled-SQL oracle).
+        counted = neighbor_labels.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        new_labels = counted.groupBy("vertex").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))["nl"]).alias(
+                "label"
+            )
         )
         return new_labels, {"messages_sent": n_msgs}
 

@@ -6,9 +6,9 @@ algorithms dominated by self-joins and aggregations on long vertex ids:
 - AQE on (runtime shuffle-partition coalescing + skew-join splitting);
 - Arrow on (all Python-side compute is pandas/Arrow-vectorized — the
   engine bans row-at-a-time Python UDFs, see ``plans.lint``);
-- explicit ``spark.sql.shuffle.partitions`` sized to the core count
-  rather than the 200 default (local mode; on a real cluster this would
-  be ~2-3x total cores and AQE coalesces down).
+- explicit ``spark.sql.shuffle.partitions`` sized to 2× the core count
+  rather than the 200 default (local mode; the same ~2-3×-total-cores
+  rule applies on a real cluster, and AQE coalesces down).
 
 The reference hand-rolls its parallelism (std::thread chunking at
 ``parallel_edge_it_manual_threads_CPP/parallel_edge_it_manual_threads_v1.cpp:248-258``,
@@ -54,7 +54,14 @@ def get_spark(
     supplied externally (the builder only sets SQL-level conf there).
     """
     cores = cores or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # 2× cores, not 1×: at exactly one task per core every stage is a
+    # single wave, so one skewed shuffle partition (e.g. a component
+    # root holding a star's whole edge set in connected components)
+    # stalls the stage with every other core idle. Two-plus waves let
+    # the scheduler rebalance around the straggler — measured 2× on
+    # cc at 8 cores (r03 partition sweep) — and match the cluster
+    # guidance below; AQE coalesces the surplus for small shuffles.
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 16)
     # Under spark-submit (tools/submit.sh) the master comes from the
     # launcher via SPARK_GRAFT_MASTER so cluster managers (YARN/k8s/
     # standalone) work unchanged; standalone python runs default to

@@ -204,10 +204,12 @@ def test_superstep_join_shuffles_only_rank_side_without_broadcast(spark):
 
 def test_lpa_and_cc_steady_state_exchange_budget(spark):
     """Pin the documented per-superstep shuffle budgets (recorded in
-    every manifest): LPA = 1 exchange (the single mode() aggregation —
-    the cached topology and broadcast state move nothing), CC = 3 per
-    round (large-star join side, small-star repartition shared by its
-    agg+join, small-star distinct). The first superstep additionally
+    every manifest): LPA = 2 exchanges (the map-side-combined message
+    count and the small counted-table argmax — the cached topology and
+    broadcast state move nothing; r03 traded mode()'s single exchange
+    for two codegen'd hash aggs, see operators/labelprop.py), CC = 3
+    per round (large-star join side, small-star repartition shared by
+    its agg+join, small-star distinct). The first superstep additionally
     carries the init-state/base-derivation lineage and is exempt."""
     from paralleltrianglecounting_spark.operators.components import components_run
     from paralleltrianglecounting_spark.operators.labelprop import (
@@ -216,7 +218,7 @@ def test_lpa_and_cc_steady_state_exchange_budget(spark):
 
     edges = planted_triangles(spark, num_nodes=120, num_triangles=60, seed=41).cache()
     lpa = label_propagation_run(edges, iterations=3, detect_stability=False)
-    assert [m["metrics"]["shuffle_exchanges"] for m in lpa.metrics][1:] == [1, 1]
+    assert [m["metrics"]["shuffle_exchanges"] for m in lpa.metrics][1:] == [2, 2]
     cc = components_run(edges)
     steady = [m["metrics"]["shuffle_exchanges"] for m in cc.metrics][1:]
     assert steady and all(n == 3 for n in steady), steady
