@@ -124,7 +124,9 @@ class SuperstepRunner:
                 out.append(int(d.split("_")[1]))
         return out
 
-    def _checkpoint(self, df: DataFrame, i: int, metrics: dict) -> DataFrame:
+    def _checkpoint(
+        self, df: DataFrame, i: int, metrics: dict, lazy: bool = False
+    ) -> DataFrame:
         # record how many runtime shuffles this superstep PLANS
         # (ENSURE_REQUIREMENTS exchanges in the pre-execution plan;
         # cache-build REPARTITION shuffles excluded). This is an upper
@@ -140,8 +142,13 @@ class SuperstepRunner:
             pass
         if self.dir is None:
             # in-memory truncation only (tests / ad-hoc): cuts lineage,
-            # not resumable across driver restarts
-            return df.localCheckpoint(eager=True)
+            # not resumable across driver restarts. ``lazy`` marks the
+            # RDD for checkpointing without running a materialization
+            # job — the caller guarantees an action follows this same
+            # superstep (the convergence fingerprint or the stop_when
+            # predicate), which computes + persists the state as part
+            # of that one job instead of two back-to-back passes.
+            return df.localCheckpoint(eager=not lazy)
         it_dir = self._iter_dir(i)
         state_dir = os.path.join(it_dir, "state")
         tmp = state_dir + ".tmp"
@@ -219,10 +226,15 @@ class SuperstepRunner:
         prev_fp = _state_fingerprint(state) if stop_when_stable else None
         converged = False
         i = start_iter
+        # in-memory runs with a convergence probe materialize the state
+        # through the probe's own action (one job per superstep, not an
+        # eager-checkpoint job + a probe job); fixed-iteration runs keep
+        # the eager materialization so each superstep stays one timed job
+        lazy = self.dir is None and (stop_when_stable or stop_when is not None)
         while i < max_iterations:
             new_state, step_metrics = step(state, i)
             prev_state = state
-            state = self._checkpoint(new_state, i, step_metrics)
+            state = self._checkpoint(new_state, i, step_metrics, lazy=lazy)
             manifest = {"iteration": i, "metrics": step_metrics}
             if stop_when is not None and stop_when(prev_state, state):
                 converged = True

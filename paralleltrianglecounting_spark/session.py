@@ -6,9 +6,10 @@ algorithms dominated by self-joins and aggregations on long vertex ids:
 - AQE on (runtime shuffle-partition coalescing + skew-join splitting);
 - Arrow on (all Python-side compute is pandas/Arrow-vectorized — the
   engine bans row-at-a-time Python UDFs, see ``plans.lint``);
-- explicit ``spark.sql.shuffle.partitions`` sized to 2× the core count
-  rather than the 200 default (local mode; the same ~2-3×-total-cores
-  rule applies on a real cluster, and AQE coalesces down).
+- explicit ``spark.sql.shuffle.partitions`` sized to the core count
+  (2× with a floor of 16 at low core counts — see the in-function
+  comment) rather than the 200 default; a real cluster sizes this by
+  data volume per partition instead, and AQE coalesces down.
 
 The reference hand-rolls its parallelism (std::thread chunking at
 ``parallel_edge_it_manual_threads_CPP/parallel_edge_it_manual_threads_v1.cpp:248-258``,
@@ -54,14 +55,26 @@ def get_spark(
     supplied externally (the builder only sets SQL-level conf there).
     """
     cores = cores or DEFAULT_CPUS
-    # 2× cores, not 1×: at exactly one task per core every stage is a
-    # single wave, so one skewed shuffle partition (e.g. a component
-    # root holding a star's whole edge set in connected components)
-    # stalls the stage with every other core idle. Two-plus waves let
-    # the scheduler rebalance around the straggler — measured 2× on
-    # cc at 8 cores (r03 partition sweep) — and match the cluster
-    # guidance below; AQE coalesces the surplus for small shuffles.
-    shuffle_partitions = shuffle_partitions or max(2 * cores, 16)
+    # Two regimes (r03 partition sweep + interleaved fresh-JVM A/B):
+    # - Few cores: at exactly one task per core every stage is a single
+    #   wave, so one skewed shuffle partition (e.g. a component root
+    #   holding a star's whole edge set in connected components) stalls
+    #   the stage with every other core idle. Two-plus waves let the
+    #   scheduler rebalance around the straggler — measured 2× on cc at
+    #   8 cores going 8→16 partitions.
+    # - Many cores: once a single wave already has ≥32 partitions, skew
+    #   is diluted by partition count itself and doubling partitions
+    #   only adds per-task overhead (scheduling, codegen entry, shuffle
+    #   merge fan-in) — measured 15-40% SLOWER on the flagship at 32
+    #   cores going 32→64 partitions.
+    # Hence: 2× cores with a floor of 16, capped at one-task-per-core
+    # once that means ≥32 partitions. This is a LOCAL-mode heuristic;
+    # a cluster deployment sizes shuffle partitions by data volume
+    # (~128-256 MB per partition via maxPartitionBytes / AQE advisory
+    # size), not by core count.
+    shuffle_partitions = shuffle_partitions or min(
+        max(2 * cores, 16), max(cores, 32)
+    )
     # Under spark-submit (tools/submit.sh) the master comes from the
     # launcher via SPARK_GRAFT_MASTER so cluster managers (YARN/k8s/
     # standalone) work unchanged; standalone python runs default to
