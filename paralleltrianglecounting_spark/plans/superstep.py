@@ -124,9 +124,7 @@ class SuperstepRunner:
                 out.append(int(d.split("_")[1]))
         return out
 
-    def _checkpoint(
-        self, df: DataFrame, i: int, metrics: dict, lazy: bool = False
-    ) -> DataFrame:
+    def _checkpoint(self, df: DataFrame, i: int, metrics: dict) -> DataFrame:
         # record how many runtime shuffles this superstep PLANS
         # (ENSURE_REQUIREMENTS exchanges in the pre-execution plan;
         # cache-build REPARTITION shuffles excluded). This is an upper
@@ -142,13 +140,21 @@ class SuperstepRunner:
             pass
         if self.dir is None:
             # in-memory truncation only (tests / ad-hoc): cuts lineage,
-            # not resumable across driver restarts. ``lazy`` marks the
-            # RDD for checkpointing without running a materialization
-            # job — the caller guarantees an action follows this same
-            # superstep (the convergence fingerprint or the stop_when
-            # predicate), which computes + persists the state as part
-            # of that one job instead of two back-to-back passes.
-            return df.localCheckpoint(eager=not lazy)
+            # not resumable across driver restarts.
+            #
+            # Deliberately EAGER even though a convergence probe follows
+            # in the same superstep. The fused alternative (eager=False,
+            # letting the probe's action compute + persist the state in
+            # one job) was measured both ways: it wins 2.4x when rounds
+            # are many and per-round data is small (cc at sf0.01 — the
+            # per-job driver round-trip dominates), but loses ~30%
+            # consistently on data-heavy rounds (cc on the 9.6 M-edge
+            # replicated graph at 2 cores: 66-72 s eager vs 90-94 s
+            # fused, interleaved fresh-JVM A/B) — and data-heavy is the
+            # regime that models production data-per-core. Two cheap
+            # jobs that each do one thing beat one job that computes,
+            # caches, and aggregates in the same task.
+            return df.localCheckpoint(eager=True)
         it_dir = self._iter_dir(i)
         state_dir = os.path.join(it_dir, "state")
         tmp = state_dir + ".tmp"
@@ -226,15 +232,10 @@ class SuperstepRunner:
         prev_fp = _state_fingerprint(state) if stop_when_stable else None
         converged = False
         i = start_iter
-        # in-memory runs with a convergence probe materialize the state
-        # through the probe's own action (one job per superstep, not an
-        # eager-checkpoint job + a probe job); fixed-iteration runs keep
-        # the eager materialization so each superstep stays one timed job
-        lazy = self.dir is None and (stop_when_stable or stop_when is not None)
         while i < max_iterations:
             new_state, step_metrics = step(state, i)
             prev_state = state
-            state = self._checkpoint(new_state, i, step_metrics, lazy=lazy)
+            state = self._checkpoint(new_state, i, step_metrics)
             manifest = {"iteration": i, "metrics": step_metrics}
             if stop_when is not None and stop_when(prev_state, state):
                 converged = True

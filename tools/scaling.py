@@ -77,27 +77,37 @@ pagerank(base, iterations=1).count()
 connected_components(base).count()
 label_propagation(base, iterations=1).count()
 
-def best(thunk, n):
+raw = {}
+def best(name, thunk, n):
     out, t_best = None, None
+    raw[name] = []
     for _ in range(n):
         t0 = time.monotonic()
         out = thunk()
         dt = time.monotonic() - t0
+        raw[name].append(round(dt, 3))
         t_best = dt if t_best is None else min(t_best, dt)
     return out, round(t_best, 3)
 
+# iterative queries run best-of-2 (not 1): this host shows +-25%
+# between back-to-back identical JVMs (page-cache/GC turbulence), and
+# a single-shot 2-core reading poisons every efficiency ratio built on
+# it. Raw per-rep times ship in the artifact so the variance is
+# inspectable rather than hidden.
+iter_reps = max(2, reps - 1)
 timings = {}
 tri, timings["triangle_count"] = best(
-    lambda: triangle_count(big).collect()[0]["triangles"], reps)
-_, timings["pagerank_3"] = best(lambda: pagerank(big, iterations=3).count(), 1)
+    "triangle_count", lambda: triangle_count(big).collect()[0]["triangles"], reps)
+_, timings["pagerank_3"] = best(
+    "pagerank_3", lambda: pagerank(big, iterations=3).count(), iter_reps)
 _, timings["connected_components"] = best(
-    lambda: connected_components(big).count(), 1)
+    "connected_components", lambda: connected_components(big).count(), iter_reps)
 _, timings["label_propagation_3"] = best(
-    lambda: label_propagation(big, iterations=3).count(), 1)
+    "label_propagation_3", lambda: label_propagation(big, iterations=3).count(), iter_reps)
 
 print("SCALEROW " + json.dumps({
     "cores": cores, "copies": copies, "edges": n_edges, "triangles": tri,
-    "queries": timings, "value": round(sum(timings.values()), 3),
+    "queries": timings, "raw_timings": raw, "value": round(sum(timings.values()), 3),
     "edges_per_sec_triangle_count": round(n_edges / timings["triangle_count"], 1),
 }))
 """
@@ -160,6 +170,7 @@ def scaling_report(levels: list[dict], sf_dir: str) -> dict:
             {
                 "cores": lv["cores"],
                 "queries": lv["queries"],
+                "raw_timings": lv.get("raw_timings"),
                 "total_sec": lv["value"],
                 "edges_per_sec_triangle_count": lv["edges_per_sec_triangle_count"],
             }
