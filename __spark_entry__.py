@@ -29,8 +29,12 @@ from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.operators.components import connected_components
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
+from paralleltrianglecounting_spark.operators.kcore import k_core
 from paralleltrianglecounting_spark.operators.labelprop import label_propagation
-from paralleltrianglecounting_spark.operators.pagerank import pagerank
+from paralleltrianglecounting_spark.operators.pagerank import (
+    pagerank,
+    personalized_pagerank,
+)
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -117,6 +121,16 @@ PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 LPA_ITERS = 3
 ROUND = 6
+PPR_SEEDS = 16  # deterministic seed set: the PPR_SEEDS smallest vertex ids
+# k=80 sits just below this graph's core collapse (k=84 peels everything
+# at sf0.01): 143 vertices cascade out over 6 synchronous rounds — a
+# real multi-round peel, not a no-op filter
+KCORE_K = 80
+# peeling is idempotent at its fixpoint, so the oracle unrolls a fixed
+# generous round count and still matches the run-to-fixpoint engine as
+# long as KCORE_UNROLL >= the actual peel depth (6 at the gate tier;
+# asserted by pytest)
+KCORE_UNROLL = 16
 
 
 def _pagerank_oracle_sql() -> str:
@@ -142,6 +156,72 @@ def _pagerank_oracle_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM pr{PAGERANK_ITERS}"
+    )
+
+
+def _ppr_oracle_sql() -> str:
+    """Personalized power iteration unrolled to PAGERANK_ITERS CTEs;
+    reset mass 1/PPR_SEEDS on the PPR_SEEDS smallest vertex ids."""
+    d = PAGERANK_DAMPING
+    ctes = [
+        _EDGES_CTE,
+        f"seeds AS (SELECT v FROM verts ORDER BY v LIMIT {PPR_SEEDS})",
+        f"""reset AS (
+  SELECT verts.v AS v,
+         CASE WHEN s.v IS NOT NULL THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END AS r
+  FROM verts LEFT JOIN seeds s ON verts.v = s.v
+)""",
+        "ppr0 AS (SELECT v, r AS rank FROM reset)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"""ppr{i} AS (
+  SELECT m.v AS v, (1.0 - {d}) * r0.r + {d} * m.s AS rank
+  FROM (
+    SELECT b.v AS v, sum(p.rank / dg.degree) AS s
+    FROM bidir b
+    JOIN ppr{i - 1} p ON b.u = p.v
+    JOIN deg dg ON dg.v = p.v
+    GROUP BY b.v
+  ) m JOIN reset r0 ON r0.v = m.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM ppr{PAGERANK_ITERS}"
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    """Synchronous peeling unrolled KCORE_UNROLL times (idempotent at
+    the fixpoint — see KCORE_UNROLL note)."""
+    # every peel CTE is MATERIALIZED: s{i} references s{i-1} three times
+    # (directly + via d{i}), so plain inlined CTEs would re-expand the
+    # whole chain exponentially (DuckDB ran out of file handles at
+    # unroll 24 before finishing)
+    ctes = [_EDGES_CTE, "s0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, KCORE_UNROLL + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT u AS v, count(*) AS degree FROM (
+    SELECT src AS u FROM s{i - 1} UNION ALL SELECT dst FROM s{i - 1}
+  ) GROUP BY u
+),
+s{i} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM s{i - 1} s
+  JOIN d{i} da ON da.v = s.src
+  JOIN d{i} db ON db.v = s.dst
+  WHERE da.degree >= {KCORE_K} AND db.degree >= {KCORE_K}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT DISTINCT u AS vertex FROM (
+  SELECT src AS u FROM s{KCORE_UNROLL} UNION ALL SELECT dst FROM s{KCORE_UNROLL}
+)"""
     )
 
 
@@ -237,6 +317,21 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         part_graph(spark, sf_dir), iterations=LPA_ITERS, detect_stability=False
     )
+
+
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    seeds = (
+        _degrees(edges).select("vertex").orderBy("vertex").limit(PPR_SEEDS)
+    )
+    pr = personalized_pagerank(
+        edges, seeds, damping=PAGERANK_DAMPING, iterations=PAGERANK_ITERS
+    )
+    return pr.select("vertex", F.round("rank", ROUND).alias("rank_r"))
+
+
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_core(part_graph(spark, sf_dir), k=KCORE_K)
 
 
 def _q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "pagerank": _q_pagerank,
         "pagerank_salted": _q_pagerank_salted,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "k_core": _q_k_core,
         "label_propagation": _q_label_propagation,
         "token_stats": _q_token_stats,
         "subword_stats": _q_subword_stats,
@@ -732,6 +829,8 @@ cc(v, l) AS (
 SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_salted": _pagerank_oracle_sql(),
+        "personalized_pagerank": _ppr_oracle_sql(),
+        "k_core": _kcore_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
         **_doc_oracles(),
     }

@@ -1,0 +1,104 @@
+"""k-core decomposition by iterative peeling (north-star extension).
+
+The k-core of a graph is the maximal subgraph in which every vertex has
+degree ≥ k — the standard link-graph density primitive (web-spam core
+extraction, community seeding, graph degeneracy). Peeling computes it:
+repeatedly delete every vertex whose current degree is < k until none
+remains; deletion order does not matter (the k-core is unique), so the
+synchronous delete-all-underdegree-vertices round used here reaches the
+same fixpoint as sequential peeling.
+
+Superstep formulation (plans/superstep.py): state = the canonical
+``[src, dst]`` edge set of the surviving subgraph. One round =
+
+1. degree per vertex over the surviving edges (one hash aggregate with
+   map-side partial combine — the 2|E|-row bidirected view moves ~|V|
+   rows),
+2. ``keep`` = vertices with degree ≥ k (|V|-row, small),
+3. two left-semi joins filter the edge set to rows whose BOTH
+   endpoints survive (AQE broadcasts ``keep`` when it fits, which at
+   bench scale it always does — then the round moves only the
+   aggregate's ~|V| rows).
+
+Rounds are O(peel depth) — worst case O(|V|) on a path, in practice a
+handful; each round costs O(|E_surviving|) and the edge set only
+shrinks. Convergence = state fingerprint stable (the runner's exact
+check); at the fixpoint every surviving endpoint has degree ≥ k by
+construction, so the answer is simply the surviving vertex set.
+
+Peeling is idempotent at the fixpoint (an extra round is a no-op),
+which is what lets the DuckDB gate unroll a fixed generous round count
+and still match the run-to-fixpoint engine exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.plans.superstep import SuperstepResult, SuperstepRunner
+from paralleltrianglecounting_spark.sources.edges import bidirected
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 100,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex] — the vertices of the k-core (k ≥ 1; an edge table has
+    no isolated vertices, so the 0-core equals the 1-core's domain)."""
+    return k_core_run(edges, k, checkpoint_dir, max_iterations, resume).state
+
+
+def k_core_run(
+    edges: DataFrame,
+    k: int,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 100,
+    resume: bool = True,
+) -> SuperstepResult:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
+    base = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        deg = (
+            bidirected(state)
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("vertex")
+        survived = state.join(
+            keep.withColumnRenamed("vertex", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+        return survived.select("src", "dst"), {"k": k, "round": i}
+
+    runner = SuperstepRunner(
+        spark,
+        name=f"k_core_{k}",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+    )
+    result = runner.run(base, step, stop_when_stable=True, resume=resume)
+
+    core_edges = result.state
+    members = (
+        bidirected(core_edges)
+        .select(F.col("src").alias("vertex"))
+        .distinct()
+    )
+    return SuperstepResult(
+        state=members,
+        iterations=result.iterations,
+        converged=result.converged,
+        metrics=result.metrics,
+    )

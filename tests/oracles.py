@@ -119,3 +119,52 @@ def components_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
     return {v: find(v) for v in parent}
+
+
+def personalized_pagerank_oracle(
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> dict[int, float]:
+    """Seed-biased power iteration matching the engine: reset = 1/|S| on
+    seeds (0 elsewhere), init = reset, rank' = (1-d)·reset + d·Σ."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for u, v in edges:
+        deg[idx[u]] += 1
+        deg[idx[v]] += 1
+    reset = np.zeros(n)
+    for s in seeds:
+        reset[idx[s]] = 1.0 / len(seeds)
+    pr = reset.copy()
+    for _ in range(iterations):
+        contrib = pr / deg
+        nxt = np.zeros(n)
+        for u, v in edges:
+            nxt[idx[u]] += contrib[idx[v]]
+            nxt[idx[v]] += contrib[idx[u]]
+        pr = (1 - damping) * reset + damping * nxt
+    return {v: float(pr[idx[v]]) for v in ids}
+
+
+def k_core_oracle(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """Sequential peeling (deletion order is irrelevant — the k-core is
+    unique), independent of the engine's synchronous formulation."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for w in adj.pop(v):
+                    adj[w].discard(v)
+                changed = True
+    return set(adj)

@@ -296,3 +296,48 @@ def test_resume_refuses_mismatched_graph_checkpoints(spark, tmp_path):
         triangle_count_resumable(g1, chunks=4, checkpoint_dir=ck2, resume=True)
     res = triangle_count_resumable(g1, chunks=2, checkpoint_dir=ck2, resume=True)
     assert res.state.agg(F.sum("triangles_closed")).collect()[0][0] == 1
+
+
+def test_personalized_pagerank_matches_oracle(spark):
+    from paralleltrianglecounting_spark.operators.pagerank import personalized_pagerank
+    from tests.oracles import personalized_pagerank_oracle
+
+    edges = planted_triangles(spark, num_nodes=150, num_triangles=80, seed=29).cache()
+    local = _local_edges(edges)
+    seeds = sorted({v for e in local for v in e})[:8]
+    want = personalized_pagerank_oracle(local, seeds, damping=0.85, iterations=10)
+    got = {
+        r.vertex: r.rank
+        for r in personalized_pagerank(edges, seeds, iterations=10).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # total mass stays a distribution (no dangling vertices to leak it)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # mass concentrates near the seeds: every seed outranks the global
+    # uniform share
+    for s in seeds:
+        assert got[s] > 1.0 / len(want)
+
+
+def test_k_core_matches_peeling_oracle(spark):
+    from paralleltrianglecounting_spark.operators.kcore import k_core, k_core_run
+    from tests.oracles import k_core_oracle
+
+    edges = planted_triangles(spark, num_nodes=120, num_triangles=90, seed=31).cache()
+    local = _local_edges(edges)
+    for k in (2, 3, 4):
+        want = k_core_oracle(local, k)
+        got = {r.vertex for r in k_core(edges, k=k).collect()}
+        assert got == want, f"k={k}"
+    # triangle corners always survive the 2-core; a k beyond the max
+    # degree peels everything
+    assert k_core(edges, k=10_000).count() == 0
+    # the gate's fixed-unroll oracle is sound only while the engine
+    # converges within it — pin the bound on the gate tier's graph
+    from paralleltrianglecounting_spark.sources.edges import part_graph
+    import __spark_entry__ as entry
+
+    res = k_core_run(part_graph(spark, "/root/testdata/sf0.001"), k=entry.KCORE_K)
+    assert res.converged and res.iterations < entry.KCORE_UNROLL

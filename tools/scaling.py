@@ -248,6 +248,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", type=int, nargs="*", default=[2, 8, 32])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--rounds",
+        type=int,
+        default=1,
+        help="repeat the whole level sweep this many times, interleaved "
+        "(2,8,32,2,8,32,...), and take each level's per-query best across "
+        "rounds — this host drifts +-40%% over tens of minutes, and "
+        "interleaving exposes every level to the same drift instead of "
+        "letting one slow stretch poison one level's ratios",
+    )
     ap.add_argument("--copies", type=int, default=16)
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,8 +265,27 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     args = ap.parse_args()
 
-    levels = [run_level(args.sf_dir, c, args.copies, args.reps) for c in args.levels]
+    by_level: dict[int, dict] = {}
+    for _ in range(max(args.rounds, 1)):
+        for c in args.levels:
+            row = run_level(args.sf_dir, c, args.copies, args.reps)
+            prev = by_level.get(c)
+            if prev is None:
+                by_level[c] = row
+            else:
+                # per-query best across rounds; raw timings accumulate
+                for q, t in row["queries"].items():
+                    if t < prev["queries"][q]:
+                        prev["queries"][q] = t
+                    prev["raw_timings"][q].extend(row["raw_timings"][q])
+                prev["value"] = round(sum(prev["queries"].values()), 3)
+                prev["edges_per_sec_triangle_count"] = round(
+                    prev["edges"] / prev["queries"]["triangle_count"], 1
+                )
+                assert row["triangles"] == prev["triangles"]
+    levels = [by_level[c] for c in args.levels]
     rep = scaling_report(levels, args.sf_dir)
+    rep["rounds"] = args.rounds
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "scaling.json"), "w") as f:
