@@ -99,19 +99,50 @@ def run(sf_dir: str, cores: int) -> dict:
         timings[name] = round(best, 3)
         return out
 
-    tri = timed(
-        "triangle_count",
-        lambda: triangle_count(edges, strategy="intersect").collect()[0]["triangles"],
+    def timed_group(entries):
+        # Interleave the reps of a query group round-robin (A,B,C,A,B,C)
+        # instead of back-to-back (A,A,B,B,C,C). This host drifts ±25-40%
+        # between adjacent minutes (BENCH/BASELINE.md noise note), so a
+        # ratio between two back-to-back best-ofs compares different time
+        # windows; interleaved, every round exposes all strategies to the
+        # same drift and the best-of ratio is window-matched.
+        outs = {name: None for name, _ in entries}
+        for name, _ in entries:
+            raw_timings[name] = []
+        for _ in range(max(reps, 1)):
+            for name, thunk in entries:
+                t = time.monotonic()
+                outs[name] = thunk()
+                dt = time.monotonic() - t
+                raw_timings[name].append(round(dt, 3))
+        for name, _ in entries:
+            timings[name] = min(raw_timings[name])
+        return outs
+
+    tri_outs = timed_group(
+        [
+            (
+                "triangle_count",
+                lambda: triangle_count(edges, strategy="intersect").collect()[0][
+                    "triangles"
+                ],
+            ),
+            (
+                "triangle_count_csr",
+                lambda: triangle_count(edges, strategy="csr").collect()[0]["triangles"],
+            ),
+            (
+                "triangle_count_wedge",
+                lambda: triangle_count(edges, strategy="wedge").collect()[0][
+                    "triangles"
+                ],
+            ),
+        ]
     )
-    tri_csr = timed(
-        "triangle_count_csr",
-        lambda: triangle_count(edges, strategy="csr").collect()[0]["triangles"],
-    )
+    tri = tri_outs["triangle_count"]
+    tri_csr = tri_outs["triangle_count_csr"]
     assert tri_csr == tri, f"strategy disagreement: intersect={tri} csr={tri_csr}"
-    tri_wedge = timed(
-        "triangle_count_wedge",
-        lambda: triangle_count(edges, strategy="wedge").collect()[0]["triangles"],
-    )
+    tri_wedge = tri_outs["triangle_count_wedge"]
     assert tri_wedge == tri, f"strategy disagreement: intersect={tri} wedge={tri_wedge}"
     # consume tpv through a SUM, not count(): the per-vertex table joins
     # a unique-keyed aggregate to the vertex list, and Catalyst

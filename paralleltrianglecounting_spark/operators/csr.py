@@ -106,6 +106,228 @@ def batch_intersections(
     return sizes, None, None
 
 
+# ---------------------------------------------------------------------------
+# Broadcast-CSR regime
+#
+# The join-based kernel above ships every vertex's N⁺ array once per
+# incident oriented edge — Σ d⁺(v)·deg(v) elements through shuffle +
+# Arrow (132 M at sf0.1) for an adjacency that is only |E| elements
+# (1.2 M). When the whole oriented adjacency fits in worker memory —
+# the same smallness test a broadcast hash join applies to its build
+# side — the right plan is to ship it ONCE: collect the oriented edge
+# list via Arrow, pack a dense-coded global CSR driver-side, broadcast
+# it, and run the intersection kernel over contiguous work-balanced row
+# slabs fed by a ``spark.range(n_slabs)`` input (one slab per task, a
+# few bytes of Arrow traffic in, partial sums out). This is the direct
+# distributed analog of the reference's OpenMP parallel-for over its
+# in-memory CSR (``parallel_edge_it_CPP/parallel_edge_it_v1.cpp``) —
+# Spark schedules the slabs, NumPy does the merges, no join anywhere.
+# Beyond the size gate (``triangles.CSR_BROADCAST_MAX_EDGES``) the
+# join-based kernel remains the 100 TB path.
+# ---------------------------------------------------------------------------
+
+
+def build_global_csr(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense-coded CSR from oriented edge arrays (driver-side).
+
+    Returns ``(uniq_ids, row_ptr, col)``: vertex ids sorted ascending,
+    ``row_ptr`` over dense codes 0..n_v, and ``col`` holding the dense
+    code of each out-neighbor, sorted within every row. Codes are
+    order-isomorphic to ids (``np.unique`` sorts), so intersection
+    sizes over codes equal intersection sizes over ids — the same
+    invariant the fallback path of ``batch_intersections`` relies on.
+    Immune to id width: raw xxhash64 ids densify like any others.
+    """
+    ids = np.concatenate([np.asarray(src, np.int64), np.asarray(dst, np.int64)])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    inv = inv.astype(np.int64, copy=False)
+    s_code, d_code = inv[: src.size], inv[src.size :]
+    order = np.lexsort((d_code, s_code))
+    s_code, d_code = s_code[order], d_code[order]
+    n_v = int(uniq.size)
+    row_ptr = np.zeros(n_v + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s_code, minlength=n_v), out=row_ptr[1:])
+    col_dtype = np.int32 if n_v <= np.iinfo(np.int32).max else np.int64
+    return uniq, row_ptr, d_code.astype(col_dtype, copy=False)
+
+
+def _row_merge_cost(row_ptr: np.ndarray, col: np.ndarray) -> np.ndarray:
+    """Per-row merge work w(r) = Σ_{v∈N⁺(r)} (d⁺(r) + d⁺(v)) — the exact
+    element count the slab kernel gathers for row r."""
+    d = np.diff(row_ptr)
+    if col.size == 0:
+        return np.zeros(d.size, dtype=np.int64)
+    edge_cost = np.repeat(d, d) + d[col]
+    cum = np.concatenate([[0], np.cumsum(edge_cost)])
+    return cum[row_ptr[1:]] - cum[row_ptr[:-1]]
+
+
+def cumulative_row_cost(row_ptr: np.ndarray, col: np.ndarray) -> np.ndarray:
+    """cum[i] = total merge work of rows < i (length n_v+1). Computed
+    once driver-side; slab balancing and in-kernel chunking both cut on
+    it, so the skew model is shared and never recomputed per task."""
+    return np.concatenate([[0], np.cumsum(_row_merge_cost(row_ptr, col))]).astype(
+        np.int64
+    )
+
+
+def balance_slabs(cum_cost: np.ndarray, n_slabs: int) -> np.ndarray:
+    """Cut rows 0..n_v into ≤ ``n_slabs`` contiguous ranges of ~equal
+    merge work (not equal row count — degree skew would otherwise pile
+    the hub rows into one straggler task). Returns the sorted boundary
+    array ``b`` with slab i = rows [b[i], b[i+1])."""
+    n_v = cum_cost.size - 1
+    if n_v == 0 or n_slabs <= 1:
+        return np.array([0, max(n_v, 0)], dtype=np.int64)
+    total = int(cum_cost[-1])
+    if total == 0:
+        cuts = np.linspace(0, n_v, n_slabs + 1).astype(np.int64)
+    else:
+        targets = (np.arange(1, n_slabs) * total) // n_slabs
+        cuts = np.concatenate(
+            [[0], np.searchsorted(cum_cost[1:], targets, side="left") + 1, [n_v]]
+        )
+    return np.unique(np.clip(cuts, 0, n_v))
+
+
+def _gather_rows(
+    row_ptr: np.ndarray, col: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate ``col[row_ptr[i]:row_ptr[i+1]]`` for every i in idx
+    (vectorized multi-slice gather). Returns (owner_pos, values) where
+    owner_pos[j] is the position within ``idx`` owning values[j]."""
+    lens = row_ptr[idx + 1] - row_ptr[idx]
+    total = int(lens.sum())
+    owner = np.repeat(np.arange(idx.size, dtype=np.int64), lens)
+    out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - out_starts[owner] + row_ptr[idx][owner]
+    return owner, col[pos]
+
+
+def _slab_chunks(
+    cum_cost: np.ndarray, lo: int, hi: int, budget: int
+) -> Iterator[tuple[int, int]]:
+    """Split slab rows [lo,hi) into sub-ranges whose gathered-element
+    count stays under ``budget`` (bounds kernel peak memory). Cuts on
+    the shared driver-computed cumulative cost."""
+    a = lo
+    while a < hi:
+        # largest b with cum[b] - cum[a] <= budget; a single row costlier
+        # than the budget still advances (b = a+1) and is simply a big chunk
+        b = int(np.searchsorted(cum_cost, cum_cost[a] + budget, side="right")) - 1
+        b = max(a + 1, min(b, hi))
+        yield a, b
+        a = b
+
+
+def _slab_pairs(
+    row_ptr: np.ndarray, col: np.ndarray, a: int, b: int, want_values: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """All per-edge intersections for oriented edges with src row in
+    [a,b). Returns (pair_src_rows, pair_dst_codes, sizes, closing_codes)
+    — the broadcast-CSR analog of ``batch_intersections``, with the
+    a-side arrays gathered by repeat and the b-side by multi-slice
+    gather, then the same rank-key searchsorted merge."""
+    rows = np.arange(a, b, dtype=np.int64)
+    d = row_ptr[rows + 1] - row_ptr[rows]
+    pair_src = np.repeat(rows, d)
+    pair_dst = col[row_ptr[a] : row_ptr[b]].astype(np.int64, copy=False)
+    n_pairs = pair_src.size
+    if n_pairs == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, (z if want_values else None)
+    # a-side: N⁺(src) repeated per out-edge of src — owner = pair index
+    a_lens = d[pair_src - a]
+    a_owner = np.repeat(np.arange(n_pairs, dtype=np.int64), a_lens)
+    a_starts = np.concatenate([[0], np.cumsum(a_lens)[:-1]])
+    a_pos = (
+        np.arange(int(a_lens.sum()), dtype=np.int64)
+        - a_starts[a_owner]
+        + row_ptr[pair_src][a_owner]
+    )
+    a_val = col[a_pos].astype(np.int64, copy=False)
+    b_owner, b_val = _gather_rows(row_ptr, col, pair_dst)
+    b_val = b_val.astype(np.int64, copy=False)
+    # dense codes < n_v, so row*K+code never overflows for any graph
+    # that fit in memory to begin with (n_pairs·K < 2^62 checked upstream
+    # by the broadcast size gate)
+    k = np.int64(1 << max(int(row_ptr.size - 1).bit_length(), 1))
+    a_key = a_owner * k + a_val
+    b_key = b_owner * k + b_val
+    idx = np.searchsorted(b_key, a_key)
+    idx_c = np.minimum(idx, b_key.size - 1) if b_key.size else idx
+    hit = (b_key[idx_c] == a_key) if b_key.size else np.zeros(a_key.size, bool)
+    sizes = np.bincount(a_owner[hit], minlength=n_pairs).astype(np.int64)
+    if want_values:
+        return pair_src, pair_dst, sizes, a_val[hit]
+    return pair_src, pair_dst, sizes, None
+
+
+# Gathered elements per side per chunk. Deliberately small: the chunk
+# temporaries (~10 arrays of `budget` int64s) must stay under glibc's
+# mmap threshold so freed chunks are REUSED from the arena across
+# iterations instead of returned to the OS — at 2^23 every chunk
+# mmap-faults ~1 GB of fresh pages per worker and 32 workers faulting
+# simultaneously collapse into kernel page-allocator contention
+# (measured: 20.5 s wall vs 0.8 s at 2^21 for the identical kernel on
+# the identical input; single-process is unaffected). 2^20 keeps each
+# temp at ~8 MB with per-chunk NumPy calls still fully amortized.
+DEFAULT_SLAB_BUDGET = 1 << 20
+
+
+def make_slab_kernel(bc, mode: str, budget: int = DEFAULT_SLAB_BUDGET):
+    """mapInArrow kernel factory over a broadcast ``(uniq, row_ptr, col,
+    boundaries, cum_cost)``. Input: ``spark.range(n_slabs)`` rows
+    (column ``id`` = slab index). ``mode``:
+
+    - ``'count'``   → one partial-sum row per slab  [tri_cnt]
+    - ``'edges'``   → per-oriented-edge counts      [src, dst, tri_cnt]
+    - ``'triples'`` → one row per closed triangle   [a, b, c]
+    """
+    if mode not in ("count", "edges", "triples"):
+        raise ValueError(f"unknown slab kernel mode {mode!r}")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        uniq, row_ptr, col, bounds, cum_cost = bc.value
+        for batch in batches:
+            for sid in batch.column("id").to_numpy(zero_copy_only=False):
+                lo, hi = int(bounds[sid]), int(bounds[sid + 1])
+                partial = 0
+                for a, b in _slab_chunks(cum_cost, lo, hi, budget):
+                    ps, pd, sizes, closing = _slab_pairs(
+                        row_ptr, col, a, b, want_values=(mode == "triples")
+                    )
+                    if mode == "count":
+                        partial += int(sizes.sum())
+                    elif mode == "edges":
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(uniq[ps], pa.int64()),
+                                pa.array(uniq[pd], pa.int64()),
+                                pa.array(sizes, pa.int64()),
+                            ],
+                            names=["src", "dst", "tri_cnt"],
+                        )
+                    else:
+                        owner = np.repeat(np.arange(ps.size, dtype=np.int64), sizes)
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(uniq[ps[owner]], pa.int64()),
+                                pa.array(uniq[pd[owner]], pa.int64()),
+                                pa.array(uniq[closing], pa.int64()),
+                            ],
+                            names=["a", "b", "c"],
+                        )
+                if mode == "count":
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([partial], pa.int64())], names=["tri_cnt"]
+                    )
+
+    return kernel
+
+
 def intersect_count_kernel(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:

@@ -30,6 +30,9 @@ Physical strategies:
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,14 +52,15 @@ def _empty_arr(dtype: str) -> Column:
 _INT32_MAX = (1 << 31) - 1
 
 
-# int32-fits probe results keyed by the ANALYZED PLAN's semanticHash —
-# not the DataFrame object: two DataFrames re-created over the same
-# table are semantically equal plans and share one probe job, and an
-# .alias()/re-creation of the handle can't shed the memo (VERDICT r02).
-# Bounded so a long-lived session over many distinct tables can't grow
-# it without limit.
-_COMPACT_PROBE_CACHE: dict[int, bool] = {}
-_COMPACT_PROBE_CACHE_MAX = 256
+# edge-table stats probe (count, min id, max id) keyed by the ANALYZED
+# PLAN's semanticHash — not the DataFrame object: two DataFrames
+# re-created over the same table are semantically equal plans and share
+# one probe job, and an .alias()/re-creation of the handle can't shed
+# the memo (VERDICT r02). Bounded so a long-lived session over many
+# distinct tables can't grow it without limit. One probe feeds both the
+# compact-id switch and the broadcast-CSR size gate.
+_EDGE_STATS_CACHE: dict[int, tuple[int, int | None, int | None]] = {}
+_EDGE_STATS_CACHE_MAX = 256
 
 
 def _plan_key(df: DataFrame) -> int | None:
@@ -66,34 +70,44 @@ def _plan_key(df: DataFrame) -> int | None:
         return None
 
 
-def _use_compact_ids(edges: DataFrame, compact_ids: bool | None) -> bool:
-    """Resolve the compact-id switch. ``None`` auto-detects with one
-    cheap max() aggregate over the canonical edge table (dst ≥ src by
-    canonicalization, so max(dst) bounds every id), memoized per
-    semantically-equal plan (see ``_COMPACT_PROBE_CACHE``).
+def _edge_stats(edges: DataFrame) -> tuple[int, int | None, int | None]:
+    """(edge_count, min(src), max(dst)) in one aggregate job, memoized
+    per semantically-equal plan (see ``_EDGE_STATS_CACHE``).
 
     The memo assumes the underlying source is immutable while cached: a
     plan over an append-mutated parquet dir keeps its semanticHash, so
-    a stale ``True`` would route post-append ids > 2^31-1 into the
-    int32 path. Callers over mutating sources must pass ``compact_ids``
-    explicitly (the auto-detect is a convenience for the immutable-
-    snapshot shape every query here reads)."""
-    if compact_ids is not None:
-        return compact_ids
+    stale stats would route post-append ids > 2^31-1 into the int32
+    path. Callers over mutating sources must pass ``compact_ids`` /
+    ``strategy`` explicitly (the auto-detect is a convenience for the
+    immutable-snapshot shape every query here reads)."""
     key = _plan_key(edges)
-    if key is not None and key in _COMPACT_PROBE_CACHE:
-        return _COMPACT_PROBE_CACHE[key]
-    row = edges.agg(F.max("dst").alias("m"), F.min("src").alias("n")).first()
-    result = (
-        row["m"] is not None
-        and 0 <= int(row["n"])
-        and int(row["m"]) <= _INT32_MAX
+    if key is not None and key in _EDGE_STATS_CACHE:
+        return _EDGE_STATS_CACHE[key]
+    row = edges.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("src").alias("n"),
+        F.max("dst").alias("m"),
+    ).first()
+    stats = (
+        int(row["c"]),
+        None if row["n"] is None else int(row["n"]),
+        None if row["m"] is None else int(row["m"]),
     )
     if key is not None:
-        if len(_COMPACT_PROBE_CACHE) >= _COMPACT_PROBE_CACHE_MAX:
-            _COMPACT_PROBE_CACHE.clear()
-        _COMPACT_PROBE_CACHE[key] = result
-    return result
+        if len(_EDGE_STATS_CACHE) >= _EDGE_STATS_CACHE_MAX:
+            _EDGE_STATS_CACHE.clear()
+        _EDGE_STATS_CACHE[key] = stats
+    return stats
+
+
+def _use_compact_ids(edges: DataFrame, compact_ids: bool | None) -> bool:
+    """Resolve the compact-id switch. ``None`` auto-detects from the
+    memoized stats probe (dst ≥ src by canonicalization, so max(dst)
+    bounds every id)."""
+    if compact_ids is not None:
+        return compact_ids
+    _, lo, hi = _edge_stats(edges)
+    return hi is not None and 0 <= lo and hi <= _INT32_MAX
 
 
 def _edges_with_adjacency(
@@ -187,6 +201,69 @@ def choose_strategy(edges: DataFrame) -> str:
     return "intersect"
 
 
+# Broadcast-CSR size gate: the whole oriented adjacency (|E| neighbor
+# codes + |V|+1 offsets) must fit comfortably in driver and executor
+# memory — the same smallness test a broadcast hash join applies to its
+# build side. 16M canonical edges ≈ 64 MB of int32 codes + bookkeeping;
+# beyond it the join-based kernel (partition-local CSR blocks) is the
+# plan, exactly as an SMJ replaces a broadcast join past the threshold.
+CSR_BROADCAST_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CSR_BROADCAST_MAX_EDGES", "16000000")
+)
+
+_SLAB_SCHEMAS = {
+    "count": "tri_cnt long",
+    "edges": "src long, dst long, tri_cnt long",
+    "triples": "a long, b long, c long",
+}
+
+
+def _csr_broadcast_frame(edges: DataFrame, mode: str) -> DataFrame:
+    """The broadcast-CSR physical plan (see ``operators.csr`` module
+    docs): collect the oriented edge list once via Arrow, pack a
+    dense-coded global CSR driver-side, broadcast it, and fan the
+    intersection kernel out over work-balanced contiguous row slabs —
+    one ``spark.range`` row per task, partial results out, no join and
+    no per-edge array shipping anywhere. The distributed analog of the
+    reference's OpenMP parallel-for over its in-memory CSR
+    (``parallel_edge_it_CPP/parallel_edge_it_v1.cpp:129-150``).
+
+    NOTE: the CSR build runs eagerly at call time (one Arrow collect
+    job); the returned DataFrame is the lazy kernel stage over it.
+    """
+    from paralleltrianglecounting_spark.operators.csr import (
+        balance_slabs,
+        build_global_csr,
+        cumulative_row_cost,
+        make_slab_kernel,
+    )
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    tbl = orient_edges(edges).select("src", "dst").toArrow()
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    uniq, row_ptr, col = build_global_csr(src, dst)
+    cum = cumulative_row_cost(row_ptr, col)
+    bounds = balance_slabs(cum, max(sc.defaultParallelism, 1))
+    n_slabs = max(len(bounds) - 1, 1)
+    if len(bounds) < 2:  # empty graph: one no-op slab
+        bounds = np.array([0, 0], dtype="int64")
+    bc = sc.broadcast((uniq, row_ptr, col, bounds, cum))
+    inp = spark.range(0, n_slabs, 1, numPartitions=n_slabs)
+    return inp.mapInArrow(make_slab_kernel(bc, mode), _SLAB_SCHEMAS[mode])
+
+
+def _route_csr(edges: DataFrame, strategy: str) -> str:
+    """'csr' auto-routes to the broadcast kernel when the edge table is
+    under the size gate (memoized stats probe), else the join-based
+    partition-local kernel; 'csr_bcast' / 'csr_join' force a route."""
+    if strategy != "csr":
+        return strategy
+    n, _, _ = _edge_stats(edges)
+    return "csr_bcast" if n <= CSR_BROADCAST_MAX_EDGES else "csr_join"
+
+
 def _python_stage(pairs: DataFrame) -> DataFrame:
     """Partitioning for a mapInArrow stage. On a local[N] master the
     kernel stage is coalesced to N/2 tasks: mapInArrow fuses into the
@@ -214,11 +291,16 @@ def edge_triangle_counts(
     """[src, dst, tri_cnt]: per-oriented-edge triangle closings.
     Ids are long at this boundary regardless of the internal width.
     ``strategy='auto'`` picks wedge vs intersect from the degree-table
-    cost probe (``choose_strategy``)."""
+    cost probe (``choose_strategy``); ``'csr'`` routes to the broadcast
+    kernel under the size gate, the join-based kernel above it
+    (``_route_csr``); ``'csr_bcast'``/``'csr_join'`` force a route."""
     if strategy == "auto":
         strategy = choose_strategy(edges)
+    strategy = _route_csr(edges, strategy)
     if strategy == "wedge":
         return _wedge_counts(edges)
+    if strategy == "csr_bcast":
+        return _csr_broadcast_frame(edges, "edges")
     pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
     if strategy == "intersect":
         return pairs.select(
@@ -226,7 +308,7 @@ def edge_triangle_counts(
             F.col("dst").cast("long").alias("dst"),
             F.size(F.array_intersect("n_src", "n_dst")).cast("long").alias("tri_cnt"),
         )
-    if strategy == "csr":
+    if strategy == "csr_join":
         schema = T.StructType(
             [
                 T.StructField("src", T.LongType()),
@@ -249,7 +331,16 @@ def triangle_count(
 
     The final Σ is a partial+final aggregate — the distributed analog of
     the reference's ``atomic<int>``/``reduction(+:countTriangles)``.
+    On the broadcast-CSR route the kernel emits one partial sum per
+    slab instead of per-edge rows — the map-side combine is inside the
+    kernel, and only n_slabs longs cross the final exchange.
     """
+    if strategy == "auto":
+        strategy = choose_strategy(edges)
+    strategy = _route_csr(edges, strategy)
+    if strategy == "csr_bcast":
+        per_slab = _csr_broadcast_frame(edges, "count")
+        return per_slab.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
     per_edge = edge_triangle_counts(edges, strategy, broadcast_adj, compact_ids)
     return per_edge.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
 
@@ -263,8 +354,11 @@ def triangle_triples(
     """[a, b, c]: one row per triangle (a,b = the oriented edge's low/high
     corner, c = closing vertex). Exactly one row per triangle.
     Ids are long at this boundary regardless of the internal width."""
+    strategy = _route_csr(edges, strategy)
+    if strategy == "csr_bcast":
+        return _csr_broadcast_frame(edges, "triples")
     pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
-    if strategy == "csr":
+    if strategy == "csr_join":
         schema = T.StructType(
             [
                 T.StructField("a", T.LongType()),

@@ -70,3 +70,130 @@ def test_kernel_empty_inputs():
     one = pa.array([[1, 2], []], pa.list_(pa.int64()))
     sizes, _, _ = batch_intersections(one, e)
     assert sizes.tolist() == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-CSR slab machinery (pure NumPy; the Spark route is covered
+# by the forced-route tests in test_triangles.py)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from paralleltrianglecounting_spark.operators.csr import (
+    DEFAULT_SLAB_BUDGET,
+    _slab_chunks,
+    _slab_pairs,
+    balance_slabs,
+    build_global_csr,
+    cumulative_row_cost,
+)
+
+
+def _rand_oriented(rng, n_v, n_e, id_map=None):
+    """Random canonical (src<dst) dedup'd edge arrays; ids optionally
+    remapped through id_map to exercise sparse/huge-id densify."""
+    seen = set()
+    while len(seen) < n_e:
+        u, v = rng.randrange(n_v), rng.randrange(n_v)
+        if u != v:
+            seen.add((min(u, v), max(u, v)))
+    src, dst = map(np.array, zip(*sorted(seen)))
+    if id_map is not None:
+        src, dst = id_map(src), id_map(dst)
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        src, dst = lo, hi
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+def _brute_slab_counts(src, dst):
+    """Per-oriented-edge |N+(s) ∩ N+(d)| via Python sets."""
+    adj: dict[int, set] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, set()).add(v)
+    return {
+        (u, v): len(adj.get(u, set()) & adj.get(v, set()))
+        for u, v in zip(src.tolist(), dst.tolist())
+    }
+
+
+@pytest.mark.parametrize(
+    "id_map",
+    [None, lambda a: a * 977 + (1 << 40), lambda a: a * 13 - 600],
+    ids=["dense", "huge", "negative"],
+)
+def test_slab_pairs_match_bruteforce(id_map):
+    rng = random.Random(11)
+    src, dst = _rand_oriented(rng, 60, 400, id_map)
+    uniq, row_ptr, col = build_global_csr(src, dst)
+    cum = cumulative_row_cost(row_ptr, col)
+    bounds = balance_slabs(cum, 7)
+    expected = _brute_slab_counts(src, dst)
+    got = {}
+    closings = {}
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        # tiny budget to force multi-chunk slabs
+        for c, d in _slab_chunks(cum, int(a), int(b), 64):
+            ps, pd, sizes, vals = _slab_pairs(row_ptr, col, c, d, want_values=True)
+            off = 0
+            for s, t, sz in zip(ps.tolist(), pd.tolist(), sizes.tolist()):
+                key = (int(uniq[s]), int(uniq[t]))
+                got[key] = sz
+                closings[key] = {int(uniq[v]) for v in vals[off : off + sz]}
+                off += sz
+    assert got == expected
+    # closing vertices are exactly the set intersection itself
+    adj: dict[int, set] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(int(u), set()).add(int(v))
+    for (u, v), cs in closings.items():
+        assert cs == adj.get(u, set()) & adj.get(v, set())
+
+
+def test_balance_slabs_work_bounded():
+    """Slab boundaries cut on cumulative merge cost: no slab exceeds
+    ~total/n + the largest single row's cost (contiguity limit)."""
+    rng = random.Random(3)
+    src, dst = _rand_oriented(rng, 200, 2000)
+    _, row_ptr, col = build_global_csr(src, dst)
+    cum = cumulative_row_cost(row_ptr, col)
+    n_slabs = 8
+    bounds = balance_slabs(cum, n_slabs)
+    assert bounds[0] == 0 and bounds[-1] == row_ptr.size - 1
+    total = int(cum[-1])
+    per_row = np.diff(cum)
+    limit = total / n_slabs + int(per_row.max())
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        assert int(cum[b] - cum[a]) <= limit
+
+
+def test_slab_chunks_budget_and_cover():
+    rng = random.Random(5)
+    src, dst = _rand_oriented(rng, 100, 800)
+    _, row_ptr, col = build_global_csr(src, dst)
+    cum = cumulative_row_cost(row_ptr, col)
+    n_v = row_ptr.size - 1
+    budget = 500
+    per_row = np.diff(cum)
+    covered = []
+    for a, b in _slab_chunks(cum, 0, n_v, budget):
+        covered.extend(range(a, b))
+        # chunk work stays under budget unless a single row exceeds it
+        assert (cum[b] - cum[a] <= budget) or (b == a + 1)
+    assert covered == list(range(n_v))
+
+
+def test_empty_and_single_edge_csr():
+    z = np.zeros(0, dtype=np.int64)
+    uniq, row_ptr, col = build_global_csr(z, z)
+    assert uniq.size == 0 and row_ptr.tolist() == [0] and col.size == 0
+    assert cumulative_row_cost(row_ptr, col).tolist() == [0]
+    src, dst = np.array([7], np.int64), np.array([9], np.int64)
+    uniq, row_ptr, col = build_global_csr(src, dst)
+    cum = cumulative_row_cost(row_ptr, col)
+    bounds = balance_slabs(cum, 4)
+    total = 0
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        for c, d in _slab_chunks(cum, int(a), int(b), DEFAULT_SLAB_BUDGET):
+            _, _, sizes, _ = _slab_pairs(row_ptr, col, c, d, False)
+            total += int(sizes.sum())
+    assert total == 0

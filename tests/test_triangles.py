@@ -23,7 +23,9 @@ from tests.oracles import (
     triangles_per_vertex_oracle,
 )
 
-STRATEGIES = ["intersect", "csr", "wedge"]
+# 'csr' auto-routes by the size gate (broadcast kernel under it, the
+# join-based kernel above); both forced routes are exercised explicitly
+STRATEGIES = ["intersect", "csr", "csr_bcast", "csr_join", "wedge"]
 
 # golden values recounted from the reference's own bundled graphs and
 # matching its published screenshots/CSV (SURVEY.md §5, FIXTURES.md §3)
@@ -155,10 +157,10 @@ def test_compact_id_probe_memoized_across_recreated_dataframes(spark, tmp_path):
     p = str(tmp_path / "edges.parquet")
     spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long").write.parquet(p)
 
-    tri_mod._COMPACT_PROBE_CACHE.clear()
+    tri_mod._EDGE_STATS_CACHE.clear()
     df1 = spark.read.parquet(p)
     assert tri_mod._use_compact_ids(df1, None) is True
-    assert len(tri_mod._COMPACT_PROBE_CACHE) == 1
+    assert len(tri_mod._EDGE_STATS_CACHE) == 1
 
     # a re-created handle over the same table hits the cache: poison the
     # probe so any re-run would blow up
@@ -176,8 +178,8 @@ def test_compact_id_probe_memoized_across_recreated_dataframes(spark, tmp_path):
     df3 = df1.where(F.col("src") > 0)
     assert tri_mod._plan_key(df3) != tri_mod._plan_key(df1)
     assert tri_mod._use_compact_ids(df3, None) is True
-    assert len(tri_mod._COMPACT_PROBE_CACHE) == 2
-    tri_mod._COMPACT_PROBE_CACHE.clear()
+    assert len(tri_mod._EDGE_STATS_CACHE) == 2
+    tri_mod._EDGE_STATS_CACHE.clear()
 
 
 def test_auto_strategy_picks_by_cost_probe(spark):
@@ -205,3 +207,41 @@ def test_auto_strategy_picks_by_cost_probe(spark):
     assert est["wedge_rows"] > 0.125 * est["intersect_elems"]
     assert choose_strategy(dense) == "intersect"
     assert triangle_count(dense, strategy="auto").collect()[0]["triangles"] == 373
+
+
+def test_csr_gate_routes_to_join_kernel(spark, monkeypatch):
+    """With the broadcast size gate forced to 0 the 'csr' strategy must
+    take the join-based partition-local kernel and still match golden —
+    the same plan-switch a broadcast hash join makes past its
+    threshold."""
+    from paralleltrianglecounting_spark.operators import triangles as tri_mod
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    assert tri_mod._route_csr(edges, "csr") == "csr_bcast"
+    monkeypatch.setattr(tri_mod, "CSR_BROADCAST_MAX_EDGES", 0)
+    assert tri_mod._route_csr(edges, "csr") == "csr_join"
+    assert triangle_count(edges, strategy="csr").collect()[0]["triangles"] == 373
+
+
+def test_csr_bcast_triples_and_per_edge(spark):
+    """The broadcast kernel's 'edges' and 'triples' modes agree with the
+    join-based route row-for-row (keyed comparison, never positional)."""
+    from paralleltrianglecounting_spark.operators.triangles import (
+        edge_triangle_counts,
+    )
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    b = {
+        (r["src"], r["dst"]): r["tri_cnt"]
+        for r in edge_triangle_counts(edges, strategy="csr_bcast").collect()
+        if r["tri_cnt"] > 0
+    }
+    j = {
+        (r["src"], r["dst"]): r["tri_cnt"]
+        for r in edge_triangle_counts(edges, strategy="csr_join").collect()
+        if r["tri_cnt"] > 0
+    }
+    assert b == j and sum(b.values()) == 373
+    tb = {tuple(r) for r in triangle_triples(edges, strategy="csr_bcast").collect()}
+    tj = {tuple(r) for r in triangle_triples(edges, strategy="csr_join").collect()}
+    assert tb == tj and len(tb) == 373
