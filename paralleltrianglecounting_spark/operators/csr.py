@@ -127,6 +127,28 @@ def batch_intersections(
 # ---------------------------------------------------------------------------
 
 
+def orient_arrays(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side degree-rank orientation of canonical edge arrays —
+    the NumPy twin of ``operators.orientation.orient_edges`` (same
+    ``(degree, id)`` lexicographic total order, so the two routes agree
+    per-edge, not just in aggregate). Exists so the broadcast-CSR
+    regime, which has already collected the edge list, need not run the
+    degree-agg + two-join orientation plan on the cluster: under the
+    size gate the whole path is one scan-collect job + one kernel job,
+    which is what the small-graph latency floor is made of."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    ids = np.concatenate([src, dst])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    inv = inv.astype(np.int64, copy=False)
+    s, d = inv[: src.size], inv[src.size :]
+    deg = np.bincount(inv, minlength=uniq.size)
+    # codes are order-isomorphic to ids, so (deg, code) lexicographic
+    # equals orient_edges' struct(degree, vertex_id) comparison exactly
+    swap = (deg[s] > deg[d]) | ((deg[s] == deg[d]) & (s > d))
+    return np.where(swap, dst, src), np.where(swap, src, dst)
+
+
 def build_global_csr(
     src: np.ndarray, dst: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -236,13 +236,19 @@ def _csr_broadcast_frame(edges: DataFrame, mode: str) -> DataFrame:
         build_global_csr,
         cumulative_row_cost,
         make_slab_kernel,
+        orient_arrays,
     )
 
     spark = edges.sparkSession
     sc = spark.sparkContext
-    tbl = orient_edges(edges).select("src", "dst").toArrow()
-    src = tbl.column("src").to_numpy(zero_copy_only=False)
-    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    # collect the CANONICAL table (pure scan, no shuffle) and orient
+    # driver-side — the degree-agg + two-join orientation plan is pure
+    # overhead once the edge list is in driver memory anyway
+    tbl = edges.select("src", "dst").toArrow()
+    src, dst = orient_arrays(
+        tbl.column("src").to_numpy(zero_copy_only=False),
+        tbl.column("dst").to_numpy(zero_copy_only=False),
+    )
     uniq, row_ptr, col = build_global_csr(src, dst)
     cum = cumulative_row_cost(row_ptr, col)
     bounds = balance_slabs(cum, max(sc.defaultParallelism, 1))

@@ -245,3 +245,22 @@ def test_csr_bcast_triples_and_per_edge(spark):
     tb = {tuple(r) for r in triangle_triples(edges, strategy="csr_bcast").collect()}
     tj = {tuple(r) for r in triangle_triples(edges, strategy="csr_join").collect()}
     assert tb == tj and len(tb) == 373
+
+
+def test_orient_arrays_matches_spark_orientation(spark):
+    """The driver-side NumPy orientation used by the broadcast-CSR
+    regime applies the identical (degree, id) total order as
+    orient_edges — per-edge equality, not just count equality."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.csr import orient_arrays
+    from paralleltrianglecounting_spark.operators.orientation import orient_edges
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    want = {(r["src"], r["dst"]) for r in orient_edges(edges).collect()}
+    tbl = edges.select("src", "dst").toArrow()
+    s, d = orient_arrays(
+        tbl.column("src").to_numpy(zero_copy_only=False),
+        tbl.column("dst").to_numpy(zero_copy_only=False),
+    )
+    assert {(int(a), int(b)) for a, b in zip(s, d)} == want
