@@ -27,7 +27,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paralleltrianglecounting_spark.operators.bfs import bfs_distances
 from paralleltrianglecounting_spark.operators.components import connected_components
+from paralleltrianglecounting_spark.operators.degrees import degree_histogram
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.kcore import k_core
 from paralleltrianglecounting_spark.operators.labelprop import label_propagation
@@ -131,6 +133,14 @@ KCORE_K = 80
 # long as KCORE_UNROLL >= the actual peel depth (6 at the gate tier;
 # asserted by pytest)
 KCORE_UNROLL = 16
+BFS_SEEDS = 4  # deterministic seed set: the BFS_SEEDS smallest vertex ids
+# hop cap is part of the query semantics (keeps the oracle's recursive
+# CTE finite on this cyclic graph). The sf0.01 co-occurrence graph has
+# eccentricity 2 from the seed set (it is far denser than it is deep),
+# so the cap is set to 1 to make the gate genuinely exercise the
+# cap-exclusion semantics: 379 of 2000 vertices settle, the rest are
+# absent (reachability-within-k IS the query)
+BFS_MAX_HOPS = 1
 
 
 def _pagerank_oracle_sql() -> str:
@@ -334,6 +344,22 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(part_graph(spark, sf_dir), k=KCORE_K)
 
 
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    seeds = _degrees(edges).select("vertex").orderBy("vertex").limit(BFS_SEEDS)
+    return bfs_distances(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_histogram(part_graph(spark, sf_dir))
+
+
+def _q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paralleltrianglecounting_spark.operators.triangles import edge_jaccard
+
+    return edge_jaccard(part_graph(spark, sf_dir))
+
+
 def _q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as ``pagerank`` (same oracle) with the hub-salted
     message join engaged (operators/skew.py) — the gate proves the skew
@@ -470,6 +496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
         "k_core": _q_k_core,
+        "bfs_distances": _q_bfs_distances,
+        "degree_histogram": _q_degree_histogram,
+        "edge_jaccard": _q_edge_jaccard,
         "label_propagation": _q_label_propagation,
         "token_stats": _q_token_stats,
         "subword_stats": _q_subword_stats,
@@ -831,6 +860,36 @@ SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "k_core": _kcore_oracle_sql(),
+        "bfs_distances": f"""WITH RECURSIVE {_EDGES_CTE},
+seeds AS (SELECT v AS vertex FROM verts ORDER BY v LIMIT {BFS_SEEDS}),
+bfs(vertex, d) AS (
+  SELECT vertex, 0 FROM seeds
+  UNION
+  SELECT b.v, bfs.d + 1
+  FROM bfs JOIN bidir b ON b.u = bfs.vertex
+  WHERE bfs.d < {BFS_MAX_HOPS}
+)
+SELECT vertex, min(d) AS dist FROM bfs GROUP BY vertex""",
+        "degree_histogram": f"""WITH {_EDGES_CTE}
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree""",
+        "edge_jaccard": f"""WITH {_EDGES_CTE},
+{_TRI_CTE},
+tri_edges AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+common AS (SELECT u, v, count(*) AS common FROM tri_edges GROUP BY u, v)
+SELECT e.src, e.dst,
+       coalesce(c.common, 0) AS common_neighbors,
+       round(CASE WHEN du.degree + dv.degree - coalesce(c.common, 0) - 2 > 0
+             THEN CAST(coalesce(c.common, 0) AS DOUBLE)
+                  / (du.degree + dv.degree - coalesce(c.common, 0) - 2)
+             ELSE 0.0 END, {ROUND}) AS jaccard_r
+FROM edges e
+LEFT JOIN common c ON c.u = e.src AND c.v = e.dst
+JOIN deg du ON du.v = e.src
+JOIN deg dv ON dv.v = e.dst""",
         "label_propagation": _lpa_oracle_sql(),
         **_doc_oracles(),
     }

@@ -1,0 +1,117 @@
+"""Multi-source BFS hop distances (north-star extension).
+
+Classic link-graph primitive (seed-set reachability, crawl-frontier
+radius, spam-distance features). Given a seed vertex set, computes the
+minimum hop count from any seed to every vertex reachable within
+``max_hops`` — the relational formulation of the reference's
+per-vertex adjacency walks, run as synchronous frontier supersteps
+(the moral sibling of its chunked kernel launches,
+``cuda_edge_it/cuda_edge_it_v1_1.cu:236-262``: bounded work units with
+a barrier between).
+
+Superstep formulation (plans/superstep.py): state = settled
+``[vertex, dist]`` rows (dist = BFS level, monotone). One round =
+
+1. ``frontier`` = state rows settled in the previous round (dist = i —
+   a filter on the checkpointed state, no extra lineage),
+2. expand: one equi-join frontier ⋈ bidirected topology — the
+   topology is persisted ALREADY HASH-PARTITIONED on the join key, so
+   the |E|-row side never re-exchanges across rounds (same one-
+   exchange-per-iteration plan as pagerank's message topology),
+3. ``left_anti`` against settled vertices (BFS visits each vertex
+   once; the anti join is the distributed visited-set),
+4. union the new level in with dist = i + 1.
+
+Rounds are O(min(max_hops, eccentricity of the seed set)); each round
+moves O(|frontier-adjacent edges|) rows. The hop cap is part of the
+query semantics (both the engine and the DuckDB oracle bound the
+recursion by the same ``max_hops``), which keeps the oracle's
+recursive CTE finite on cyclic graphs. Unreached vertices are absent
+from the output, not NULL rows — reachability is the query.
+
+Convergence: when a round settles no new vertex the state fingerprint
+is stable and the runner stops, so ``max_hops`` larger than the true
+eccentricity costs only the empty final round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.plans.superstep import (
+    SuperstepResult,
+    SuperstepRunner,
+)
+from paralleltrianglecounting_spark.sources.edges import bidirected
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds,
+    max_hops: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex, dist] — min hops from any seed, for every vertex within
+    ``max_hops`` of the seed set (seeds themselves at dist 0).
+
+    ``seeds``: a list of vertex ids or a DataFrame with a ``vertex``
+    column. Seed ids not present in the edge table still appear at
+    dist 0 (a seed is trivially reachable from itself) but expand to
+    nothing.
+    """
+    return bfs_run(edges, seeds, max_hops, checkpoint_dir, resume).state
+
+
+def bfs_run(
+    edges: DataFrame,
+    seeds,
+    max_hops: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select("vertex").distinct()
+    else:
+        seed_df = spark.createDataFrame(
+            [(int(s),) for s in seeds], "vertex long"
+        ).distinct()
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    topo = (
+        bidirected(edges)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .repartition(n_parts, "u")
+        .persist()
+    )
+
+    init = seed_df.select("vertex", F.lit(0).cast("int").alias("dist"))
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        frontier = state.where(F.col("dist") == i).select(
+            F.col("vertex").alias("u")
+        )
+        new = (
+            topo.join(frontier, "u")
+            .select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(state.select("vertex"), "vertex", "left_anti")
+            .select("vertex", F.lit(i + 1).cast("int").alias("dist"))
+        )
+        return state.unionByName(new), {"level": i + 1}
+
+    runner = SuperstepRunner(
+        spark,
+        name="bfs",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_hops,
+    )
+    try:
+        result = runner.run(init, step, stop_when_stable=True, resume=resume)
+    finally:
+        topo.unpersist()
+    return result

@@ -36,3 +36,16 @@ def vertices(edges: DataFrame) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("vertex")))
         .distinct()
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """[degree: long, n_vertices: long] — the degree distribution, the
+    first diagnostic any link-graph analysis runs (power-law check, hub
+    threshold selection for ``operators.skew``, join-strategy sizing).
+    Two chained hash aggregates, both partial+final; the second groups
+    ~|V| rows down to the number of distinct degrees (O(√E))."""
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )

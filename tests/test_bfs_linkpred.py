@@ -1,0 +1,111 @@
+"""Multi-source BFS, degree histogram, and edge-Jaccard link scoring —
+Python-oracle agreement on the reference's bundled graph_100 plus the
+cap/edge cases the gates cannot see."""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.bfs import bfs_distances
+from paralleltrianglecounting_spark.operators.degrees import degree_histogram, degrees
+from paralleltrianglecounting_spark.operators.triangles import edge_jaccard
+from paralleltrianglecounting_spark.sources.gfile import read_g_file
+from tests.conftest import reference_graph
+
+
+def _adj(rows):
+    adj = defaultdict(set)
+    for r in rows:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    return adj
+
+
+def _bfs_oracle(adj, seeds, max_hops):
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_matches_oracle_and_cap_binds(spark):
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    adj = _adj(edges.collect())
+    seeds = [0, 1, 2]
+    for max_hops in (0, 1, 2, 10):
+        got = {
+            r["vertex"]: r["dist"]
+            for r in bfs_distances(edges, seeds, max_hops=max_hops).collect()
+        }
+        assert got == _bfs_oracle(adj, seeds, max_hops), f"max_hops={max_hops}"
+    # the graph is connected from these seeds: uncapped settles everything
+    assert len(_bfs_oracle(adj, seeds, 10)) == 100
+    # ...and a 1-hop cap genuinely excludes vertices
+    assert len(_bfs_oracle(adj, seeds, 1)) < 100
+
+
+def test_bfs_seed_df_and_unknown_seed(spark):
+    """Seeds may arrive as a DataFrame; a seed id absent from the edge
+    table appears at dist 0 and expands to nothing."""
+    edges = read_g_file(spark, reference_graph("graph_11"))
+    seed_df = spark.createDataFrame([(0,), (999,)], "vertex long")
+    got = {
+        r["vertex"]: r["dist"]
+        for r in bfs_distances(edges, seed_df, max_hops=1).collect()
+    }
+    assert got[999] == 0 and got[0] == 0
+    adj = _adj(edges.collect())
+    assert got == {**{v: 1 for v in adj[0]}, 0: 0, 999: 0}
+
+
+def test_degree_histogram_matches_degrees(spark):
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    want = defaultdict(int)
+    for r in degrees(edges).collect():
+        want[r["degree"]] += 1
+    got = {r["degree"]: r["n_vertices"] for r in degree_histogram(edges).collect()}
+    assert got == dict(want)
+    # histogram mass = vertex count; first moment = 2|E|
+    assert sum(got.values()) == 100
+    assert sum(d * n for d, n in got.items()) == 2 * 600
+
+
+def test_edge_jaccard_matches_bruteforce(spark):
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    rows = edges.collect()
+    adj = _adj(rows)
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["jaccard_r"])
+        for r in edge_jaccard(edges).collect()
+    }
+    assert set(got) == {(r["src"], r["dst"]) for r in rows}
+    for (u, v), (cn, jac) in got.items():
+        common = len(adj[u] & adj[v])
+        assert cn == common
+        denom = len(adj[u]) + len(adj[v]) - common - 2
+        want = round(common / denom, 6) if denom > 0 else 0.0
+        assert abs(jac - want) < 1e-9, (u, v)
+    # sanity: total common-neighbor mass = 3 * triangle count
+    assert sum(cn for cn, _ in got.values()) == 3 * 373
+
+
+def test_edge_jaccard_triangle_free_and_degree_one(spark):
+    """A path graph: every edge has 0 common neighbors, and the
+    two-leaf edge case (denominator 0) scores 0.0, not NULL/NaN."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["jaccard_r"])
+        for r in edge_jaccard(edges).collect()
+    }
+    assert got == {(1, 2): (0, 0.0), (2, 3): (0, 0.0), (3, 4): (0, 0.0)}
+    lone = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert edge_jaccard(lone).collect()[0]["jaccard_r"] == 0.0
