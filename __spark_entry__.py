@@ -32,6 +32,7 @@ from paralleltrianglecounting_spark.operators.components import connected_compon
 from paralleltrianglecounting_spark.operators.degrees import degree_histogram
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.kcore import k_core
+from paralleltrianglecounting_spark.operators.ktruss import k_truss
 from paralleltrianglecounting_spark.operators.labelprop import label_propagation
 from paralleltrianglecounting_spark.operators.pagerank import (
     pagerank,
@@ -141,6 +142,12 @@ BFS_SEEDS = 4  # deterministic seed set: the BFS_SEEDS smallest vertex ids
 # cap-exclusion semantics: 379 of 2000 vertices settle, the rest are
 # absent (reachability-within-k IS the query)
 BFS_MAX_HOPS = 1
+# k=10 exercises a real 8-round support cascade at sf0.01 (115,729
+# edges peel to 4,974 — asserted by pytest); unroll 12 >= depth+1, and
+# peeling is idempotent at its fixpoint so the fixed unroll matches the
+# run-to-fixpoint engine exactly (same argument as KCORE_UNROLL)
+KTRUSS_K = 10
+KTRUSS_UNROLL = 12
 
 
 def _pagerank_oracle_sql() -> str:
@@ -200,6 +207,39 @@ def _ppr_oracle_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM ppr{PAGERANK_ITERS}"
+    )
+
+
+def _ktruss_oracle_sql() -> str:
+    """Synchronous support peeling unrolled KTRUSS_UNROLL times (see
+    KTRUSS_UNROLL note; MATERIALIZED for the same CTE-re-expansion
+    reason as the k-core oracle). The inner join against the support
+    table drops support-0 edges implicitly — sound for any k >= 3
+    (KTRUSS_K is 10; the k=2 truss would need a left join)."""
+    ctes = [_EDGES_CTE, "t0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, KTRUSS_UNROLL + 1):
+        ctes.append(
+            f"""tri{i} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM t{i - 1} e1
+  JOIN t{i - 1} e2 ON e1.dst = e2.src
+  JOIN t{i - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri{i}
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri{i}
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri{i}
+  ) GROUP BY u, v
+),
+t{i} AS MATERIALIZED (
+  SELECT t.src, t.dst FROM t{i - 1} t
+  JOIN sup{i} s ON s.u = t.src AND s.v = t.dst
+  WHERE s.s >= {KTRUSS_K - 2}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM t{KTRUSS_UNROLL}"
     )
 
 
@@ -342,6 +382,10 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(part_graph(spark, sf_dir), k=KCORE_K)
+
+
+def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_truss(part_graph(spark, sf_dir), k=KTRUSS_K)
 
 
 def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
         "k_core": _q_k_core,
+        "k_truss": _q_k_truss,
         "bfs_distances": _q_bfs_distances,
         "degree_histogram": _q_degree_histogram,
         "edge_jaccard": _q_edge_jaccard,
@@ -860,6 +905,7 @@ SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "k_core": _kcore_oracle_sql(),
+        "k_truss": _ktruss_oracle_sql(),
         "bfs_distances": f"""WITH RECURSIVE {_EDGES_CTE},
 seeds AS (SELECT v AS vertex FROM verts ORDER BY v LIMIT {BFS_SEEDS}),
 bfs(vertex, d) AS (

@@ -341,3 +341,63 @@ def test_k_core_matches_peeling_oracle(spark):
 
     res = k_core_run(part_graph(spark, "/root/testdata/sf0.001"), k=entry.KCORE_K)
     assert res.converged and res.iterations < entry.KCORE_UNROLL
+
+
+def test_k_truss_matches_peeling_oracle(spark):
+    """Synchronous k-truss vs sequential support peeling on graph_100,
+    across the whole interesting k range (3-truss down to collapse)."""
+    from collections import defaultdict
+
+    from paralleltrianglecounting_spark.operators.ktruss import k_truss
+    from paralleltrianglecounting_spark.sources.gfile import read_g_file
+    from tests.conftest import reference_graph
+
+    edges_df = read_g_file(spark, reference_graph("graph_100"))
+    E0 = {(r["src"], r["dst"]) for r in edges_df.collect()}
+
+    def peel(k):
+        E = set(E0)
+        while True:
+            adj = defaultdict(set)
+            for u, v in E:
+                adj[u].add(v)
+                adj[v].add(u)
+            keep = {(u, v) for u, v in E if len(adj[u] & adj[v]) >= k - 2}
+            if keep == E:
+                return E
+            E = keep
+
+    for k in (3, 4, 5, 9):
+        want = peel(k)
+        got = {(r["src"], r["dst"]) for r in k_truss(edges_df, k=k).collect()}
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+    # the covered range includes real strict subgraphs (531- and
+    # 126-edge trusses) and the total-collapse regime (5-truss empty)
+    assert len(peel(3)) == 531 and len(peel(4)) == 126 and len(peel(5)) == 0
+
+
+def test_k_truss_edge_cases(spark):
+    import pytest as _pytest
+
+    from paralleltrianglecounting_spark.operators.ktruss import (
+        edge_support,
+        k_truss,
+    )
+
+    # a triangle is its own 3-truss; a path has an empty 3-truss
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert {(r["src"], r["dst"]) for r in k_truss(tri, k=3).collect()} == {
+        (1, 2),
+        (2, 3),
+        (1, 3),
+    }
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_truss(path, k=3).count() == 0
+    with _pytest.raises(ValueError):
+        k_truss(tri, k=1)
+    # support of every triangle edge is 1; of a pendant edge 0
+    pend = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    sup = {(r["src"], r["dst"]): r["support"] for r in edge_support(pend).collect()}
+    assert sup == {(1, 2): 1, (2, 3): 1, (1, 3): 1, (3, 4): 0}
