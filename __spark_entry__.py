@@ -148,6 +148,10 @@ BFS_MAX_HOPS = 1
 # run-to-fixpoint engine exactly (same argument as KCORE_UNROLL)
 KTRUSS_K = 10
 KTRUSS_UNROLL = 12
+# DOULION sampling rate for the approximate count: q = 1/4 keeps the
+# estimator deterministic-exact (hash56 edge sampling, scale 64x)
+APPROX_TRI_NUM = 1
+APPROX_TRI_DEN = 4
 
 
 def _pagerank_oracle_sql() -> str:
@@ -384,6 +388,16 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(part_graph(spark, sf_dir), k=KCORE_K)
 
 
+def _q_approx_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paralleltrianglecounting_spark.operators.triangles import (
+        approx_triangle_count,
+    )
+
+    return approx_triangle_count(
+        part_graph(spark, sf_dir), rate_num=APPROX_TRI_NUM, rate_den=APPROX_TRI_DEN
+    )
+
+
 def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(part_graph(spark, sf_dir), k=KTRUSS_K)
 
@@ -541,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "k_core": _q_k_core,
         "k_truss": _q_k_truss,
+        "approx_triangle_count": _q_approx_triangle_count,
         "bfs_distances": _q_bfs_distances,
         "degree_histogram": _q_degree_histogram,
         "edge_jaccard": _q_edge_jaccard,
@@ -906,6 +921,22 @@ SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
         "personalized_pagerank": _ppr_oracle_sql(),
         "k_core": _kcore_oracle_sql(),
         "k_truss": _ktruss_oracle_sql(),
+        "approx_triangle_count": f"""WITH {_EDGES_CTE},
+se AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  WHERE (('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 14))::BIGINT % {APPROX_TRI_DEN}) < {APPROX_TRI_NUM}
+),
+stri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM se e1
+  JOIN se e2 ON e1.dst = e2.src
+  JOIN se e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT (SELECT count(*) FROM stri) AS sample_triangles,
+       (SELECT count(*) FROM se) AS sampled_edges,
+       round(((SELECT count(*) FROM stri)
+             * {float(APPROX_TRI_DEN) ** 3 / float(APPROX_TRI_NUM) ** 3})::DOUBLE, 4)
+         AS triangles_est""",
         "bfs_distances": f"""WITH RECURSIVE {_EDGES_CTE},
 seeds AS (SELECT v AS vertex FROM verts ORDER BY v LIMIT {BFS_SEEDS}),
 bfs(vertex, d) AS (

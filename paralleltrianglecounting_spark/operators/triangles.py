@@ -596,3 +596,43 @@ def edge_jaccard(edges: DataFrame, strategy: str = "intersect") -> DataFrame:
             ).alias("jaccard_r"),
         )
     )
+
+
+def approx_triangle_count(
+    edges: DataFrame,
+    rate_num: int = 1,
+    rate_den: int = 4,
+    strategy: str = "auto",
+) -> DataFrame:
+    """[sample_triangles, sampled_edges, triangles_est] — DOULION-style
+    approximate triangle counting (Tsourakakis et al., KDD'09: sample
+    each edge with probability q, count exactly on the sample, scale by
+    1/q³; unbiased, variance vanishing for q³·t → ∞).
+
+    The sample is DETERMINISTIC — edge (u,v) is kept iff
+    ``hash56(u || ':' || v) % rate_den < rate_num`` — so the estimate
+    is a pure function of the input and the oracle can reproduce it
+    bit-for-bit (the engine's exactness contract extends to its
+    approximations: the *estimator* is exact even though the estimate
+    isn't the true count). This is the same portable-hash trick the
+    MinHash/LSH gates use (``text.hash56``).
+
+    At 100 TB this is the triage query: a q=1/4 sample cuts the
+    dominant adjacency-join traffic ~16× (both join sides shrink by q,
+    wedge work by ~q²) for a ~few-% error at web-graph triangle
+    densities; the exact count runs only when the estimate says it's
+    worth it."""
+    if not (0 < rate_num <= rate_den):
+        raise ValueError(f"need 0 < rate_num <= rate_den, got {rate_num}/{rate_den}")
+    from paralleltrianglecounting_spark.operators.text import hash56
+
+    key = F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string"))
+    sampled = edges.where((hash56(key) % F.lit(rate_den)) < F.lit(rate_num))
+    scale = float(rate_den) ** 3 / float(rate_num) ** 3
+    t = triangle_count(sampled, strategy=strategy)
+    n = sampled.agg(F.count(F.lit(1)).alias("sampled_edges"))
+    return t.crossJoin(n).select(
+        F.col("triangles").alias("sample_triangles"),
+        F.col("sampled_edges"),
+        F.round(F.col("triangles") * F.lit(scale), 4).alias("triangles_est"),
+    )

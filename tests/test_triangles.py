@@ -264,3 +264,36 @@ def test_orient_arrays_matches_spark_orientation(spark):
         tbl.column("dst").to_numpy(zero_copy_only=False),
     )
     assert {(int(a), int(b)) for a, b in zip(s, d)} == want
+
+
+def test_approx_triangle_count_deterministic_and_converging(spark):
+    """DOULION hash-sampled estimate: q=1 degenerates to the exact
+    count; lower q stays within sampling error; the sample is a pure
+    function of the input so every value is golden-pinned (the same
+    determinism the DuckDB gate relies on)."""
+    from paralleltrianglecounting_spark.operators.triangles import (
+        approx_triangle_count,
+    )
+
+    edges = read_g_file(spark, reference_graph("graph_10k"))
+    want = {
+        (1, 1): (20299, 59965, 20299.0),
+        (1, 2): (2576, 30111, 20608.0),
+        (1, 4): (334, 15205, 21376.0),
+    }
+    for (num, den), (st, se, est) in want.items():
+        r = approx_triangle_count(edges, num, den).collect()[0]
+        assert (r["sample_triangles"], r["sampled_edges"], r["triangles_est"]) == (
+            st,
+            se,
+            est,
+        ), (num, den)
+        assert r["triangles_est"] == round(st * (den / num) ** 3, 4)
+    # q=1/2 and 1/4 estimates bracket the truth within ~6%
+    assert abs(20608.0 - 20299) / 20299 < 0.06
+    assert abs(21376.0 - 20299) / 20299 < 0.06
+
+    with pytest.raises(ValueError):
+        approx_triangle_count(edges, 0, 4)
+    with pytest.raises(ValueError):
+        approx_triangle_count(edges, 5, 4)
