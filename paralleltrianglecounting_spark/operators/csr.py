@@ -149,6 +149,38 @@ def orient_arrays(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndar
     return np.where(swap, dst, src), np.where(swap, src, dst)
 
 
+def build_oriented_csr(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused ``orient_arrays`` + ``build_global_csr`` over CANONICAL
+    edge arrays: one ``np.unique`` (the dominant serial cost — the
+    two-step path pays it twice) and one flat int64 key sort instead of
+    a lexsort. This is the serial driver-side fraction of the
+    broadcast-CSR regime, i.e. its Amdahl floor — keep it lean.
+    Equivalence to the two-step path is pinned by pytest."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    ids = np.concatenate([src, dst])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    inv = inv.astype(np.int64, copy=False)
+    s, d = inv[: src.size], inv[src.size :]
+    n_v = int(uniq.size)
+    deg = np.bincount(inv, minlength=n_v)
+    # (deg, code) lexicographic == orient_edges' struct(degree, id)
+    swap = (deg[s] > deg[d]) | ((deg[s] == deg[d]) & (s > d))
+    s_code = np.where(swap, d, s)
+    d_code = np.where(swap, s, d)
+    # codes < n_v, so s*K+d is collision-free and one flat sort orders
+    # rows and sorts neighbors within each row simultaneously
+    k = np.int64(1 << max(n_v.bit_length(), 1))
+    key = np.sort(s_code * k + d_code)
+    s_code, d_code = key // k, key % k
+    row_ptr = np.zeros(n_v + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s_code, minlength=n_v), out=row_ptr[1:])
+    col_dtype = np.int32 if n_v <= np.iinfo(np.int32).max else np.int64
+    return uniq, row_ptr, d_code.astype(col_dtype, copy=False)
+
+
 def build_global_csr(
     src: np.ndarray, dst: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

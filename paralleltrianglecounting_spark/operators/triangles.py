@@ -233,23 +233,23 @@ def _csr_broadcast_frame(edges: DataFrame, mode: str) -> DataFrame:
     """
     from paralleltrianglecounting_spark.operators.csr import (
         balance_slabs,
-        build_global_csr,
+        build_oriented_csr,
         cumulative_row_cost,
         make_slab_kernel,
-        orient_arrays,
     )
 
     spark = edges.sparkSession
     sc = spark.sparkContext
-    # collect the CANONICAL table (pure scan, no shuffle) and orient
-    # driver-side — the degree-agg + two-join orientation plan is pure
-    # overhead once the edge list is in driver memory anyway
+    # collect the CANONICAL table (pure scan, no shuffle) and orient +
+    # pack driver-side in one fused pass — the degree-agg + two-join
+    # orientation plan is pure overhead once the edge list is in driver
+    # memory anyway, and the fused build is the serial Amdahl fraction
+    # of this regime (see build_oriented_csr)
     tbl = edges.select("src", "dst").toArrow()
-    src, dst = orient_arrays(
+    uniq, row_ptr, col = build_oriented_csr(
         tbl.column("src").to_numpy(zero_copy_only=False),
         tbl.column("dst").to_numpy(zero_copy_only=False),
     )
-    uniq, row_ptr, col = build_global_csr(src, dst)
     cum = cumulative_row_cost(row_ptr, col)
     bounds = balance_slabs(cum, max(sc.defaultParallelism, 1))
     n_slabs = max(len(bounds) - 1, 1)

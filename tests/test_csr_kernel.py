@@ -197,3 +197,26 @@ def test_empty_and_single_edge_csr():
             _, _, sizes, _ = _slab_pairs(row_ptr, col, c, d, False)
             total += int(sizes.sum())
     assert total == 0
+
+
+def test_build_oriented_csr_equals_two_step():
+    """The fused orient+pack equals orient_arrays -> build_global_csr
+    array-for-array on dense, huge, and negative id regimes."""
+    from paralleltrianglecounting_spark.operators.csr import (
+        build_oriented_csr,
+        orient_arrays,
+    )
+
+    rng = random.Random(23)
+    for id_map in (None, lambda a: a * 977 + (1 << 40), lambda a: a * 13 - 600):
+        src, dst = _rand_oriented(rng, 80, 600, id_map)
+        u1, r1, c1 = build_oriented_csr(src, dst)
+        os_, od_ = orient_arrays(src, dst)
+        u2, r2, c2 = build_global_csr(os_, od_)
+        assert np.array_equal(u1, u2)
+        assert np.array_equal(r1, r2)
+        assert np.array_equal(c1, c2)
+    # empty graph
+    z = np.zeros(0, dtype=np.int64)
+    u, r, c = build_oriented_csr(z, z)
+    assert u.size == 0 and r.tolist() == [0] and c.size == 0
