@@ -29,11 +29,17 @@ from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.operators.bfs import bfs_distances
 from paralleltrianglecounting_spark.operators.components import connected_components
-from paralleltrianglecounting_spark.operators.degrees import degree_histogram
+from paralleltrianglecounting_spark.operators.degrees import (
+    degree_assortativity,
+    degree_histogram,
+)
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.kcore import k_core
 from paralleltrianglecounting_spark.operators.ktruss import k_truss
-from paralleltrianglecounting_spark.operators.labelprop import label_propagation
+from paralleltrianglecounting_spark.operators.labelprop import (
+    community_modularity,
+    label_propagation,
+)
 from paralleltrianglecounting_spark.operators.pagerank import (
     pagerank,
     personalized_pagerank,
@@ -279,6 +285,49 @@ SELECT DISTINCT u AS vertex FROM (
     )
 
 
+def _modularity_oracle_sql() -> str:
+    """Newman Q over the LPA_ITERS-unrolled label chain (same CTEs as
+    the LPA oracle, then an O(#communities) combine)."""
+    ctes = [_EDGES_CTE, "lbl0 AS (SELECT v, v AS label FROM verts)"]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""cnt{i} AS (
+  SELECT b.v AS v, l.label AS label, count(*) AS c
+  FROM bidir b JOIN lbl{i - 1} l ON b.u = l.v
+  GROUP BY b.v, l.label
+),
+lbl{i} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+)"""
+        )
+    n = LPA_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+intra AS (
+  SELECT l1.label AS label, count(*) AS e_c
+  FROM edges e
+  JOIN lbl{n} l1 ON l1.v = e.src
+  JOIN lbl{n} l2 ON l2.v = e.dst
+  WHERE l1.label = l2.label
+  GROUP BY l1.label
+),
+degc AS (
+  SELECT l.label AS label, sum(d.degree) AS d_c
+  FROM deg d JOIN lbl{n} l ON l.v = d.v GROUP BY l.label
+),
+mm AS (SELECT count(*)::DOUBLE AS m FROM edges)
+SELECT round(sum(coalesce(i.e_c, 0)::DOUBLE / mm.m
+             - pow(dc.d_c::DOUBLE / (2 * mm.m), 2)), {ROUND}) AS modularity_r
+FROM degc dc LEFT JOIN intra i ON i.label = dc.label, mm"""
+    )
+
+
 def _lpa_oracle_sql() -> str:
     """Synchronous LPA unrolled to LPA_ITERS steps; most-frequent
     neighbor label, ties -> min label (row_number over (cnt DESC, label))."""
@@ -406,6 +455,16 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = part_graph(spark, sf_dir)
     seeds = _degrees(edges).select("vertex").orderBy("vertex").limit(BFS_SEEDS)
     return bfs_distances(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_assortativity(part_graph(spark, sf_dir))
+
+
+def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    labels = label_propagation(edges, iterations=LPA_ITERS, detect_stability=False)
+    return community_modularity(edges, labels)
 
 
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_triangle_count": _q_approx_triangle_count,
         "bfs_distances": _q_bfs_distances,
         "degree_histogram": _q_degree_histogram,
+        "degree_assortativity": _q_degree_assortativity,
+        "community_modularity": _q_community_modularity,
         "edge_jaccard": _q_edge_jaccard,
         "label_propagation": _q_label_propagation,
         "token_stats": _q_token_stats,
@@ -949,6 +1010,12 @@ bfs(vertex, d) AS (
 SELECT vertex, min(d) AS dist FROM bfs GROUP BY vertex""",
         "degree_histogram": f"""WITH {_EDGES_CTE}
 SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree""",
+        "degree_assortativity": f"""WITH {_EDGES_CTE}
+SELECT round(corr(du.degree, dv.degree), {ROUND}) AS assortativity_r
+FROM bidir b
+JOIN deg du ON du.v = b.u
+JOIN deg dv ON dv.v = b.v""",
+        "community_modularity": _modularity_oracle_sql(),
         "edge_jaccard": f"""WITH {_EDGES_CTE},
 {_TRI_CTE},
 tri_edges AS (

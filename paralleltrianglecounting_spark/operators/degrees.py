@@ -49,3 +49,30 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .groupBy("degree")
         .agg(F.count("*").alias("n_vertices"))
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """[assortativity_r] — the degree-assortativity coefficient:
+    Pearson correlation of (deg(u), deg(v)) over the BIDIRECTED edge
+    list (each undirected edge contributes both orientations, the
+    standard Newman 2002 convention, which makes the measure symmetric
+    without a half-weight correction). Negative on hub-and-spoke link
+    graphs (hubs attach to leaves), positive on social-style graphs.
+
+    Plan: two broadcast-able degree lookups on the bidirected view,
+    then one codegen'd corr aggregate — a single pass, no shuffle
+    beyond the degree table itself. Pearson r is invariant to the
+    sample/population variance convention (the 1/(n-1) cancels), so
+    the DuckDB ``corr`` oracle matches bit-for-bit up to float
+    summation order (rounded to 6)."""
+    from paralleltrianglecounting_spark.sources.edges import bidirected
+
+    deg = degrees(edges)
+    du = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("_dv"))
+    return (
+        bidirected(edges)
+        .join(du, "src")
+        .join(dv, "dst")
+        .agg(F.round(F.corr("_du", "_dv"), 6).alias("assortativity_r"))
+    )

@@ -107,3 +107,44 @@ def label_propagation_run(
     result = runner.run(init, step, stop_when_stable=detect_stability, resume=resume)
     adj.unpersist()
     return result
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """[modularity_r] — Newman modularity Q of a vertex partition over
+    the undirected graph: Q = Σ_c (e_c/m − (d_c/2m)²) with m = |E|,
+    e_c = intra-community edge count, d_c = total degree of community c.
+    The standard objective for judging LPA/community output quality.
+
+    Plan: two label lookups on the canonical edge table (same-label
+    filter → one small hash agg per community), one degree⋈label agg,
+    then a single-row combine — everything past the label join is
+    O(#communities). ``labels``: [vertex, label] (e.g. the output of
+    ``label_propagation``)."""
+    from paralleltrianglecounting_spark.operators.degrees import degrees
+
+    lu = labels.select(F.col("vertex").alias("src"), F.col("label").alias("_lu"))
+    lv = labels.select(F.col("vertex").alias("dst"), F.col("label").alias("_lv"))
+    m = edges.count()
+    if m == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([(0.0,)], "modularity_r double")
+    intra = (
+        edges.join(lu, "src")
+        .join(lv, "dst")
+        .where(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg_c = (
+        degrees(edges)
+        .join(labels, "vertex")
+        .groupBy("label")
+        .agg(F.sum("degree").alias("d_c"))
+    )
+    per_c = deg_c.join(intra, "label", "left").select(
+        (
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / F.lit(float(m))
+            - (F.col("d_c").cast("double") / F.lit(2.0 * m)) ** 2
+        ).alias("q_c")
+    )
+    return per_c.agg(F.round(F.sum("q_c"), 6).alias("modularity_r"))

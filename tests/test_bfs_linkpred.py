@@ -109,3 +109,66 @@ def test_edge_jaccard_triangle_free_and_degree_one(spark):
     assert got == {(1, 2): (0, 0.0), (2, 3): (0, 0.0), (3, 4): (0, 0.0)}
     lone = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert edge_jaccard(lone).collect()[0]["jaccard_r"] == 0.0
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.degrees import (
+        degree_assortativity,
+    )
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    rows = edges.collect()
+    deg = defaultdict(int)
+    for r in rows:
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    xs, ys = [], []
+    for r in rows:
+        xs += [deg[r["src"]], deg[r["dst"]]]
+        ys += [deg[r["dst"]], deg[r["src"]]]
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    got = degree_assortativity(edges).collect()[0]["assortativity_r"]
+    assert abs(got - want) < 2e-6
+    # a star is maximally disassortative (r -> -1 as leaves grow)
+    star = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
+    assert degree_assortativity(star).collect()[0]["assortativity_r"] == -1.0
+
+
+def test_community_modularity_matches_bruteforce(spark):
+    from paralleltrianglecounting_spark.operators.labelprop import (
+        community_modularity,
+        label_propagation,
+    )
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    labels_df = label_propagation(edges, iterations=3, detect_stability=False)
+    labels = {r["vertex"]: r["label"] for r in labels_df.collect()}
+    rows = edges.collect()
+    m = len(rows)
+    e_c, d_c = defaultdict(int), defaultdict(int)
+    for r in rows:
+        if labels[r["src"]] == labels[r["dst"]]:
+            e_c[labels[r["src"]]] += 1
+        d_c[labels[r["src"]]] += 1
+        d_c[labels[r["dst"]]] += 1
+    want = round(
+        sum(e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c), 6
+    )
+    got = community_modularity(edges, labels_df).collect()[0]["modularity_r"]
+    assert abs(got - want) < 2e-6
+
+    # two disjoint triangles labeled by component: Q = 2*(1/2 - 1/4) = 0.5
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (11, 12), (12, 13), (11, 13)],
+        "src long, dst long",
+    )
+    lbl = spark.createDataFrame(
+        [(v, v // 10) for v in (1, 2, 3, 11, 12, 13)], "vertex long, label long"
+    )
+    assert community_modularity(two, lbl).collect()[0]["modularity_r"] == 0.5
+    # everything in ONE community: Q = 1 - 1 = 0
+    one = spark.createDataFrame([(v, 0) for v in (1, 2, 3, 11, 12, 13)],
+                                "vertex long, label long")
+    assert community_modularity(two, one).collect()[0]["modularity_r"] == 0.0
