@@ -67,3 +67,62 @@ def test_cc_and_lpa_agree_with_oracles(spark, pairs):
         for r in label_propagation(df, iterations=3, detect_stability=False).collect()
     }
     assert got_lpa == label_propagation_oracle(canon, iterations=3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=edge_lists, k=st.integers(3, 6), max_hops=st.integers(0, 4))
+def test_ktruss_and_bfs_agree_with_oracles(spark, pairs, k, max_hops):
+    """Arbitrary small graphs: synchronous k-truss must match
+    sequential support peeling, multi-source BFS must match a queue
+    BFS (cap included), on every hypothesis-generated topology."""
+    from collections import defaultdict, deque
+
+    from paralleltrianglecounting_spark.operators.bfs import bfs_distances
+    from paralleltrianglecounting_spark.operators.ktruss import k_truss
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in pairs if u != v})
+    if canon:
+        df = spark.createDataFrame(canon, "src long, dst long")
+    else:
+        df = spark.createDataFrame([], "src long, dst long")
+
+    # k-truss vs sequential peeling
+    E = set(canon)
+    while True:
+        adj = defaultdict(set)
+        for u, v in E:
+            adj[u].add(v)
+            adj[v].add(u)
+        keep = {(u, v) for u, v in E if len(adj[u] & adj[v]) >= k - 2}
+        if keep == E:
+            break
+        E = keep
+    got = {(r["src"], r["dst"]) for r in k_truss(df, k=k).collect()}
+    assert got == E, (k, canon)
+
+    # BFS from the two smallest vertices present (plus a ghost seed)
+    verts = sorted({x for e in canon for x in e})
+    seeds = verts[:2] + [10**6]
+    dist = {s: 0 for s in seeds}
+    adj = defaultdict(set)
+    for u, v in canon:
+        adj[u].add(v)
+        adj[v].add(u)
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got_d = {
+        r["vertex"]: r["dist"]
+        for r in bfs_distances(df, seeds, max_hops=max_hops).collect()
+    }
+    assert got_d == dist, (max_hops, seeds, canon)
