@@ -194,7 +194,24 @@ def strategy_cost_estimate(edges: DataFrame) -> dict[str, float]:
 
 
 def choose_strategy(edges: DataFrame) -> str:
-    """Pick 'wedge' or 'intersect' from the degree-derived cost probe."""
+    """Pick the physical strategy from measured policy (the moral analog
+    of the reference's config search, ``CV_PROGRAM/orchestrator.cpp``):
+
+    1. Small graphs (≤ 1/4 of the broadcast gate, i.e. ≤ ~4 M edges /
+       ~16 MB of codes): the broadcast-CSR slab kernel — it measured
+       fastest at every under-gate scale tried (graph_100 0.41 s vs
+       intersect 1.59 s; graph_10k 0.41 vs 2.37; sf0.1 2.3 vs 3.5;
+       BENCH/reference_parity.json, BENCH/sf01_bench_r03.json). The
+       1/4 margin keeps auto clear of the collect-cost crossover seen
+       at the gate boundary (sf1: 19.4 vs 18.1 — a tie).
+    2. Otherwise: wedge vs intersect from the degree-derived cost probe
+       (``strategy_cost_estimate``).
+
+    All strategies are exact, so auto only ever changes the plan,
+    never the answer."""
+    n, _, _ = _edge_stats(edges)
+    if n <= CSR_BROADCAST_MAX_EDGES // 4:
+        return "csr_bcast"
     est = strategy_cost_estimate(edges)
     if est["wedge_rows"] < AUTO_WEDGE_RATIO * est["intersect_elems"]:
         return "wedge"

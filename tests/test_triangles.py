@@ -182,27 +182,36 @@ def test_compact_id_probe_memoized_across_recreated_dataframes(spark, tmp_path):
     tri_mod._EDGE_STATS_CACHE.clear()
 
 
-def test_auto_strategy_picks_by_cost_probe(spark):
-    """strategy='auto' (VERDICT r03 #5): the degree-derived cost probe
-    picks wedge in the W≈0 regime (star orientation — no vertex has two
-    out-neighbors, nothing to shuffle) and intersect on dense graphs
-    (W/I well above the crossover, where intersect measured faster at
-    every scale tried), and the count is unchanged either way."""
+def test_auto_strategy_picks_by_cost_probe(spark, monkeypatch):
+    """strategy='auto': small graphs route to the broadcast-CSR kernel
+    (measured fastest at every under-gate scale); past the small-graph
+    margin the degree-derived cost probe picks wedge in the W≈0 regime
+    (star orientation — no vertex has two out-neighbors, nothing to
+    shuffle) and intersect on dense graphs (W/I well above the
+    crossover). The count is unchanged on every route."""
+    from paralleltrianglecounting_spark.operators import triangles as tri_mod
     from paralleltrianglecounting_spark.operators.triangles import (
         choose_strategy,
         strategy_cost_estimate,
     )
 
-    # star: hub 0 + 50 pendants -> every pendant has d+=1, hub d+=0 -> W=0
     star = spark.createDataFrame([(0, i) for i in range(1, 51)], "src long, dst long")
+    dense = read_g_file(spark, reference_graph("graph_100"))
+
+    # under the small-graph margin both route to the broadcast kernel
+    assert choose_strategy(star) == "csr_bcast"
+    assert choose_strategy(dense) == "csr_bcast"
+    assert triangle_count(star, strategy="auto").collect()[0]["triangles"] == 0
+    assert triangle_count(dense, strategy="auto").collect()[0]["triangles"] == 373
+
+    # past the margin (gate forced to 0) the cost probe decides:
+    # star -> every pendant has d+=1, hub d+=0 -> W=0 -> wedge;
+    # dense graph_100 -> W/I far above the crossover -> intersect
+    monkeypatch.setattr(tri_mod, "CSR_BROADCAST_MAX_EDGES", 0)
     est = strategy_cost_estimate(star)
     assert est["wedge_rows"] == 0 and est["intersect_elems"] > 0
     assert choose_strategy(star) == "wedge"
     assert triangle_count(star, strategy="auto").collect()[0]["triangles"] == 0
-
-    # dense: the reference's graph_100 (373 triangles, W/I far above the
-    # crossover) -> intersect, count unchanged vs the golden value
-    dense = read_g_file(spark, reference_graph("graph_100"))
     est = strategy_cost_estimate(dense)
     assert est["wedge_rows"] > 0.125 * est["intersect_elems"]
     assert choose_strategy(dense) == "intersect"
