@@ -40,7 +40,7 @@ from paralleltrianglecounting_spark.plans.superstep import (
 )
 
 
-def edge_support(edges: DataFrame, strategy: str = "intersect") -> DataFrame:
+def edge_support(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     """[src, dst, support] per canonical edge: the number of triangles
     through the edge (= |N(src) ∩ N(dst)|). Edges in no triangle get
     support 0."""

@@ -376,7 +376,14 @@ def triangle_triples(
 ) -> DataFrame:
     """[a, b, c]: one row per triangle (a,b = the oriented edge's low/high
     corner, c = closing vertex). Exactly one row per triangle.
-    Ids are long at this boundary regardless of the internal width."""
+    Ids are long at this boundary regardless of the internal width.
+    ``'auto'``: broadcast kernel under the small-graph margin, else
+    the JVM intersect-explode (wedge has no triples form)."""
+    if strategy == "auto":
+        n, _, _ = _edge_stats(edges)
+        strategy = (
+            "csr_bcast" if n <= CSR_BROADCAST_MAX_EDGES // 4 else "intersect"
+        )
     strategy = _route_csr(edges, strategy)
     if strategy == "csr_bcast":
         return _csr_broadcast_frame(edges, "triples")
@@ -549,7 +556,7 @@ def _wedge_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def edge_jaccard(edges: DataFrame, strategy: str = "intersect") -> DataFrame:
+def edge_jaccard(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     """[src, dst, common_neighbors, jaccard_r] per canonical edge —
     neighborhood-overlap link scoring (the standard link-prediction /
     community-edge-strength primitive; an edge whose endpoints share
