@@ -404,7 +404,7 @@ def triangle_triples(
     )
 
 
-def triangles_per_vertex(edges: DataFrame, strategy: str = "intersect") -> DataFrame:
+def triangles_per_vertex(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     """[vertex, triangles]: per-vertex triangle participation (each
     triangle counts once for each of its three corners). Vertices in no
     triangle report 0 — the vertex universe comes from the edge table,
