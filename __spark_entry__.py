@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.operators.bfs import bfs_distances
-from paralleltrianglecounting_spark.operators.components import connected_components
+from paralleltrianglecounting_spark.operators.components import (
+    component_sizes,
+    connected_components,
+)
 from paralleltrianglecounting_spark.operators.degrees import (
     degree_assortativity,
     degree_histogram,
@@ -405,6 +408,10 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(part_graph(spark, sf_dir))
 
 
+def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return component_sizes(part_graph(spark, sf_dir))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(
         part_graph(spark, sf_dir), damping=PAGERANK_DAMPING, iterations=PAGERANK_ITERS
@@ -609,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering_coefficient,
         "wedge_count": _q_wedge_count,
         "connected_components": _q_connected_components,
+        "component_sizes": _q_component_sizes,
         "pagerank": _q_pagerank,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -977,6 +985,14 @@ cc(v, l) AS (
   SELECT b.v, cc.l FROM cc JOIN bidir b ON b.u = cc.v WHERE cc.l < b.v
 )
 SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
+        "component_sizes": f"""WITH RECURSIVE {_EDGES_CTE},
+cc(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT b.v, cc.l FROM cc JOIN bidir b ON b.u = cc.v WHERE cc.l < b.v
+),
+lbl AS (SELECT v, min(l) AS component FROM cc GROUP BY v)
+SELECT component, count(*) AS n_vertices FROM lbl GROUP BY component""",
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),

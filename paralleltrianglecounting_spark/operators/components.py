@@ -167,3 +167,16 @@ def components_run(
         converged=result.converged,
         metrics=result.metrics,
     )
+
+
+def component_sizes(edges: DataFrame) -> DataFrame:
+    """[component, n_vertices] — size of every connected component (the
+    giant-component diagnostic: on a healthy link graph one component
+    holds most vertices and the size histogram of the rest is the crawl
+    -frontier / spam-island signal). One hash aggregate over the
+    converged labels; output is O(#components)."""
+    return (
+        connected_components(edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )

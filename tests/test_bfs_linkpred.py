@@ -172,3 +172,17 @@ def test_community_modularity_matches_bruteforce(spark):
     one = spark.createDataFrame([(v, 0) for v in (1, 2, 3, 11, 12, 13)],
                                 "vertex long, label long")
     assert community_modularity(two, one).collect()[0]["modularity_r"] == 0.0
+
+
+def test_component_sizes(spark):
+    from paralleltrianglecounting_spark.operators.components import (
+        component_sizes,
+    )
+
+    # two triangles + an isolated edge: sizes 3, 3, 2 keyed by min id
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (11, 12), (12, 13), (11, 13), (50, 51)],
+        "src long, dst long",
+    )
+    got = {r["component"]: r["n_vertices"] for r in component_sizes(df).collect()}
+    assert got == {1: 3, 11: 3, 50: 2}
