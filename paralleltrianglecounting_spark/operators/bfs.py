@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from paralleltrianglecounting_spark.plans.superstep import (
     SuperstepResult,
     SuperstepRunner,
+    table_identity,
 )
 from paralleltrianglecounting_spark.sources.edges import bidirected
 
@@ -104,11 +105,28 @@ def bfs_run(
         )
         return state.unionByName(new), {"level": i + 1}
 
+    # the runner's default identity derives from the init state, which
+    # here is the SEED SET only (graph-independent): resuming the same
+    # seeds against a different graph's checkpoint_dir must be refused,
+    # so the identity names the edge table too (ADVICE r03 #1). Only
+    # paid when checkpointing.
+    identity = None
+    if checkpoint_dir is not None:
+        identity = (
+            table_identity(edges.select("src", "dst"), "src", "dst", tag="edges")
+            + "|"
+            + table_identity(seed_df, "vertex", tag="seeds")
+        )
+        # max_hops is deliberately NOT part of the identity: resuming
+        # with a larger cap from a capped run's checkpoints is the
+        # restartability contract, not a different computation
+
     runner = SuperstepRunner(
         spark,
         name="bfs",
         checkpoint_dir=checkpoint_dir,
         max_iterations=max_hops,
+        identity=identity,
     )
     try:
         result = runner.run(init, step, stop_when_stable=True, resume=resume)

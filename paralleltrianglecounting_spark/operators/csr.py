@@ -40,6 +40,15 @@ import numpy as np
 import pyarrow as pa
 
 
+# rank-key packing headroom: every `row * K + value` key built in this
+# module must stay under 2^62 (verified in PYTHON-int space — np.int64
+# shifts wrap silently, the bug batch_intersections' k_int guard fixed).
+# Paths that would exceed it fall back (lexsort build / segmented merge)
+# instead of wrapping (ADVICE r03 #4: the broadcast gate is env-tunable,
+# so "checked upstream" was not a guarantee).
+_PACK_MAX = 1 << 62
+
+
 def _csr(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(row_ptr, col_idx) view of an Arrow list column."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -171,10 +180,18 @@ def build_oriented_csr(
     s_code = np.where(swap, d, s)
     d_code = np.where(swap, s, d)
     # codes < n_v, so s*K+d is collision-free and one flat sort orders
-    # rows and sorts neighbors within each row simultaneously
-    k = np.int64(1 << max(n_v.bit_length(), 1))
-    key = np.sort(s_code * k + d_code)
-    s_code, d_code = key // k, key % k
+    # rows and sorts neighbors within each row simultaneously. Guard the
+    # pack in Python-int space; past ~2^31 vertices (only reachable by
+    # raising the env-tunable broadcast gate) fall back to a lexsort —
+    # same ordering, no packed key to wrap
+    k_int = 1 << max(n_v.bit_length(), 1)
+    if n_v * k_int < _PACK_MAX:
+        k = np.int64(k_int)
+        key = np.sort(s_code * k + d_code)
+        s_code, d_code = key // k, key % k
+    else:
+        order = np.lexsort((d_code, s_code))
+        s_code, d_code = s_code[order], d_code[order]
     row_ptr = np.zeros(n_v + 1, dtype=np.int64)
     np.cumsum(np.bincount(s_code, minlength=n_v), out=row_ptr[1:])
     col_dtype = np.int32 if n_v <= np.iinfo(np.int32).max else np.int64
@@ -276,6 +293,40 @@ def _slab_chunks(
         a = b
 
 
+def _owner_key_hits(
+    a_owner: np.ndarray,
+    a_val: np.ndarray,
+    b_owner: np.ndarray,
+    b_val: np.ndarray,
+    n_owners: int,
+    k_int: int,
+) -> np.ndarray:
+    """Boolean mask over the a-side: a_val[j] present in the b-values of
+    the same owner. Both sides sorted by (owner, value); keys are
+    ``owner * K + value``. When ``n_owners * K`` would overflow int64
+    (Python-int guard — ADVICE r03 #4), the merge runs over owner
+    SEGMENTS with rebased keys: owners are ascending, so each segment is
+    a contiguous slice and the per-segment key ``(owner - seg_start) * K
+    + value`` always fits. The no-overflow case is one segment — the
+    exact same single searchsorted as before."""
+    hit = np.zeros(a_val.size, dtype=bool)
+    if n_owners == 0:
+        return hit
+    seg = n_owners if n_owners * k_int < _PACK_MAX else max(_PACK_MAX // k_int, 1)
+    k = np.int64(k_int)
+    for s in range(0, n_owners, seg):
+        e = min(s + seg, n_owners)
+        a_lo, a_hi = np.searchsorted(a_owner, [s, e])
+        b_lo, b_hi = np.searchsorted(b_owner, [s, e])
+        if a_lo == a_hi or b_lo == b_hi:
+            continue
+        a_key = (a_owner[a_lo:a_hi] - s) * k + a_val[a_lo:a_hi]
+        b_key = (b_owner[b_lo:b_hi] - s) * k + b_val[b_lo:b_hi]
+        idx = np.minimum(np.searchsorted(b_key, a_key), b_key.size - 1)
+        hit[a_lo:a_hi] = b_key[idx] == a_key
+    return hit
+
+
 def _slab_pairs(
     row_ptr: np.ndarray, col: np.ndarray, a: int, b: int, want_values: bool
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
@@ -304,15 +355,8 @@ def _slab_pairs(
     a_val = col[a_pos].astype(np.int64, copy=False)
     b_owner, b_val = _gather_rows(row_ptr, col, pair_dst)
     b_val = b_val.astype(np.int64, copy=False)
-    # dense codes < n_v, so row*K+code never overflows for any graph
-    # that fit in memory to begin with (n_pairs·K < 2^62 checked upstream
-    # by the broadcast size gate)
-    k = np.int64(1 << max(int(row_ptr.size - 1).bit_length(), 1))
-    a_key = a_owner * k + a_val
-    b_key = b_owner * k + b_val
-    idx = np.searchsorted(b_key, a_key)
-    idx_c = np.minimum(idx, b_key.size - 1) if b_key.size else idx
-    hit = (b_key[idx_c] == a_key) if b_key.size else np.zeros(a_key.size, bool)
+    k_int = 1 << max(int(row_ptr.size - 1).bit_length(), 1)
+    hit = _owner_key_hits(a_owner, a_val, b_owner, b_val, n_pairs, k_int)
     sizes = np.bincount(a_owner[hit], minlength=n_pairs).astype(np.int64)
     if want_values:
         return pair_src, pair_dst, sizes, a_val[hit]

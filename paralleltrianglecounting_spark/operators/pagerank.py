@@ -166,6 +166,8 @@ def personalized_pagerank(
     iterations: int = 20,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    hub_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """[vertex, rank] of PageRank personalized to a seed set: teleport
     mass lands uniformly on ``seeds`` instead of all vertices
@@ -175,12 +177,28 @@ def personalized_pagerank(
     repo" over the co-occurrence graph).
 
     ``seeds``: a list of vertex ids or a DataFrame with a ``vertex``
-    column. Same superstep plan as :func:`pagerank` — the cached
-    pre-partitioned topology never re-exchanges; the only addition is
-    a broadcast left-join of the |S|-row reset vector onto the
-    aggregated ranks (|S| ≪ |V|, so it never shuffles)."""
+    column (deduplicated). Seeds absent from the edge table are KEPT —
+    they hold their (1-d)/|S| teleport share every iteration and, having
+    no out-edges, forward nothing (same keep-unknown-seeds semantics as
+    ``bfs_distances``; ADVICE r03 #3 — previously their mass silently
+    vanished and the rank vector summed short).
+
+    Same superstep plan as :func:`pagerank` — the cached pre-partitioned
+    topology never re-exchanges; the only addition is a broadcast
+    left-join of the |S|-row reset vector onto the aggregated ranks
+    (|S| ≪ |V|, so it never shuffles). ``hub_threshold``/``n_salts``
+    engage the same salted hub join as :func:`pagerank` (VERDICT r03
+    #4): value-identical output, only the physical key distribution of
+    the per-iteration message join changes."""
     return personalized_pagerank_run(
-        edges, seeds, damping, iterations, checkpoint_dir, resume
+        edges,
+        seeds,
+        damping,
+        iterations,
+        checkpoint_dir,
+        resume,
+        hub_threshold,
+        n_salts,
     ).state
 
 
@@ -191,16 +209,18 @@ def personalized_pagerank_run(
     iterations: int = 20,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    hub_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> SuperstepResult:
     spark = edges.sparkSession
     deg = degrees(edges).persist()
     n = deg.count()
     if isinstance(seeds, DataFrame):
-        seed_df = seeds.select("vertex")
+        seed_df = seeds.select("vertex").distinct()
     else:
         seed_df = spark.createDataFrame(
             [(int(s),) for s in seeds], "vertex long"
-        )
+        ).distinct()
     n_seeds = seed_df.count()
     if n == 0 or n_seeds == 0:
         empty = spark.createDataFrame([], "vertex long, rank double")
@@ -209,17 +229,39 @@ def personalized_pagerank_run(
     # sparse reset vector: |S| rows, broadcast — never a shuffle key
     reset_tbl = seed_df.withColumn("reset", F.lit(1.0 / n_seeds)).persist()
     reset = F.broadcast(reset_tbl)
+    # seeds with no incident edge: teleport-only vertices. They receive
+    # no messages (absent from the topology), so the aggregated-ranks
+    # join can never re-emit them — their constant rows are unioned in
+    # each superstep instead. |off| <= |S|, a broadcast-scale table.
+    off = seed_df.join(deg.select("vertex"), "vertex", "left_anti").persist()
+    n_off = off.count()
     adj = message_topology(edges, deg).persist()
     edge_count = adj.count()
+
+    hot = (
+        hot_vertices_by_degree(deg, hub_threshold)
+        .withColumnRenamed("vertex", "src")
+        .persist()
+        if hub_threshold is not None
+        else None
+    )
 
     init = (
         deg.join(reset, "vertex", "left")
         .select("vertex", F.coalesce("reset", F.lit(0.0)).alias("rank"))
     )
+    if n_off:
+        init = init.unionByName(
+            off.select("vertex", F.lit(1.0 / n_seeds).alias("rank"))
+        )
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         ranks_src = state.select(F.col("vertex").alias("src"), "rank")
-        messages = adj.join(ranks_src, "src").select(
+        if hot is not None:
+            joined = salted_join(adj, ranks_src, "src", hot, n_salts)
+        else:
+            joined = adj.join(ranks_src, "src")
+        messages = joined.select(
             F.col("dst").alias("vertex"),
             (F.col("rank") / F.col("degree")).alias("contrib"),
         )
@@ -231,6 +273,12 @@ def personalized_pagerank_run(
                 + damping * F.col("_s")
             ).alias("rank"),
         )
+        if n_off:
+            new_rank = new_rank.unionByName(
+                off.select(
+                    "vertex", F.lit((1.0 - damping) / n_seeds).alias("rank")
+                )
+            )
         return new_rank, {"messages_sent": edge_count, "seeds": n_seeds}
 
     runner = SuperstepRunner(
@@ -243,4 +291,7 @@ def personalized_pagerank_run(
     deg.unpersist()
     adj.unpersist()
     reset_tbl.unpersist()
+    off.unpersist()
+    if hot is not None:
+        hot.unpersist()
     return result

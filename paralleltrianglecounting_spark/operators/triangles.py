@@ -63,24 +63,52 @@ _EDGE_STATS_CACHE: dict[int, tuple[int, int | None, int | None]] = {}
 _EDGE_STATS_CACHE_MAX = 256
 
 
+# session-conf kill switch for the stats memo (pipelines that mutate
+# their sources in place can disable it; ADVICE r03 #5):
+#   spark.conf.set("spark.paralleltrianglecounting.edgeStatsCache", "false")
+_STATS_CACHE_CONF = "spark.paralleltrianglecounting.edgeStatsCache"
+
+
+def _stats_cache_enabled(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.conf.get(_STATS_CACHE_CONF, "true") != "false"
+    except Exception:
+        return True
+
+
 def _plan_key(df: DataFrame) -> int | None:
     try:
-        return int(df._jdf.queryExecution().analyzed().semanticHash())
+        key = int(df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:  # non-JVM test doubles / API drift: probe uncached
         return None
+    # an append-mutated file source keeps its semanticHash, so fold the
+    # leaf file listing into the key where the plan exposes one: a new
+    # part file (or a rewritten one under a new name) invalidates the
+    # memo instead of serving stale stats (ADVICE r03 #5). inputFiles()
+    # is driver-side metadata already gathered by the file index — no
+    # job. In-place overwrites of the SAME file name remain undetectable;
+    # the conf switch above covers that shape.
+    try:
+        files = df.inputFiles()
+        if files:
+            key = hash((key, len(files), hash(tuple(sorted(files)))))
+    except Exception:
+        pass
+    return key
 
 
 def _edge_stats(edges: DataFrame) -> tuple[int, int | None, int | None]:
     """(edge_count, min(src), max(dst)) in one aggregate job, memoized
     per semantically-equal plan (see ``_EDGE_STATS_CACHE``).
 
-    The memo assumes the underlying source is immutable while cached: a
-    plan over an append-mutated parquet dir keeps its semanticHash, so
-    stale stats would route post-append ids > 2^31-1 into the int32
-    path. Callers over mutating sources must pass ``compact_ids`` /
-    ``strategy`` explicitly (the auto-detect is a convenience for the
-    immutable-snapshot shape every query here reads)."""
-    key = _plan_key(edges)
+    Staleness (ADVICE r03 #5): appends that add part files are caught —
+    the key folds in the leaf file listing (``_plan_key``). What remains
+    undetectable is an in-place rewrite under identical file names;
+    pipelines with that shape should pass ``compact_ids`` / ``strategy``
+    explicitly or disable the memo with
+    ``spark.conf.set("spark.paralleltrianglecounting.edgeStatsCache",
+    "false")``."""
+    key = _plan_key(edges) if _stats_cache_enabled(edges) else None
     if key is not None and key in _EDGE_STATS_CACHE:
         return _EDGE_STATS_CACHE[key]
     row = edges.agg(
@@ -311,7 +339,10 @@ def edge_triangle_counts(
     broadcast_adj: bool | None = None,
     compact_ids: bool | None = None,
 ) -> DataFrame:
-    """[src, dst, tri_cnt]: per-oriented-edge triangle closings.
+    """[src, dst, tri_cnt]: per-oriented-edge triangle closings — every
+    oriented edge appears, triangle-free edges with tri_cnt 0, under
+    EVERY strategy (the wedge route left-joins its counts back onto the
+    oriented edge set; ADVICE r03 #2).
     Ids are long at this boundary regardless of the internal width.
     ``strategy='auto'`` picks wedge vs intersect from the degree-table
     cost probe (``choose_strategy``); ``'csr'`` routes to the broadcast
@@ -321,7 +352,7 @@ def edge_triangle_counts(
         strategy = choose_strategy(edges)
     strategy = _route_csr(edges, strategy)
     if strategy == "wedge":
-        return _wedge_counts(edges)
+        return _wedge_counts(edges, complete=True)
     if strategy == "csr_bcast":
         return _csr_broadcast_frame(edges, "edges")
     pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
@@ -364,7 +395,12 @@ def triangle_count(
     if strategy == "csr_bcast":
         per_slab = _csr_broadcast_frame(edges, "count")
         return per_slab.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
-    per_edge = edge_triangle_counts(edges, strategy, broadcast_adj, compact_ids)
+    if strategy == "wedge":
+        # only the sum matters here, so skip the zero-completion join the
+        # per-edge contract needs (see _wedge_counts)
+        per_edge = _wedge_counts(edges, complete=False)
+    else:
+        per_edge = edge_triangle_counts(edges, strategy, broadcast_adj, compact_ids)
     return per_edge.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
 
 
@@ -529,11 +565,18 @@ def resumable_total(result) -> int:
     return int(row["t"])
 
 
-def _wedge_counts(edges: DataFrame) -> DataFrame:
+def _wedge_counts(edges: DataFrame, complete: bool = True) -> DataFrame:
     """Relational strategy: wedges (s→t, s→w with rank t < rank w) closed
     by a left-semi join against the oriented edge table. The semi-join is
     the reference's hash-set probe (J3); Catalyst picks broadcast/
-    shuffled-hash/SMJ from stats."""
+    shuffled-hash/SMJ from stats.
+
+    ``complete=True`` (the per-edge contract) left-joins the counts back
+    onto the full oriented edge set so triangle-free edges report 0 —
+    the same row universe as every other strategy (ADVICE r03 #2: 'auto'
+    must never change the output rows, only the plan). The pure-count
+    path (``triangle_count``) passes ``complete=False`` to skip the
+    join: zeros don't change the sum."""
     oriented = orient_edges(edges).select("src", "dst", "dst_rank")
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -551,8 +594,19 @@ def _wedge_counts(edges: DataFrame) -> DataFrame:
         ["t", "w"],
         "left_semi",
     )
-    return closed.groupBy(F.col("apex").alias("src"), F.col("t").alias("dst")).agg(
+    counts = closed.groupBy(F.col("apex").alias("src"), F.col("t").alias("dst")).agg(
         F.count("*").alias("tri_cnt")
+    )
+    if not complete:
+        return counts
+    return (
+        oriented.select("src", "dst")
+        .join(counts, ["src", "dst"], "left")
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("long").alias("tri_cnt"),
+        )
     )
 
 

@@ -60,6 +60,24 @@ def _state_fingerprint(df: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def table_identity(df: DataFrame, *cols: str, tag: str = "table") -> str:
+    """Fingerprint identity string for a run's INPUT table (count +
+    order-insensitive xxhash64 sum over ``cols``) — what algorithms whose
+    init state is input-independent (or only partly input-dependent, like
+    BFS whose init is the seed set alone) must pass as
+    ``SuperstepRunner(identity=...)`` so a resume against a different
+    graph's checkpoint_dir is refused (ADVICE r03 #1). One aggregate job,
+    paid only on checkpointed runs."""
+    cs = list(cols) or df.columns
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*cs).cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return f"{tag}:{int(row['n'])}:{int(row['h'])}"
+
+
 def _partition_lineage(df: DataFrame) -> list[dict]:
     """Per-partition row counts — the 'per-partition lineage' recorded in
     every superstep manifest (which partition contributed how many state

@@ -128,8 +128,11 @@ def personalized_pagerank_oracle(
     iterations: int = 20,
 ) -> dict[int, float]:
     """Seed-biased power iteration matching the engine: reset = 1/|S| on
-    seeds (0 elsewhere), init = reset, rank' = (1-d)·reset + d·Σ."""
-    ids = sorted({v for e in edges for v in e})
+    seeds (0 elsewhere), init = reset, rank' = (1-d)·reset + d·Σ.
+    Seeds absent from the edge set are kept: they hold (1-d)/|S| after
+    the first iteration (their damped share leaks — dangling teleport
+    vertices), receive nothing, and send nothing."""
+    ids = sorted({v for e in edges for v in e} | set(seeds))
     idx = {v: i for i, v in enumerate(ids)}
     n = len(ids)
     deg = np.zeros(n)
@@ -141,7 +144,7 @@ def personalized_pagerank_oracle(
         reset[idx[s]] = 1.0 / len(seeds)
     pr = reset.copy()
     for _ in range(iterations):
-        contrib = pr / deg
+        contrib = np.divide(pr, deg, out=np.zeros(n), where=deg > 0)
         nxt = np.zeros(n)
         for u, v in edges:
             nxt[idx[u]] += contrib[idx[v]]

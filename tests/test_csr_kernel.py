@@ -220,3 +220,43 @@ def test_build_oriented_csr_equals_two_step():
     z = np.zeros(0, dtype=np.int64)
     u, r, c = build_oriented_csr(z, z)
     assert u.size == 0 and r.tolist() == [0] and c.size == 0
+
+
+def test_build_oriented_csr_lexsort_fallback_identical(monkeypatch):
+    """When n_v * K would overflow the packed sort key (Python-int
+    guard, ADVICE r03 #4), build_oriented_csr falls back to a lexsort —
+    forced here by shrinking the pack ceiling — and must produce the
+    byte-identical CSR."""
+    import paralleltrianglecounting_spark.operators.csr as csr_mod
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 500, 3000).astype(np.int64)
+    dst = rng.integers(0, 500, 3000).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    want = csr_mod.build_oriented_csr(src, dst)
+    monkeypatch.setattr(csr_mod, "_PACK_MAX", 4)  # force fallback
+    got = csr_mod.build_oriented_csr(src, dst)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+
+
+def test_slab_pairs_segmented_merge_identical(monkeypatch):
+    """The slab kernel's owner-key merge segments the owner range when
+    n_pairs * K would overflow int64 (ADVICE r03 #4); forced
+    segmentation must return identical intersections."""
+    import paralleltrianglecounting_spark.operators.csr as csr_mod
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 200, 2000).astype(np.int64)
+    dst = rng.integers(0, 200, 2000).astype(np.int64)
+    keep = src != dst
+    uniq, row_ptr, col = csr_mod.build_oriented_csr(src[keep], dst[keep])
+    n_v = row_ptr.size - 1
+    want = csr_mod._slab_pairs(row_ptr, col, 0, n_v, want_values=True)
+    # ceiling low enough that every segment holds only a few owners
+    k_int = 1 << max(int(n_v).bit_length(), 1)
+    monkeypatch.setattr(csr_mod, "_PACK_MAX", 7 * k_int)
+    got = csr_mod._slab_pairs(row_ptr, col, 0, n_v, want_values=True)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)

@@ -435,3 +435,75 @@ def test_k_truss_and_bfs_resume_from_checkpoint(spark, tmp_path):
     assert part.count() < len(want_d)
     full = bfs_distances(edges, seeds, max_hops=6, checkpoint_dir=ck2)
     assert {(r["vertex"], r["dist"]) for r in full.collect()} == want_d
+
+
+def test_personalized_pagerank_keeps_off_graph_seeds(spark):
+    """A seed with no incident edge keeps its teleport share instead of
+    silently vanishing (ADVICE r03 #3): it appears at exactly
+    (1-d)/|S| every iteration >= 1, receives nothing, sends nothing —
+    same keep-unknown-seeds semantics as bfs_distances."""
+    from paralleltrianglecounting_spark.operators.pagerank import personalized_pagerank
+    from tests.oracles import personalized_pagerank_oracle
+
+    edges = planted_triangles(spark, num_nodes=60, num_triangles=25, seed=7)
+    local = _local_edges(edges)
+    on = sorted({v for e in local for v in e})[:3]
+    seeds = on + [10_000_001]  # off-graph seed
+    want = personalized_pagerank_oracle(local, seeds, damping=0.85, iterations=6)
+    got = {
+        r.vertex: r.rank
+        for r in personalized_pagerank(edges, seeds, iterations=6).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert got[10_000_001] == pytest.approx((1 - 0.85) / len(seeds), abs=1e-15)
+
+
+def test_personalized_pagerank_salted_matches_unsalted(spark):
+    """hub_threshold/n_salts plumbed through PPR (VERDICT r03 #4): the
+    salted message join is value-identical, not just shape-identical."""
+    from paralleltrianglecounting_spark.operators.pagerank import personalized_pagerank
+
+    # star + triangles: vertex 0 is a hub over the salt threshold
+    hub = [(0, i) for i in range(1, 40)]
+    tris = [(1, 2), (2, 3), (1, 3), (5, 6)]
+    edges = spark.createDataFrame(hub + tris, "src long, dst long")
+    seeds = [0, 1, 5]
+    plain = {
+        r.vertex: r.rank
+        for r in personalized_pagerank(edges, seeds, iterations=5).collect()
+    }
+    salted = {
+        r.vertex: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=5, hub_threshold=10, n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for v, r in plain.items():
+        assert salted[v] == pytest.approx(r, abs=1e-12)
+
+
+def test_bfs_resume_refuses_other_graphs_checkpoints(spark, tmp_path):
+    """BFS's init state is the seed set alone, so the runner's default
+    init-derived identity cannot catch a graph switch — bfs_run must
+    stamp an edge-table fingerprint identity (ADVICE r03 #1)."""
+    import pytest as _pytest
+
+    from paralleltrianglecounting_spark.operators.bfs import bfs_distances
+
+    g1 = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    g2 = spark.createDataFrame([(0, 5), (5, 6), (6, 7)], "src long, dst long")
+    ck = str(tmp_path / "bfs_identity_ck")
+    bfs_distances(g1, [0], max_hops=1, checkpoint_dir=ck)
+    with _pytest.raises(ValueError, match="different graph"):
+        bfs_distances(g2, [0], max_hops=3, checkpoint_dir=ck, resume=True)
+    # same graph, larger cap: resume is allowed and completes the walk
+    d = {
+        r.vertex: r.dist
+        for r in bfs_distances(
+            g1, [0], max_hops=5, checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3}

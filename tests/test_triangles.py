@@ -306,3 +306,56 @@ def test_approx_triangle_count_deterministic_and_converging(spark):
         approx_triangle_count(edges, 0, 4)
     with pytest.raises(ValueError):
         approx_triangle_count(edges, 5, 4)
+
+
+def test_per_edge_row_universe_identical_across_strategies(spark):
+    """edge_triangle_counts returns EVERY oriented edge (zeros included)
+    under every strategy — 'auto' may change the plan but never the
+    output rows (ADVICE r03 #2: the wedge route used to emit only
+    tri_cnt > 0 edges)."""
+    from paralleltrianglecounting_spark.operators.triangles import (
+        edge_triangle_counts,
+    )
+
+    # triangle + pendant edge + isolated edge: two triangle-free edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (8, 9)], "src long, dst long"
+    )
+    results = {
+        s: {
+            (r.src, r.dst): r.tri_cnt
+            for r in edge_triangle_counts(edges, strategy=s).collect()
+        }
+        for s in ("intersect", "wedge", "csr_bcast", "csr_join")
+    }
+    base = results["intersect"]
+    # each triangle closes at exactly ONE oriented edge; the other four
+    # oriented edges must still appear with tri_cnt 0
+    assert len(base) == 5 and sorted(base.values()) == [0, 0, 0, 0, 1]
+    for s, got in results.items():
+        assert got == base, f"strategy {s} changed the row universe"
+
+
+def test_stats_memo_invalidated_by_appended_files(spark, tmp_path):
+    """An append that adds a part file must invalidate the memoized
+    stats probe (ADVICE r03 #5): post-append ids above 2^31 must flip
+    the compact-id auto-detect off, not ride a stale int32 decision."""
+    from paralleltrianglecounting_spark.operators.triangles import (
+        _edge_stats,
+        _use_compact_ids,
+    )
+
+    path = str(tmp_path / "append_edges")
+    spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long").write.parquet(path)
+    first = spark.read.parquet(path)
+    assert _edge_stats(first) == (2, 1, 3)
+    assert _use_compact_ids(first, None) is True
+
+    big = 1 << 40
+    spark.createDataFrame([(big, big + 1)], "src long, dst long").write.mode(
+        "append"
+    ).parquet(path)
+    again = spark.read.parquet(path)
+    n, lo, hi = _edge_stats(again)
+    assert n == 3 and hi == big + 1
+    assert _use_compact_ids(again, None) is False
