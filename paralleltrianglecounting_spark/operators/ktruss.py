@@ -10,23 +10,42 @@ peeling, so the DuckDB gate can unroll a fixed generous round count and
 still match the run-to-fixpoint engine exactly (idempotent at the
 fixpoint: one extra round drops nothing).
 
-Superstep formulation (plans/superstep.py): state = the canonical
-``[src, dst]`` edge set of the surviving subgraph. One round =
+Two formulations share the state contract of plans/superstep.py:
 
-1. enumerate the surviving subgraph's triangles with the rank-oriented
-   machinery (``triangle_triples`` — each triangle exactly once, work
-   O(E_surviving^1.5)),
-2. per-edge support: explode each triple into its 3 canonical edges in
-   ONE generator and hash-aggregate on the edge key (same plan shape
-   as ``edge_jaccard``),
-3. left-semi the state against edges with support ≥ k-2 via an inner
-   join on the aggregated support table (AQE broadcasts it when small).
+**Incremental (default — VERDICT r03 top item).** State = the support
+table ``[src, dst, support]`` of the surviving subgraph, where support
+is the triangle count of the edge WITHIN the surviving subgraph. The
+full rank-oriented triangle enumeration (O(E^1.5)) runs exactly once,
+to seed the supports. Each round then:
 
-Rounds are O(peel depth); the triangle enumeration per round is the
-honest cost — supports change as edges drop, so they must be
-recomputed (there is no sound incremental shortcut without keeping
-per-triangle state of the same size). The edge set only shrinks, so
-rounds get cheaper as the cascade proceeds.
+1. splits the state into the drop frontier D (support < k-2) and the
+   survivors;
+2. enumerates only the DESTROYED triangles — for each dropped edge
+   (u,v), the common neighbors of u and v in the pre-drop graph, via
+   an adjacency built solely for D's endpoints (one linear semi-join
+   scan of the state + intersection work proportional to the frontier's
+   incident neighborhoods, NOT a global re-enumeration);
+3. canonicalizes + dedups the destroyed triples (a triangle with 2-3
+   frontier edges is found once per such edge), explodes them into
+   their 3 canonical edges in one generator, and decrements the
+   surviving edges' supports by their destroyed-triangle counts.
+
+Late rounds therefore cost ∝ the frontier's neighborhood (plus one
+linear scan), not ∝ |E|^1.5 — the standard distributed mitigation for
+deep peel cascades. Invariant maintained: after every round, support =
+exact in-subgraph triangle count (each destroyed triangle decrements
+each of its surviving edges exactly once; a dropped edge's own row is
+discarded rather than decremented).
+
+**Full recount (``incremental=False``).** The r03 formulation kept for
+A/B measurement (tools/ktruss_rounds.py): state = the surviving edge
+set; every round re-enumerates all surviving triangles and re-filters.
+O(E_surviving^1.5) per round × peel depth.
+
+Both reach the same unique fixpoint; the convergence check is the
+runner's state fingerprint (an empty frontier leaves the state
+bit-identical). The gate (``k_truss`` in __spark_entry__.py) and the
+sequential-peeling pytest cover the incremental default.
 """
 
 from __future__ import annotations
@@ -38,6 +57,7 @@ from paralleltrianglecounting_spark.plans.superstep import (
     SuperstepResult,
     SuperstepRunner,
 )
+from paralleltrianglecounting_spark.sources.edges import bidirected
 
 
 def edge_support(edges: DataFrame, strategy: str = "auto") -> DataFrame:
@@ -78,16 +98,77 @@ def edge_support(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     )
 
 
+def _destroyed_decrements(state: DataFrame, k: int) -> DataFrame:
+    """[src, dst, _dec]: per SURVIVING edge, how many of its triangles
+    die when this round's frontier (support < k-2) drops.
+
+    Frontier-proportional: the adjacency is built only for the dropped
+    edges' endpoints (the semi-join scans the state once — linear — but
+    the collect_list / intersection / dedup work is all ∝ the frontier's
+    incident neighborhoods)."""
+    weak = state.where(F.col("support") < k - 2).select("src", "dst")
+    # full pre-drop neighborhoods of the frontier's endpoints
+    touched = weak.select(
+        F.explode(F.array("src", "dst")).alias("u")
+    ).distinct()
+    nbrs = bidirected(state.select("src", "dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    adj = (
+        nbrs.join(touched, "u", "left_semi")
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbr"))
+    )
+    # destroyed triangles: common neighbors of each dropped edge's
+    # endpoints in the pre-drop graph; dedup by canonical triple (a
+    # triangle with 2-3 frontier edges is enumerated once per one)
+    destroyed = (
+        weak.join(
+            adj.select(F.col("u").alias("src"), F.col("nbr").alias("_n_src")), "src"
+        )
+        .join(adj.select(F.col("u").alias("dst"), F.col("nbr").alias("_n_dst")), "dst")
+        .select(
+            "src", "dst", F.explode(F.array_intersect("_n_src", "_n_dst")).alias("w")
+        )
+        .select(F.array_sort(F.array("src", "dst", "w")).alias("t"))
+        .distinct()
+    )
+    # one generator explode (not a 3-way union — union branches would
+    # re-enumerate; the r02 triangles_per_vertex lesson)
+    dec_edges = destroyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.element_at("t", 1).alias("src"),
+                    F.element_at("t", 2).alias("dst"),
+                ),
+                F.struct(
+                    F.element_at("t", 1).alias("src"),
+                    F.element_at("t", 3).alias("dst"),
+                ),
+                F.struct(
+                    F.element_at("t", 2).alias("src"),
+                    F.element_at("t", 3).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return dec_edges.groupBy("src", "dst").agg(F.count("*").alias("_dec"))
+
+
 def k_truss(
     edges: DataFrame,
     k: int,
     checkpoint_dir: str | None = None,
     max_iterations: int = 100,
     resume: bool = True,
+    incremental: bool = True,
 ) -> DataFrame:
     """[src, dst] — the canonical edge set of the k-truss (k ≥ 2; the
     2-truss is the whole graph since every edge has support ≥ 0)."""
-    return k_truss_run(edges, k, checkpoint_dir, max_iterations, resume).state
+    return k_truss_run(
+        edges, k, checkpoint_dir, max_iterations, resume, incremental
+    ).state.select("src", "dst")
 
 
 def k_truss_run(
@@ -96,7 +177,12 @@ def k_truss_run(
     checkpoint_dir: str | None = None,
     max_iterations: int = 100,
     resume: bool = True,
+    incremental: bool = True,
 ) -> SuperstepResult:
+    """Run the peel to its fixpoint. Incremental state:
+    ``[src, dst, support]`` (select src, dst for the edge set — or read
+    the supports directly: at the fixpoint they are the exact
+    in-truss triangle counts). Full-recount state: ``[src, dst]``."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = edges.sparkSession
@@ -108,13 +194,41 @@ def k_truss_run(
         .distinct()
     )
 
-    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        survived = (
-            edge_support(state)
-            .where(F.col("support") >= k - 2)
-            .select("src", "dst")
-        )
-        return survived, {"k": k, "round": i}
+    init_cache = None
+    if incremental:
+        # the ONE full O(E^1.5) enumeration — persisted because the
+        # runner touches the init plan up to three times before round 0's
+        # checkpoint replaces it (identity + convergence fingerprints,
+        # then the round-0 state build); without the persist each action
+        # re-ran the whole enumeration
+        init_cache = edge_support(base).persist()
+        init = init_cache
+
+        def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+            dec = _destroyed_decrements(state, k)
+            survived = (
+                state.where(F.col("support") >= k - 2)
+                .join(dec, ["src", "dst"], "left")
+                .select(
+                    "src",
+                    "dst",
+                    (F.col("support") - F.coalesce(F.col("_dec"), F.lit(0)))
+                    .cast("long")
+                    .alias("support"),
+                )
+            )
+            return survived, {"k": k, "round": i, "mode": "incremental"}
+
+    else:
+        init = base
+
+        def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+            survived = (
+                edge_support(state)
+                .where(F.col("support") >= k - 2)
+                .select("src", "dst")
+            )
+            return survived, {"k": k, "round": i, "mode": "full_recount"}
 
     runner = SuperstepRunner(
         spark,
@@ -122,4 +236,8 @@ def k_truss_run(
         checkpoint_dir=checkpoint_dir,
         max_iterations=max_iterations,
     )
-    return runner.run(base, step, stop_when_stable=True, resume=resume)
+    try:
+        return runner.run(init, step, stop_when_stable=True, resume=resume)
+    finally:
+        if init_cache is not None:
+            init_cache.unpersist()

@@ -507,3 +507,52 @@ def test_bfs_resume_refuses_other_graphs_checkpoints(spark, tmp_path):
         ).collect()
     }
     assert d == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_k_truss_domino_cascade_incremental_matches_full(spark):
+    """Deep-cascade fixture (VERDICT r03 #1): the domino strip peels one
+    domino per end per round at k=4. Incremental (support-delta) peeling
+    must land on the identical fixpoint as full re-enumeration AND as
+    the sequential oracle, across a genuinely multi-round cascade; the
+    fixpoint supports must be the exact in-truss triangle counts."""
+    from collections import defaultdict
+
+    from paralleltrianglecounting_spark.operators.ktruss import k_truss, k_truss_run
+    from paralleltrianglecounting_spark.sources.planted import domino_truss_graph
+
+    n = 12
+    g = domino_truss_graph(spark, n)
+    E0 = {(r.src, r.dst) for r in g.collect()}
+    assert len(E0) == 7 * n + 1
+
+    def peel(k):
+        E = set(E0)
+        while True:
+            adj = defaultdict(set)
+            for u, v in E:
+                adj[u].add(v)
+                adj[v].add(u)
+            keep = {(u, v) for u, v in E if len(adj[u] & adj[v]) >= k - 2}
+            if keep == E:
+                return E
+            E = keep
+
+    want = peel(4)
+    assert len(want) == 6 * n  # cliques + long edges; every path edge peels
+    res = k_truss_run(g, k=4)
+    got = {(r.src, r.dst) for r in res.state.select("src", "dst").collect()}
+    assert got == want
+    # a real domino: two ends per round -> at least ~n/2 rounds
+    assert res.iterations >= n // 2
+    # fixpoint supports = exact in-subgraph triangle counts
+    sup = {(r.src, r.dst): r.support for r in res.state.collect()}
+    adj = defaultdict(set)
+    for u, v in sup:
+        adj[u].add(v)
+        adj[v].add(u)
+    assert all(s == len(adj[u] & adj[v]) for (u, v), s in sup.items())
+    # full-recount twin reaches the same fixpoint
+    got_full = {
+        (r.src, r.dst) for r in k_truss(g, k=4, incremental=False).collect()
+    }
+    assert got_full == want
