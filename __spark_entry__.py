@@ -85,7 +85,7 @@ from paralleltrianglecounting_spark.operators.text import (
     subword_stats,
     token_stats,
 )
-from paralleltrianglecounting_spark.sources.edges import part_graph
+from paralleltrianglecounting_spark.sources.edges import order_chain_graph, part_graph
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +151,13 @@ BFS_SEEDS = 4  # deterministic seed set: the BFS_SEEDS smallest vertex ids
 # cap-exclusion semantics: 379 of 2000 vertices settle, the rest are
 # absent (reachability-within-k IS the query)
 BFS_MAX_HOPS = 1
+# the DEEP gate runs on the order-chain graph (disjoint customer paths,
+# median length ~10): the 4 seed vertices expand along their chains for
+# multiple genuine supersteps and the cap binds after round 3 — the
+# frontier/anti-join machinery is oracle-exercised over many rounds
+# (VERDICT r03 #3; the dense co-occurrence graph saturates at hop 2)
+BFS_DEEP_SEEDS = 4
+BFS_DEEP_MAX_HOPS = 6
 # k=10 exercises a real 8-round support cascade at sf0.01 (115,729
 # edges peel to 4,974 — asserted by pytest); unroll 12 >= depth+1, and
 # peeling is idempotent at its fixpoint so the fixed unroll matches the
@@ -464,6 +471,18 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
+def _q_bfs_distances_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-superstep BFS gate (VERDICT r03 #3): the order-chain graph
+    is a union of paths, so each round's frontier is genuinely new
+    vertices found by the topology join + visited anti-join, for
+    BFS_DEEP_MAX_HOPS real rounds before the cap binds."""
+    edges = order_chain_graph(spark, sf_dir)
+    seeds = (
+        _degrees(edges).select("vertex").orderBy("vertex").limit(BFS_DEEP_SEEDS)
+    )
+    return bfs_distances(edges, seeds, max_hops=BFS_DEEP_MAX_HOPS)
+
+
 def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(part_graph(spark, sf_dir))
 
@@ -482,6 +501,26 @@ def _q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paralleltrianglecounting_spark.operators.triangles import edge_jaccard
 
     return edge_jaccard(part_graph(spark, sf_dir))
+
+
+def _q_personalized_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted twin of ``personalized_pagerank`` (same oracle): the gate
+    proves the hub-salted message join leaves PPR values bit-identical
+    at ROUND decimals (VERDICT r03 #4 — production seed-relevance runs
+    hit the same hub fan-out as plain pagerank)."""
+    edges = part_graph(spark, sf_dir)
+    seeds = (
+        _degrees(edges).select("vertex").orderBy("vertex").limit(PPR_SEEDS)
+    )
+    pr = personalized_pagerank(
+        edges,
+        seeds,
+        damping=PAGERANK_DAMPING,
+        iterations=PAGERANK_ITERS,
+        hub_threshold=256,
+        n_salts=8,
+    )
+    return pr.select("vertex", F.round("rank", ROUND).alias("rank_r"))
 
 
 def _q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +637,57 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming promoted into the driver contract (VERDICT
+    r03 #7): stage the events table as parquet files, run the windowed
+    aggregation as an availableNow micro-batch STREAM (3 triggers at 8
+    files each — real cross-batch state merging in the streaming
+    aggregation), and return the final complete-mode result. Gated
+    against the SAME oracle as the batch ``events_windowed`` — the
+    stream's answer must hash-equal the batch answer.
+
+    Complete mode (not append) because the gate wants every window: in
+    append mode the watermark never passes the final windows at end of
+    input, so they would be withheld. State is identical either way;
+    eviction is the only difference, and a bounded gate fixture doesn't
+    need eviction."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        stream_windowed_events,
+    )
+
+    stage = tempfile.mkdtemp(prefix="events_stream_stage_")
+    ck = tempfile.mkdtemp(prefix="events_stream_ck_")
+    name = "events_windowed_stream_" + uuid.uuid4().hex[:8]
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartition(24).write.mode("overwrite").parquet(stage)
+        q = (
+            stream_windowed_events(spark, stage, fmt="parquet")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the final-trigger rows driver-side; the
+        # staging files and stream checkpoint are no longer referenced
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).select(
+        "event_type",
+        "window_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_triangle_count(spark, "/root/testdata/sf0.001")
@@ -620,10 +710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
+        "personalized_pagerank_salted": _q_personalized_pagerank_salted,
         "k_core": _q_k_core,
         "k_truss": _q_k_truss,
         "approx_triangle_count": _q_approx_triangle_count,
         "bfs_distances": _q_bfs_distances,
+        "bfs_distances_deep": _q_bfs_distances_deep,
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
         "community_modularity": _q_community_modularity,
@@ -644,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "events_windowed": _q_events_windowed,
+        "events_windowed_stream": _q_events_windowed_stream,
     }
 
 
@@ -942,6 +1035,12 @@ WHERE round(list_dot_product(ea.emb, eb.emb)
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        # the STREAM must land on the batch answer exactly
+        "events_windowed_stream": """SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     }
 
 
@@ -996,6 +1095,7 @@ SELECT component, count(*) AS n_vertices FROM lbl GROUP BY component""",
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
+        "personalized_pagerank_salted": _ppr_oracle_sql(),
         "k_core": _kcore_oracle_sql(),
         "k_truss": _ktruss_oracle_sql(),
         "approx_triangle_count": f"""WITH {_EDGES_CTE},
@@ -1022,6 +1122,32 @@ bfs(vertex, d) AS (
   SELECT b.v, bfs.d + 1
   FROM bfs JOIN bidir b ON b.u = bfs.vertex
   WHERE bfs.d < {BFS_MAX_HOPS}
+)
+SELECT vertex, min(d) AS dist FROM bfs GROUP BY vertex""",
+        "bfs_distances_deep": f"""WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS b
+  FROM orders
+),
+chain_edges AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+  FROM nxt WHERE b IS NOT NULL AND a != b
+),
+cbidir AS (
+  SELECT src AS u, dst AS v FROM chain_edges
+  UNION ALL
+  SELECT dst AS u, src AS v FROM chain_edges
+),
+cverts AS (SELECT DISTINCT u AS v FROM cbidir),
+seeds AS (SELECT v AS vertex FROM cverts ORDER BY v LIMIT {BFS_DEEP_SEEDS}),
+bfs(vertex, d) AS (
+  SELECT vertex, 0 FROM seeds
+  UNION
+  SELECT b.v, bfs.d + 1
+  FROM bfs JOIN cbidir b ON b.u = bfs.vertex
+  WHERE bfs.d < {BFS_DEEP_MAX_HOPS}
 )
 SELECT vertex, min(d) AS dist FROM bfs GROUP BY vertex""",
         "degree_histogram": f"""WITH {_EDGES_CTE}

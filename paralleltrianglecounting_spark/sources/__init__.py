@@ -9,6 +9,7 @@
 from paralleltrianglecounting_spark.sources.edges import (  # noqa: F401
     canonicalize_edges,
     cooccurrence_edges,
+    order_chain_graph,
     part_graph,
     supplier_graph,
 )

@@ -30,6 +30,7 @@ __all__ = [
     "cooccurrence_edges",
     "part_graph",
     "supplier_graph",
+    "order_chain_graph",
     "bidirected",
     "replicated",
 ]
@@ -100,6 +101,31 @@ def supplier_graph(spark, sf_dir: str) -> DataFrame:
     """Smaller/denser variant: suppliers co-occurring in an order."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
     return cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+
+
+def order_chain_graph(spark, sf_dir: str) -> DataFrame:
+    """Sparse DEEP graph: consecutive orders of the same customer, in
+    (o_orderdate, o_orderkey) succession — a disjoint union of paths,
+    one per customer (median length ~10 orders at every sf). The
+    structural opposite of the dense co-occurrence graphs: eccentricity
+    ~path length instead of 2, so multi-round frontier algorithms (BFS)
+    are exercised over many supersteps instead of saturating in one.
+
+    Plan shape: one window (lead over customer partitions — shuffles on
+    o_custkey once, partitions are single-customer sized so no skew) →
+    canonicalize. At 100 TB the window is the textbook sessionization
+    scan: linear, one shuffle, no self-join."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.select(
+        F.col("o_orderkey").alias("a"),
+        F.lead("o_orderkey").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    return canonicalize_edges(nxt, "a", "b")
 
 
 def replicated(edges: DataFrame, copies: int, offset: int = 1 << 32) -> DataFrame:

@@ -47,18 +47,21 @@ def stream_windowed_events(
     source_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    fmt: str = "json",
 ) -> DataFrame:
-    """readStream(json files) → watermark → tumbling window agg.
+    """readStream(json/parquet files) → watermark → tumbling window agg.
 
     The watermark bounds state: late rows beyond it are dropped, windows
     older than it are finalized and evicted — the knob that keeps an
     unbounded stream's state finite on a real cluster.
     """
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .json(source_dir)
-    )
+    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 8)
+    if fmt == "json":
+        stream = reader.json(source_dir)
+    elif fmt == "parquet":
+        stream = reader.parquet(source_dir)
+    else:
+        raise ValueError(f"unsupported stream source format: {fmt!r}")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

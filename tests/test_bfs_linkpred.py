@@ -186,3 +186,33 @@ def test_component_sizes(spark):
     )
     got = {r["component"]: r["n_vertices"] for r in component_sizes(df).collect()}
     assert got == {1: 3, 11: 3, 50: 2}
+
+
+def test_order_chain_graph_deep_bfs(spark, sf_tiny):
+    """The deep-BFS gate's fixture (VERDICT r03 #3): the order-chain
+    graph is a disjoint union of per-customer paths, so multi-hop BFS
+    runs one genuine superstep per hop and the cap binds late (the
+    settled set keeps growing when the cap is raised), unlike the
+    dense co-occurrence graph that saturates at hop 2."""
+    from paralleltrianglecounting_spark.operators.bfs import bfs_run
+    from paralleltrianglecounting_spark.operators.degrees import degrees
+    from paralleltrianglecounting_spark.sources.edges import order_chain_graph
+
+    g = order_chain_graph(spark, sf_tiny).cache()
+    # paths: no vertex has degree > 2
+    adj = _adj(g.collect())
+    assert max(len(v) for v in adj.values()) <= 2
+    seeds = degrees(g).select("vertex").orderBy("vertex").limit(4)
+    seed_ids = [r.vertex for r in seeds.collect()]
+
+    res = bfs_run(g, seeds, max_hops=5)
+    got = {(r.vertex, r.dist) for r in res.state.collect()}
+    want = set(_bfs_oracle(adj, seed_ids, 5).items())
+    assert got == want
+    # a real multi-round frontier: >= 4 supersteps actually settled rows
+    levels = {d for _, d in got}
+    assert {0, 1, 2, 3, 4} <= levels
+    # the cap binds AFTER round 3: raising it settles strictly more
+    more = bfs_run(g, seeds, max_hops=6).state.count()
+    assert more > len(got)
+    g.unpersist()

@@ -570,3 +570,21 @@ def test_video_frame_features_end_to_end(spark):
         chan = want.reshape(-1, 3).astype(np.float64)
         expect = list(chan.mean(axis=0)) + list(chan.std(axis=0)) + [8.0, 8.0]
         assert r.feature == pytest.approx(expect[:8], abs=1e-9)
+
+
+def test_events_windowed_stream_contract_equals_batch(spark, sf_tiny):
+    """VERDICT r03 #7: the promoted streaming contract query (parquet
+    staging -> availableNow micro-batches -> complete-mode memory sink)
+    must return EXACTLY the batch events_windowed rows — same columns,
+    same values — at the tiny tier."""
+    import __spark_entry__ as entry
+
+    batch = {
+        (r.event_type, r.window_start, r.n_events, r.sum_value_r)
+        for r in entry._q_events_windowed(spark, sf_tiny).collect()
+    }
+    stream = {
+        (r.event_type, r.window_start, r.n_events, r.sum_value_r)
+        for r in entry._q_events_windowed_stream(spark, sf_tiny).collect()
+    }
+    assert stream == batch and len(batch) > 0

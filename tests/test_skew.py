@@ -113,3 +113,29 @@ def test_salted_plan_has_no_python_eval(spark, hub_edges):
 
     pr = pagerank(hub_edges, iterations=2, hub_threshold=10, n_salts=8)
     assert_no_scalar_python(pr)
+
+
+def test_personalized_pagerank_salted_matches_unsalted(spark, hub_edges):
+    """VERDICT r03 #4: PPR with the hub-salted message join must be
+    value-identical to the plain join (same contract as pagerank's
+    salted twin — the gate rounds to 6 dp, the test holds 1e-12)."""
+    from paralleltrianglecounting_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    seeds = [0, 1]
+    plain = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank(hub_edges, seeds, iterations=5).collect()
+    }
+    salted = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank(
+            hub_edges, seeds, iterations=5, hub_threshold=10, n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for v, r in plain.items():
+        assert salted[v] == pytest.approx(r, abs=1e-12)
+    # the hub seed dominates a personalized walk
+    assert plain[0] == max(plain.values())
