@@ -263,7 +263,7 @@ _SLAB_SCHEMAS = {
 }
 
 
-def _csr_broadcast_frame(edges: DataFrame, mode: str) -> DataFrame:
+def _csr_broadcast_frame(edges: DataFrame, mode: str, tbl=None) -> DataFrame:
     """The broadcast-CSR physical plan (see ``operators.csr`` module
     docs): collect the oriented edge list once via Arrow, pack a
     dense-coded global CSR driver-side, broadcast it, and fan the
@@ -290,7 +290,8 @@ def _csr_broadcast_frame(edges: DataFrame, mode: str) -> DataFrame:
     # orientation plan is pure overhead once the edge list is in driver
     # memory anyway, and the fused build is the serial Amdahl fraction
     # of this regime (see build_oriented_csr)
-    tbl = edges.select("src", "dst").toArrow()
+    if tbl is None:
+        tbl = edges.select("src", "dst").toArrow()
     uniq, row_ptr, col = build_oriented_csr(
         tbl.column("src").to_numpy(zero_copy_only=False),
         tbl.column("dst").to_numpy(zero_copy_only=False),
@@ -313,6 +314,46 @@ def _route_csr(edges: DataFrame, strategy: str) -> str:
         return strategy
     n, _, _ = _edge_stats(edges)
     return "csr_bcast" if n <= CSR_BROADCAST_MAX_EDGES else "csr_join"
+
+
+def _try_collect_small(edges: DataFrame, max_edges: int):
+    """Fused smallness-probe + fetch (VERDICT r03 #8): collect at most
+    ``max_edges + 1`` rows via Arrow in ONE job. Returns the Arrow table
+    when the edge set fits under the gate, else None — the limit bounds
+    driver memory exactly like the stats-probe gate did, but the
+    under-gate path no longer pays a separate count job before the
+    collect it was going to do anyway. Over the gate, CollectLimit stops
+    scanning as soon as max_edges+1 rows exist, so the failed probe
+    costs a bounded prefix scan, not a full pass."""
+    tbl = edges.select("src", "dst").limit(max_edges + 1).toArrow()
+    return None if tbl.num_rows > max_edges else tbl
+
+
+def _resolve_route(edges: DataFrame, strategy: str):
+    """Resolve 'auto' / 'csr' to a concrete physical route, fusing the
+    size gate into the broadcast collect. Returns ``(route, tbl)`` where
+    ``tbl`` is the already-collected Arrow edge table when the fused
+    probe succeeded (handed to ``_csr_broadcast_frame`` so nothing is
+    collected twice), else None.
+
+    Same decisions as ``choose_strategy`` + ``_route_csr`` (the
+    limit-collect succeeds exactly when n <= gate): 'auto' takes the
+    broadcast kernel under the 1/4 small-graph margin and the degree
+    cost probe past it; 'csr' takes the broadcast kernel under the gate
+    and the join kernel above it. All routes are exact — this changes
+    job count, never the answer."""
+    if strategy == "auto":
+        tbl = _try_collect_small(edges, CSR_BROADCAST_MAX_EDGES // 4)
+        if tbl is not None:
+            return "csr_bcast", tbl
+        est = strategy_cost_estimate(edges)
+        if est["wedge_rows"] < AUTO_WEDGE_RATIO * est["intersect_elems"]:
+            return "wedge", None
+        return "intersect", None
+    if strategy == "csr":
+        tbl = _try_collect_small(edges, CSR_BROADCAST_MAX_EDGES)
+        return ("csr_bcast", tbl) if tbl is not None else ("csr_join", None)
+    return strategy, None
 
 
 def _python_stage(pairs: DataFrame) -> DataFrame:
@@ -348,13 +389,11 @@ def edge_triangle_counts(
     cost probe (``choose_strategy``); ``'csr'`` routes to the broadcast
     kernel under the size gate, the join-based kernel above it
     (``_route_csr``); ``'csr_bcast'``/``'csr_join'`` force a route."""
-    if strategy == "auto":
-        strategy = choose_strategy(edges)
-    strategy = _route_csr(edges, strategy)
+    strategy, tbl = _resolve_route(edges, strategy)
     if strategy == "wedge":
         return _wedge_counts(edges, complete=True)
     if strategy == "csr_bcast":
-        return _csr_broadcast_frame(edges, "edges")
+        return _csr_broadcast_frame(edges, "edges", tbl)
     pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
     if strategy == "intersect":
         return pairs.select(
@@ -389,11 +428,9 @@ def triangle_count(
     slab instead of per-edge rows — the map-side combine is inside the
     kernel, and only n_slabs longs cross the final exchange.
     """
-    if strategy == "auto":
-        strategy = choose_strategy(edges)
-    strategy = _route_csr(edges, strategy)
+    strategy, tbl = _resolve_route(edges, strategy)
     if strategy == "csr_bcast":
-        per_slab = _csr_broadcast_frame(edges, "count")
+        per_slab = _csr_broadcast_frame(edges, "count", tbl)
         return per_slab.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
     if strategy == "wedge":
         # only the sum matters here, so skip the zero-completion join the
@@ -415,14 +452,14 @@ def triangle_triples(
     Ids are long at this boundary regardless of the internal width.
     ``'auto'``: broadcast kernel under the small-graph margin, else
     the JVM intersect-explode (wedge has no triples form)."""
+    tbl = None
     if strategy == "auto":
-        n, _, _ = _edge_stats(edges)
-        strategy = (
-            "csr_bcast" if n <= CSR_BROADCAST_MAX_EDGES // 4 else "intersect"
-        )
-    strategy = _route_csr(edges, strategy)
+        tbl = _try_collect_small(edges, CSR_BROADCAST_MAX_EDGES // 4)
+        strategy = "csr_bcast" if tbl is not None else "intersect"
+    else:
+        strategy, tbl = _resolve_route(edges, strategy)
     if strategy == "csr_bcast":
-        return _csr_broadcast_frame(edges, "triples")
+        return _csr_broadcast_frame(edges, "triples", tbl)
     pairs = _edges_with_adjacency(edges, broadcast_adj, compact_ids)
     if strategy == "csr_join":
         schema = T.StructType(
