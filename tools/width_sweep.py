@@ -37,14 +37,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _triad_worker(n: int, iters: int, q) -> None:
+def _triad_worker(n: int, iters: int, ready, start, q) -> None:
     import numpy as np
 
     b = np.random.default_rng(0).random(n)
     c = np.random.default_rng(1).random(n)
     a = np.empty(n)
-    # touch everything before timing
+    # touch everything before timing (first-touch faults + JIT the ufuncs)
     np.add(b, c, out=a)
+    np.multiply(c, 3.0, out=a)
+    ready.release()
+    start.wait()  # barrier: every worker times the SAME contention window
     t0 = time.monotonic()
     for _ in range(iters):
         np.multiply(c, 3.0, out=a)
@@ -54,25 +57,35 @@ def _triad_worker(n: int, iters: int, q) -> None:
     q.put((5.0 * 8 * n * iters, dt))
 
 
-def triad_bound(workers: int, mib_per_worker: int = 512, iters: int = 8) -> dict:
+def triad_bound(workers: int, mib_per_worker: int = 256, iters: int = 16) -> dict:
+    """Aggregate GiB/s = total bytes / max(per-worker loop time), NOT the
+    parent's wall: setup (fork + RNG generation + first-touch faulting of
+    the arrays) costs ~10 s per worker on this host and would swamp the
+    ~2-5 s measured loop by 5-50x — exactly the bug the first run of this
+    tool shipped (0.2 GiB/s at 1 worker vs the true ~14)."""
     n = mib_per_worker * 1024 * 1024 // 8
     q: mp.Queue = mp.Queue()
+    ready = mp.Semaphore(0)
+    start = mp.Event()
     ps = [
-        mp.Process(target=_triad_worker, args=(n, iters, q))
+        mp.Process(target=_triad_worker, args=(n, iters, ready, start, q))
         for _ in range(workers)
     ]
-    t0 = time.monotonic()
     for p in ps:
         p.start()
+    for _ in ps:
+        ready.acquire()
+    start.set()
     rows = [q.get() for _ in ps]
     for p in ps:
         p.join()
-    wall = time.monotonic() - t0
     total_bytes = sum(r[0] for r in rows)
+    slowest = max(r[1] for r in rows)
     return {
         "workers": workers,
-        "gib_per_sec": round(total_bytes / wall / 2**30, 1),
-        "wall_sec": round(wall, 2),
+        "gib_per_sec": round(total_bytes / slowest / 2**30, 1),
+        "loop_sec_max": round(slowest, 2),
+        "loop_sec_min": round(min(r[1] for r in rows), 2),
     }
 
 
