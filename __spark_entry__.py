@@ -74,6 +74,7 @@ from paralleltrianglecounting_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     hyperplane_signs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from paralleltrianglecounting_spark.operators.text import (
@@ -605,6 +606,13 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_emb(spark, sf_dir), k=5, n_queries=20)
 
 
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lloyd_rounds=0 pins the sample-seeded coarse quantizer the oracle
+    # can reproduce exactly (see _ivf_centroids); refined quantizers are
+    # pytest-verified against a NumPy twin
+    return ivf_ann_topk(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-random (cosine tops out ~0.45), so
     # the "near-dup" threshold is set where data exists; blocking is
@@ -734,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
@@ -990,6 +999,54 @@ cand AS (
   FROM k q JOIN k n
     ON q.band = n.band AND q.bucket = n.bucket AND n.vec_id != q.vec_id
   WHERE q.vec_id < 20
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(eq.emb, en.emb)
+               / (sqrt(list_dot_product(eq.emb, eq.emb))
+                  * sqrt(list_dot_product(en.emb, en.emb))), 6) AS cos_r
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_r,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_r DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+        # the two-step mx/asg argmax (max cosine, then min cell_id among
+        # the maxima) mirrors _ivf_assign's max(struct(cos_r, -cell_id))
+        # hash agg exactly; cosine is rounded to 6 dp BEFORE the argmax
+        # in both engines so tie-breaks are portable
+        "ivf_ann_topk": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cent AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id % 32 = 0),
+s AS (
+  SELECT v.vec_id, c.cell_id,
+         round(list_dot_product(v.emb, c.c_emb)
+               / (sqrt(list_dot_product(v.emb, v.emb))
+                  * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cos_r
+  FROM e v CROSS JOIN cent c
+),
+mx AS (SELECT vec_id, max(cos_r) AS m FROM s GROUP BY vec_id),
+asg AS (
+  SELECT s.vec_id, min(s.cell_id) AS cell_id
+  FROM s JOIN mx ON s.vec_id = mx.vec_id AND s.cos_r = mx.m
+  GROUP BY s.vec_id
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT s.vec_id AS query_id, s.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos_r DESC, s.cell_id) AS rn
+    FROM s WHERE s.vec_id < 20
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asg a ON a.cell_id = p.cell_id
+  WHERE a.vec_id != p.query_id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,

@@ -224,6 +224,138 @@ def lsh_ann_topk(
     )
 
 
+IVF_STRIDE = 32
+IVF_N_PROBE = 4
+
+
+def _ivf_centroids(
+    emb: DataFrame, stride: int, lloyd_rounds: int, dim: int
+) -> DataFrame:
+    """[cell_id, c_emb]: the IVF coarse quantizer. Seeds are the vectors
+    whose id is ≡ 0 (mod ``stride``) — deterministic sampling, the
+    FAISS-style init with zero Lloyd rounds, chosen so the DuckDB oracle
+    can reproduce the centroid set exactly (``vec_id % stride = 0``).
+    ``lloyd_rounds`` > 0 refines them with standard k-means steps
+    (assign → per-cell element-wise mean); that path is Spark-only
+    (cross-engine floating-point mean order is not guaranteed
+    reproducible, so the contract gate pins lloyd_rounds=0 and the
+    refined path is pytest-verified against a NumPy twin)."""
+    cent = emb.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    for _ in range(lloyd_rounds):
+        asg = _ivf_assign(emb, cent)
+        # element-wise mean per cell: posexplode -> one hash agg keyed
+        # (cell, pos) with map-side combine -> re-assemble in pos order.
+        # The 64x row fan-out is the standard distributed k-means cost
+        # and touches only (cell_id, pos, component) triples, never the
+        # payload twice.
+        cent = (
+            asg.join(emb, "vec_id")
+            .select("cell_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("c_emb"),
+            )
+        )
+    return cent
+
+
+def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """[vec_id, cell_id]: nearest-centroid assignment, ties to the
+    smallest cell_id. argmax is ONE whole-stage-codegen hash aggregate —
+    max(struct(cos_r, -cell_id)) with map-side partial aggregation, so
+    only |N| rows cross the exchange, not the |N|·|C| scored pairs (a
+    row_number window would shuffle all of them). Cosine is rounded to
+    6 dp BEFORE the argmax so tie-breaks resolve identically in any
+    engine that reproduces 6-dp cosine (the established portability
+    contract of this module's gates)."""
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cos_r"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_r"), (-F.col("cell_id")).alias("ng"))).alias("b")
+    ).select("vec_id", (-F.col("b.ng")).alias("cell_id"))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    stride: int = IVF_STRIDE,
+    n_probe: int = IVF_N_PROBE,
+    lloyd_rounds: int = 0,
+) -> DataFrame:
+    """[query_id, neighbor_id, cos_r, rank]: IVF-Flat approximate top-k —
+    the inverted-file counterpart to ``lsh_ann_topk``. Every vector is
+    assigned to its nearest coarse centroid (``_ivf_assign``); a query
+    probes its ``n_probe`` closest cells and re-ranks exact cosine only
+    inside them, so the scan is |Q|·(n_probe/|C|)·N instead of |Q|·N.
+
+    At 100 TB: the centroid table is tiny (N/stride) and broadcast; the
+    assignment pass is one linear scan + one map-side-combined hash agg;
+    the probe join moves only (query_id, cell_id) keys against the
+    (vec_id, cell_id) assignment; embedding payloads join back by id
+    only for surviving candidates (same discipline as the LSH path). No
+    candidate dedup is needed — assignment is unique per vector and the
+    probed cells are distinct, so (query, neighbor) pairs are already
+    unique, unlike the multi-band LSH union. Recall vs ``cosine_topk``
+    is pinned in tests; the contract gate runs lloyd_rounds=0 (see
+    ``_ivf_centroids``)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    cent = _ivf_centroids(emb, stride, lloyd_rounds, dim=64)
+    asg = _ivf_assign(emb, cent)
+    q_emb_df = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_scored = F.broadcast(q_emb_df).crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_r"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    cand = F.broadcast(probes).join(asg, "cell_id").where(
+        F.col("query_id") != F.col("vec_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    n_emb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q_emb_df), "query_id")
+        .join(n_emb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_r", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -178,3 +178,123 @@ def test_ngram_block_cap_engages_on_degenerate_corpus(spark):
     pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_block=100).collect()
     assert len(pairs) == 45 and all(p.jaccard_r == 1.0 for p in pairs)
     assert ngram_oversized_blocks(docs, max_block=100).count() == 0
+
+
+def _left_fold_cos(a, b):
+    """Cosine with strict left-to-right accumulation — the order Spark's
+    F.aggregate fold uses, so the twin reproduces the engine's doubles
+    bit-for-bit (NumPy dot's pairwise summation would differ in the last
+    ulp and could flip a 6-dp rounding boundary)."""
+    dot = nrm_a = nrm_b = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        nrm_a += x * x
+    for y in b:
+        nrm_b += y * y
+    return dot / (nrm_a ** 0.5 * nrm_b ** 0.5)
+
+
+def _round_half_up(x, dp=6):
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 10**dp + 0.5) / 10**dp
+
+
+def test_ivf_assignment_matches_python_twin(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.similarity import (
+        _as_double,
+        _ivf_assign,
+        _ivf_centroids,
+    )
+
+    emb_df = _as_double(
+        spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+    ).select("vec_id", "embedding")
+    cent_df = _ivf_centroids(emb_df, stride=32, lloyd_rounds=0, dim=64)
+    got = {
+        r.vec_id: r.cell_id for r in _ivf_assign(emb_df, cent_df).collect()
+    }
+    emb = {r.vec_id: r.embedding for r in emb_df.collect()}
+    cents = {v: e for v, e in emb.items() if v % 32 == 0}
+    for vid, e in emb.items():
+        scored = sorted(
+            ((-_round_half_up(_left_fold_cos(e, ce)), cid)
+             for cid, ce in cents.items())
+        )
+        assert got[vid] == scored[0][1], vid
+
+
+def test_ivf_recall_and_exact_scores(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, n_queries=10).collect()
+    approx = ivf_ann_topk(emb, k=5, n_queries=10).collect()
+    # assignment is unique + probed cells distinct => pairs unique
+    pairs = [(r.query_id, r.neighbor_id) for r in approx]
+    assert len(pairs) == len(set(pairs))
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 4 of 16 cells probed: must beat the 25% random-scan floor's chance
+    assert sum(recalls) / len(recalls) >= 0.2
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_r
+        for r in cosine_topk(emb, k=10**6, n_queries=10).collect()
+    }
+    for r in approx:
+        assert r.cos_r == pytest.approx(
+            exact_all[(r.query_id, r.neighbor_id)], abs=1e-9
+        )
+
+
+def test_ivf_lloyd_refinement_converges_on_planted_clusters(spark):
+    """Two planted clusters around orthogonal axes, one seed in each:
+    a single Lloyd round must move each centroid to its cluster's mean
+    and the refined assignment must equal the planted membership."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.similarity import (
+        _as_double,
+        _ivf_assign,
+        _ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(62):  # stride=31 seeds exactly {0, 31}: one per cluster
+        base = np.zeros(4)
+        base[0 if i % 2 == 0 else 1] = 1.0  # even ids -> e1, odd -> e2
+        v = base + 0.05 * rng.standard_normal(4)
+        rows.append((i, [float(x) for x in v]))
+    emb = _as_double(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    cent = _ivf_centroids(emb, stride=31, lloyd_rounds=1, dim=4)
+    got_c = {r.cell_id: np.array(r.c_emb) for r in cent.collect()}
+    data = {i: np.array(v) for i, v in rows}
+    # expected: after assigning to the raw seeds (0 -> e1-ish, 31 -> e2-ish),
+    # each refined centroid is the mean of its members
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    members = {0: [], 31: []}
+    for i, v in data.items():
+        best = max(
+            sorted(members),
+            key=lambda c: (_round_half_up(cos(v, data[c])), -c),
+        )
+        members[best].append(i)
+    for cid, mids in members.items():
+        want = np.mean([data[i] for i in mids], axis=0)
+        assert np.allclose(got_c[cid], want, atol=1e-9), cid
+    asg = {r.vec_id: r.cell_id for r in _ivf_assign(emb, cent).collect()}
+    assert all(asg[i] == (0 if i % 2 == 0 else 31) for i in data)
