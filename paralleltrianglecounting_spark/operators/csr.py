@@ -426,6 +426,70 @@ def make_slab_kernel(bc, mode: str, budget: int = DEFAULT_SLAB_BUDGET):
     return kernel
 
 
+def run_slabs_local(
+    uniq: np.ndarray,
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    cum_cost: np.ndarray,
+    mode: str,
+    budget: int = DEFAULT_SLAB_BUDGET,
+) -> pa.Table:
+    """Run the slab kernel in-process over the full row range — the
+    driver-local regime for graphs whose TOTAL merge work is tiny (the
+    caller gates on ``cum_cost[-1]``). Once the edge table has already
+    been collected for the broadcast-CSR build, a few million merge
+    elements cost ~10-100 ms of vectorized NumPy on the driver, while
+    shipping them back out through a ``spark.range``+``mapInArrow`` job
+    costs a fixed ~0.2 s of scheduling regardless of size. Identical
+    chunking (mmap-cliff budget) and pair logic as ``make_slab_kernel``
+    — same answer by construction, only the executor fan-out is elided.
+    """
+    if mode not in ("count", "edges", "triples"):
+        raise ValueError(f"unknown slab kernel mode {mode!r}")
+    n_rows = max(row_ptr.size - 1, 0)
+    if mode == "count":
+        total = 0
+        for a, b in _slab_chunks(cum_cost, 0, n_rows, budget):
+            _, _, sizes, _ = _slab_pairs(row_ptr, col, a, b, want_values=False)
+            total += int(sizes.sum())
+        return pa.table({"tri_cnt": pa.array([total], pa.int64())})
+    batches = []
+    for a, b in _slab_chunks(cum_cost, 0, n_rows, budget):
+        ps, pd, sizes, closing = _slab_pairs(
+            row_ptr, col, a, b, want_values=(mode == "triples")
+        )
+        if mode == "edges":
+            batches.append(
+                pa.record_batch(
+                    [
+                        pa.array(uniq[ps], pa.int64()),
+                        pa.array(uniq[pd], pa.int64()),
+                        pa.array(sizes, pa.int64()),
+                    ],
+                    names=["src", "dst", "tri_cnt"],
+                )
+            )
+        else:
+            owner = np.repeat(np.arange(ps.size, dtype=np.int64), sizes)
+            batches.append(
+                pa.record_batch(
+                    [
+                        pa.array(uniq[ps[owner]], pa.int64()),
+                        pa.array(uniq[pd[owner]], pa.int64()),
+                        pa.array(uniq[closing], pa.int64()),
+                    ],
+                    names=["a", "b", "c"],
+                )
+            )
+    names = (
+        ["src", "dst", "tri_cnt"] if mode == "edges" else ["a", "b", "c"]
+    )
+    schema = pa.schema([(n, pa.int64()) for n in names])
+    if not batches:
+        return schema.empty_table()
+    return pa.Table.from_batches(batches, schema=schema)
+
+
 def intersect_count_kernel(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:

@@ -256,6 +256,19 @@ CSR_BROADCAST_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_CSR_BROADCAST_MAX_EDGES", "16000000")
 )
 
+# Driver-local regime inside the broadcast-CSR route: when the graph's
+# TOTAL merge work (cum_cost[-1], the exact element count the kernel
+# gathers — known on the driver before any task launches) is under this
+# bound, the kernel runs in-process and the ~0.2 s fixed cost of the
+# spark.range+mapInArrow fan-out job is elided entirely. 2^24 elements
+# ≈ 100 ms of single-thread vectorized merge — below that, scheduling a
+# cluster job costs more than doing the work. The sf0.1 co-occurrence
+# graph (~130 M merge elements) stays distributed; the reference's
+# shipped graphs (graph_100/10k/2ml, ≤ ~5 M) go local.
+CSR_DRIVER_LOCAL_MAX_COST = int(
+    os.environ.get("SPARK_GRAFT_CSR_DRIVER_LOCAL_MAX_COST", str(1 << 24))
+)
+
 _SLAB_SCHEMAS = {
     "count": "tri_cnt long",
     "edges": "src long, dst long, tri_cnt long",
@@ -297,6 +310,13 @@ def _csr_broadcast_frame(edges: DataFrame, mode: str, tbl=None) -> DataFrame:
         tbl.column("dst").to_numpy(zero_copy_only=False),
     )
     cum = cumulative_row_cost(row_ptr, col)
+    if int(cum[-1]) <= CSR_DRIVER_LOCAL_MAX_COST:
+        from paralleltrianglecounting_spark.operators.csr import run_slabs_local
+
+        local = run_slabs_local(uniq, row_ptr, col, cum, mode)
+        return spark.createDataFrame(
+            local.to_pandas(), schema=_SLAB_SCHEMAS[mode]
+        )
     bounds = balance_slabs(cum, max(sc.defaultParallelism, 1))
     n_slabs = max(len(bounds) - 1, 1)
     if len(bounds) < 2:  # empty graph: one no-op slab

@@ -260,3 +260,61 @@ def test_slab_pairs_segmented_merge_identical(monkeypatch):
     got = csr_mod._slab_pairs(row_ptr, col, 0, n_v, want_values=True)
     for w, g in zip(want, got):
         assert np.array_equal(w, g)
+
+
+def test_driver_local_regime_equals_distributed(spark, monkeypatch):
+    """Under CSR_DRIVER_LOCAL_MAX_COST the broadcast-CSR route runs the
+    slab kernel in-process (no fan-out job); forcing the distributed
+    kernel on the same input must give identical results in all three
+    modes. Also pins that the local gate actually engages (the local
+    path returns a LocalRelation-backed plan, no mapInArrow)."""
+    import paralleltrianglecounting_spark.operators.triangles as tri_mod
+    from paralleltrianglecounting_spark.sources.gfile import read_g_file
+
+    edges = read_g_file(spark, "/root/reference/graph_file/graph_100.g")
+
+    def counts(df, keycols):
+        return sorted(tuple(r) for r in df.collect())
+
+    # local regime (default gate: graph_100 cost is far under 2^24)
+    local_cnt = tri_mod.triangle_count(edges, strategy="csr").collect()[0]
+    local_edges = counts(
+        tri_mod.edge_triangle_counts(edges, strategy="csr"), ["src", "dst"]
+    )
+    local_triples = counts(
+        tri_mod.triangle_triples(edges, strategy="csr"), ["a", "b", "c"]
+    )
+    def has_arrow_stage(df):
+        return "MapInArrow" in df._jdf.queryExecution().analyzed().toString()
+
+    assert not has_arrow_stage(tri_mod.edge_triangle_counts(edges, strategy="csr"))
+    # forced distributed kernel
+    monkeypatch.setattr(tri_mod, "CSR_DRIVER_LOCAL_MAX_COST", -1)
+    assert has_arrow_stage(tri_mod.edge_triangle_counts(edges, strategy="csr"))
+    dist_cnt = tri_mod.triangle_count(edges, strategy="csr").collect()[0]
+    dist_edges = counts(
+        tri_mod.edge_triangle_counts(edges, strategy="csr"), ["src", "dst"]
+    )
+    dist_triples = counts(
+        tri_mod.triangle_triples(edges, strategy="csr"), ["a", "b", "c"]
+    )
+    assert local_cnt.triangles == dist_cnt.triangles == 373
+    assert local_edges == dist_edges
+    assert local_triples == dist_triples
+
+
+def test_run_slabs_local_empty_graph(spark):
+    import pyarrow as pa
+
+    import paralleltrianglecounting_spark.operators.csr as csr_mod
+
+    uniq = np.zeros(0, dtype=np.int64)
+    row_ptr = np.zeros(1, dtype=np.int64)
+    col = np.zeros(0, dtype=np.int32)
+    cum = csr_mod.cumulative_row_cost(row_ptr, col)
+    assert csr_mod.run_slabs_local(uniq, row_ptr, col, cum, "count")[
+        "tri_cnt"
+    ].to_pylist() == [0]
+    for mode in ("edges", "triples"):
+        t = csr_mod.run_slabs_local(uniq, row_ptr, col, cum, mode)
+        assert t.num_rows == 0 and t.num_columns == 3
