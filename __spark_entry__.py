@@ -59,6 +59,7 @@ from paralleltrianglecounting_spark.operators.dedup import (
     NGRAM_MAX_BLOCK,
     SIMHASH_BITS,
     SIMHASH_MAX_BUCKET,
+    dedup_clusters,
     deduplicated_docs,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -84,6 +85,7 @@ from paralleltrianglecounting_spark.operators.text import (
     lang_id,
     quality_scores,
     subword_stats,
+    tfidf_top_terms,
     token_stats,
 )
 from paralleltrianglecounting_spark.sources.edges import order_chain_graph, part_graph
@@ -586,6 +588,14 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
 
@@ -737,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_duplicates,
         "deduplicated_docs": _q_deduplicated_docs,
         "minhash_lsh_dedup": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_duplicates": _q_simhash_near_dups,
@@ -793,6 +805,44 @@ def _doc_oracles() -> dict[str, str]:
     for lang, _ in LANG_MARKERS[1:]:
         pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    # shared CTE chain: token sets -> minhash -> LSH bands -> capped
+    # buckets -> candidate pairs -> exact-Jaccard table `j`; used by
+    # both the pair gate (minhash_lsh_dedup) and the transitive-cluster
+    # gate (dedup_clusters)
+    minhash_pairs_ctes = f"""{_TOKS_CTE},
+{_DISTINCT_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
+h AS (SELECT doc_id, ({h56_tok} % {_M}) AS h0 FROM tok),
+params(i, a, b) AS (VALUES {_minhash_params_values()}),
+mh AS (
+  SELECT doc_id, p.i AS i, min((p.a * h.h0 + p.b) % {_M}) AS mh
+  FROM h CROSS JOIN params p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {LSH_BAND_ROWS} AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
+  FROM mh GROUP BY doc_id, i // {LSH_BAND_ROWS}
+),
+bsize AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bands_f AS (
+  SELECT bands.doc_id, bands.band, bands.key FROM bands
+  JOIN bsize ON bands.band = bsize.band AND bands.key = bsize.key
+  WHERE bsize.n <= 200
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands_f x JOIN bands_f y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               / greatest(len(ta.toks) + len(tb.toks)
+                          - len(list_intersect(ta.toks, tb.toks)), 1), 6) AS jaccard_r
+  FROM cand c
+  JOIN dtoks ta ON ta.doc_id = c.doc_a
+  JOIN dtoks tb ON tb.doc_id = c.doc_b
+)"""
     # 56 per-bit sum columns in ONE hash aggregate, mirroring the
     # engine's fold (operators/dedup.py simhash — no ×bits row explode)
     bit_sum_cols = ",\n         ".join(
@@ -899,41 +949,50 @@ FROM documents GROUP BY sha256(text) HAVING count(*) >= 2""",
         "deduplicated_docs": """SELECT min(doc_id) AS doc_id,
        sha256(text) AS text_sha
 FROM documents GROUP BY sha256(text)""",
-        "minhash_lsh_dedup": f"""WITH {_TOKS_CTE},
-{_DISTINCT_TOKS_CTE},
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
-h AS (SELECT doc_id, ({h56_tok} % {_M}) AS h0 FROM tok),
-params(i, a, b) AS (VALUES {_minhash_params_values()}),
-mh AS (
-  SELECT doc_id, p.i AS i, min((p.a * h.h0 + p.b) % {_M}) AS mh
-  FROM h CROSS JOIN params p GROUP BY doc_id, p.i
-),
-bands AS (
-  SELECT doc_id, i // {LSH_BAND_ROWS} AS band,
-         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
-  FROM mh GROUP BY doc_id, i // {LSH_BAND_ROWS}
-),
-bsize AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
-bands_f AS (
-  SELECT bands.doc_id, bands.band, bands.key FROM bands
-  JOIN bsize ON bands.band = bsize.band AND bands.key = bsize.key
-  WHERE bsize.n <= 200
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands_f x JOIN bands_f y
-    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-),
-j AS (
-  SELECT c.doc_a, c.doc_b,
-         round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-               / greatest(len(ta.toks) + len(tb.toks)
-                          - len(list_intersect(ta.toks, tb.toks)), 1), 6) AS jaccard_r
-  FROM cand c
-  JOIN dtoks ta ON ta.doc_id = c.doc_a
-  JOIN dtoks tb ON tb.doc_id = c.doc_b
-)
+        "minhash_lsh_dedup": f"""WITH {minhash_pairs_ctes}
 SELECT * FROM j WHERE jaccard_r >= 0.5""",
+        # transitive clusters over the SAME pair graph: recursive
+        # min-label CC on the near-dup pairs, every doc labeled
+        # (singletons keep their own id) — mirrors dedup_clusters'
+        # reuse of connected_components over the duplicate graph
+        "dedup_clusters": f"""WITH RECURSIVE {minhash_pairs_ctes},
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard_r >= 0.5),
+bidir AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS v FROM bidir),
+cc(v, l) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT b.v, cc.l FROM cc JOIN bidir b ON b.u = cc.v WHERE cc.l < b.v
+),
+lbl AS (SELECT v, min(l) AS component FROM cc GROUP BY v),
+labeled AS (
+  SELECT d.doc_id, coalesce(lbl.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl ON lbl.v = d.doc_id
+),
+sizes AS (SELECT cluster_id, count(*) AS n_members FROM labeled GROUP BY cluster_id)
+SELECT labeled.doc_id, labeled.cluster_id, sizes.n_members
+FROM labeled JOIN sizes ON labeled.cluster_id = sizes.cluster_id""",
+        # smoothed tf-idf: tf * ln((N+1)/(df+1)); DuckDB ln() is the
+        # natural log matching Spark's single-arg F.log
+        "tfidf_top_terms": f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks_t),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf_r
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf_r,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_r DESC, term) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3""",
         "ngram_jaccard_dedup": f"""WITH {_TOKS_CTE},
 sh AS (
   SELECT doc_id, lang, len(toks)::BIGINT AS ntok,

@@ -354,3 +354,50 @@ def simhash_near_duplicates(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """[doc_id, cluster_id, n_members]: transitive duplicate clusters —
+    connected components over the MinHash-LSH near-duplicate pair graph
+    (``minhash_lsh_candidates``), labeling EVERY document: docs with no
+    duplicate partner are singleton clusters (cluster_id = own id).
+    cluster_id = min doc_id in the cluster, so keep-first dedup is
+    ``where(doc_id == cluster_id)``.
+
+    Pair-level dedup alone under-removes: A~B and B~C near-dups leave
+    both A,C if only pairs are dropped — the production contract
+    (keep one per transitive cluster) needs the components pass. The
+    graph operator is reused verbatim across domains: the same
+    Kiveris large/small-star superstep that labels the co-occurrence
+    graph labels the duplicate graph.
+
+    100 TB shape: the pair graph is tiny relative to the corpus (only
+    near-duplicates appear), so the CC supersteps run on a small edge
+    set; the final labeling is one left join of the corpus against the
+    (small) label table plus one hash agg for sizes — both linear."""
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_candidates(docs, threshold, max_bucket)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "n_members"
+    )

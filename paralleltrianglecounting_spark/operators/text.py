@@ -168,3 +168,43 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, c: (acc * 31 + F.ascii(c)) % HASH56_MOD,
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """[doc_id, term, tfidf_r, rank]: top-k terms per document by
+    smoothed tf-idf — tf(d,t) · ln((N+1)/(df(t)+1)), rounded to 6 dp,
+    ties broken by term (binary collation in both engines). Documents
+    with no tokens emit no rows (both engines drop empty splits).
+
+    Plan shape at 100 TB: one explode + two hash aggs (doc-term tf and
+    term df, both map-side combinable) + one shuffle join on term —
+    the term dictionary is NOT broadcast (it scales with the corpus);
+    the scalar N rides a broadcast cross join. The top-k window
+    partitions by doc_id — never a single-partition window."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf_r", "rank")
+    )

@@ -298,3 +298,75 @@ def test_ivf_lloyd_refinement_converges_on_planted_clusters(spark):
         assert np.allclose(got_c[cid], want, atol=1e-9), cid
     asg = {r.vec_id: r.cell_id for r in _ivf_assign(emb, cent).collect()}
     assert all(asg[i] == (0 if i % 2 == 0 else 31) for i in data)
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """A~B and B~C near-dups with A~C below threshold: pair-level dedup
+    keeps both A and C, but the cluster pass must put all three in one
+    cluster (transitivity via connected components). Exact duplicates
+    cluster too; untouched docs are singletons with their own id."""
+    from paralleltrianglecounting_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    g = [f"g{i}" for i in range(6)]   # shared by all three
+    p = [f"p{i}" for i in range(4)]   # d0∩d1 only
+    q = [f"q{i}" for i in range(4)]   # d1∩d2 only
+    texts = [
+        " ".join(g + p),              # d0: j(0,1) = 10/14 = 0.714
+        " ".join(g + p + q),          # d1: j(1,2) = 10/14 = 0.714
+        " ".join(g + q),              # d2: j(0,2) = 6/14 = 0.429 < 0.5
+        "completely different content about bridges",  # d3
+        "completely different content about bridges",  # d4 = exact dup of d3
+        "another lonely unique document",              # d5
+    ]
+    docs = _mkdocs(spark, texts)
+    pairs = {
+        (p.doc_a, p.doc_b)
+        for p in minhash_lsh_candidates(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (1, 2) in pairs, pairs
+    assert (0, 2) not in pairs  # transitivity is NOT a direct pair
+    got = {
+        r.doc_id: (r.cluster_id, r.n_members)
+        for r in dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert got == {
+        0: (0, 3), 1: (0, 3), 2: (0, 3),
+        3: (3, 2), 4: (3, 2),
+        5: (5, 1),
+    }, got
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from paralleltrianglecounting_spark.operators.text import tfidf_top_terms
+
+    docs = _mkdocs(
+        spark,
+        [
+            "apple apple banana shared",
+            "banana cherry shared",
+            "cherry cherry cherry shared",
+        ],
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tfidf_r)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+
+    def tfidf(tf, df, n=3):
+        v = tf * math.log((n + 1.0) / (df + 1.0))
+        return math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+
+    # d0: apple tf=2 df=1 -> top; banana tf=1 df=2 second
+    assert got[(0, 1)] == ("apple", tfidf(2, 1))
+    assert got[(0, 2)] == ("banana", tfidf(1, 2))
+    # d2: cherry tf=3 df=2 dominates; 'shared' df=3 -> idf=0 -> score 0
+    assert got[(2, 1)] == ("cherry", tfidf(3, 2))
+    assert got[(2, 2)] == ("shared", 0.0)
+    # d1: banana and cherry tie (tf=1, df=2) -> term asc breaks the tie
+    assert got[(1, 1)] == ("banana", tfidf(1, 2))
+    assert got[(1, 2)] == ("cherry", tfidf(1, 2))
