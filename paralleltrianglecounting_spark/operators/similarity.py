@@ -302,16 +302,21 @@ def ivf_ann_topk(
     probes its ``n_probe`` closest cells and re-ranks exact cosine only
     inside them, so the scan is |Q|·(n_probe/|C|)·N instead of |Q|·N.
 
-    At 100 TB: the centroid table is tiny (N/stride) and broadcast; the
-    assignment pass is one linear scan + one map-side-combined hash agg;
-    the probe join moves only (query_id, cell_id) keys against the
+    At 100 TB: ``stride`` is the caller's cell-count knob (|C| =
+    N/stride) and must keep the centroid table broadcastable — the
+    standard IVF sizing is |C| ≈ √N (stride ≈ √N), which caps the
+    broadcast at √N rows AND balances the N·|C| assignment dot products
+    against the N/|C| per-cell re-rank scans; a fixed small stride at
+    10^9 vectors would make |C| itself huge. With that sizing the
+    assignment pass is one linear scan + one map-side-combined hash
+    agg; the probe join moves only (query_id, cell_id) keys against the
     (vec_id, cell_id) assignment; embedding payloads join back by id
     only for surviving candidates (same discipline as the LSH path). No
     candidate dedup is needed — assignment is unique per vector and the
     probed cells are distinct, so (query, neighbor) pairs are already
     unique, unlike the multi-band LSH union. Recall vs ``cosine_topk``
     is pinned in tests; the contract gate runs lloyd_rounds=0 (see
-    ``_ivf_centroids``)."""
+    ``_ivf_centroids``) with stride=32 ≈ √N at the fixture's N."""
     emb = _as_double(embeddings).select("vec_id", "embedding")
     cent = _ivf_centroids(emb, stride, lloyd_rounds, dim=64)
     asg = _ivf_assign(emb, cent)
