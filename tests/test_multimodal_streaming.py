@@ -475,13 +475,156 @@ def test_jpeg_unsupported_features_refuse():
 
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     good = bytearray(encode_jpeg(px))
-    # flip SOF0 to SOF2 (progressive): must refuse, not decode garbage
     i = good.find(b"\xff\xc0")
+    # flip SOF0 to SOF9 (arithmetic coding): must refuse, not decode garbage
+    arith = bytes(good[:i]) + b"\xff\xc9" + bytes(good[i + 2 :])
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
+    # flip SOF0 to SOF2: the baseline SCAN header (Ss=0, Se=63) is
+    # illegal in a progressive frame — must raise, not decode garbage
     prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_jpeg(prog)
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive codec (VERDICT r03 missing #2): the SOF2 writer
+    carries the SAME quantized coefficients as the baseline writer, so
+    decoding either stream must give byte-identical pixels — across
+    qualities (low quality → long EOBn band runs), 4:4:4 / 4:2:0,
+    non-multiple-of-8 sizes, grayscale, and restart intervals inside
+    progressive scans."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for q in (100, 30, 5):
+        for sub in (False, True):
+            for (h, w) in ((8, 8), (24, 33), (17, 9), (1, 1), (32, 48)):
+                px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                base = decode_jpeg(encode_jpeg(px, quality=q, subsample=sub))
+                prog = decode_jpeg(encode_jpeg_progressive(px, quality=q, subsample=sub))
+                assert (base == prog).all(), (q, sub, h, w)
+
+    px = rng.integers(0, 256, (33, 17, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=20, grayscale=True))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quality=20, grayscale=True))
+    assert (base == prog).all()
+
+    # restart markers inside progressive scans: EOB runs and DC
+    # predictors must reset at each RSTn
+    px = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=50))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quality=50, restart_interval=3))
+    assert (base == prog).all()
+
+    # smooth gradient at q=10: almost-all-zero AC bands → multi-block
+    # EOBn runs (r ≥ 1) and the refinement correction-bit tail path
+    gx = np.linspace(0, 255, 64).astype(np.uint8)
+    px = np.stack([np.tile(gx, (64, 1))] * 3, axis=-1)
+    base = decode_jpeg(encode_jpeg(px, quality=10))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quality=10))
+    assert (base == prog).all()
+
+
+def test_jpeg_progressive_handbuilt_spec_stream():
+    """Progressive decoder vs a bitstream assembled BY HAND from T.81
+    §G (not via encode_jpeg_progressive — catches matched
+    encoder/decoder bugs): a 4-scan progression on one 8×8 block with
+    known coefficients, exercising DC first (Al=1), DC refinement,
+    AC first (Al=1), and AC refinement with a history correction bit
+    and a newly-significant insertion."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.jpeg import (
+        DCT_M,
+        HuffmanTable,
+        K3_AC_LUM,
+        K3_DC_LUM,
+        ZIGZAG,
+        decode_jpeg,
+    )
+
+    dc = HuffmanTable(*K3_DC_LUM)
+    ac = HuffmanTable(*K3_AC_LUM)
+
+    def scan_bytes(bits: list[int]) -> bytes:
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            b = int("".join(map(str, bits[i : i + 8])), 2)
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)
+        return bytes(data)
+
+    def put(bits: list[int], code: int, length: int) -> None:
+        bits.extend((code >> (length - 1 - i)) & 1 for i in range(length))
+
+    # target coefficients: DC=321, zz[1]=7 (AC first 3, refined to 7),
+    # zz[3]=1 (newly significant in the refinement scan)
+    # scan 1 — DC first, Al=1: encodes 321>>1 = 160 (category 8)
+    b1: list[int] = []
+    put(b1, *dc.enc[8])
+    put(b1, 160, 8)
+    # scan 2 — DC refinement, Al=0: appended bit = 321 & 1 = 1
+    b2 = [1]
+    # scan 3 — AC first 1..63, Al=1: zz[1] = 3 → symbol 0x02 + '11',
+    # then EOB0 (rest of band zero)
+    b3: list[int] = []
+    put(b3, *ac.enc[0x02])
+    put(b3, 3, 2)
+    put(b3, *ac.enc[0x00])
+    # scan 4 — AC refinement Ah=1→Al=0: newly-significant zz[3]=+1 is
+    # symbol (run=1)<<4 | 1 + sign bit 1; the correction bit for the
+    # history coefficient zz[1] (7 & 1 = 1) rides AFTER the sign; then
+    # EOB0 covers the empty tail
+    b4: list[int] = []
+    put(b4, *ac.enc[0x11])
+    b4.append(1)  # sign of the new +1
+    b4.append(1)  # correction bit: 6 → 7
+    put(b4, *ac.enc[0x00])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    qt = np.ones(64, dtype=np.uint8)
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(qt))
+        + seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(K3_DC_LUM[0]) + bytes(K3_DC_LUM[1]))
+        + seg(0xC4, bytes([0x10]) + bytes(K3_AC_LUM[0]) + bytes(K3_AC_LUM[1]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))   # DC first, Al=1
+        + scan_bytes(b1)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))   # DC refine, Ah=1
+        + scan_bytes(b2)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))  # AC first, Al=1
+        + scan_bytes(b3)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))  # AC refine, Ah=1
+        + scan_bytes(b4)
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+
+    zz = np.zeros(64, dtype=np.float64)
+    zz[0], zz[1], zz[3] = 321.0, 7.0, 1.0
+    block = np.zeros(64)
+    block[ZIGZAG] = zz
+    want = DCT_M.T @ block.reshape(8, 8) @ DCT_M + 128.0
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert out.shape == (8, 8, 3)
+    assert (out[..., 0] == want).all()
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 0] == out[..., 2]).all()
 
 
 def test_jpeg_decode_end_to_end(spark):
