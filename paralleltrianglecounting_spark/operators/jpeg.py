@@ -793,10 +793,12 @@ def _component_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
 
 
 def _prep_ycbcr(
-    pixels: np.ndarray, subsample: bool
+    pixels: np.ndarray, subsample: bool | str
 ) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray, tuple, tuple]:
-    """Shared encoder front: RGB → full-range YCbCr, optional 4:2:0
-    box-averaged chroma; returns (h, w, y, cb, cr, hv_y, hv_c)."""
+    """Shared encoder front: RGB → full-range YCbCr with optional
+    box-averaged chroma subsampling; ``subsample`` is False (4:4:4),
+    True or "420" (4:2:0), or "422" (horizontal only). Returns
+    (h, w, y, cb, cr, hv_y, hv_c)."""
     if pixels.ndim == 2:
         pixels = np.stack([pixels] * 3, axis=-1)
     h, w, _ = pixels.shape
@@ -804,30 +806,33 @@ def _prep_ycbcr(
     y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     cb = 128.0 - 0.168736 * px[..., 0] - 0.331264 * px[..., 1] + 0.5 * px[..., 2]
     cr = 128.0 + 0.5 * px[..., 0] - 0.418688 * px[..., 1] - 0.081312 * px[..., 2]
-    if subsample:  # 4:2:0 — box-average chroma
-        ph, pw = (h + 1) & ~1, (w + 1) & ~1
-
-        def pad2(p: np.ndarray) -> np.ndarray:
-            q = np.empty((ph, pw))
-            q[:h, :w] = p
-            if pw > w:
-                q[:h, w:] = p[:, -1:]
-            if ph > h:
-                q[h:, :] = q[h - 1 : h, :]
-            return q
-
-        cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        hv_y, hv_c = (2, 2), (1, 1)
-    else:
+    mode = {False: None, True: "420"}.get(subsample, subsample)
+    if mode is None:
         hv_y = hv_c = (1, 1)
-    return h, w, y, cb, cr, hv_y, hv_c
+        return h, w, y, cb, cr, hv_y, hv_c
+    if mode not in ("420", "422"):
+        raise ValueError(f"subsample must be False/True/'420'/'422' (got {subsample!r})")
+    fy, fx = (2, 2) if mode == "420" else (1, 2)
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+
+    def pad(p: np.ndarray) -> np.ndarray:
+        q = np.empty((ph, pw))
+        q[:h, :w] = p
+        if pw > w:
+            q[:h, w:] = p[:, -1:]
+        if ph > h:
+            q[h:, :] = q[h - 1 : h, :]
+        return q
+
+    cb = pad(cb).reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+    cr = pad(cr).reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+    return h, w, y, cb, cr, (fx, fy), (1, 1)
 
 
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 100,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
     grayscale: bool = False,
 ) -> bytes:
@@ -896,8 +901,9 @@ def encode_jpeg(
     segment(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
     writer = BitWriter()
-    mcus_y = zz_cb.shape[0] if subsample else zz_y.shape[0]
-    mcus_x = zz_cb.shape[1] if subsample else zz_y.shape[1]
+    # chroma is never subsampled below (1,1), so its block grid IS the
+    # MCU grid; the luma MCU sub-grid is hv_y blocks, edge-clamped
+    mcus_y, mcus_x = zz_cb.shape[0], zz_cb.shape[1]
     dc_pred = [0, 0, 0]
     mcu_index = 0
     rst_n = 0
@@ -908,20 +914,15 @@ def encode_jpeg(
                 writer.out.extend(bytes([0xFF, 0xD0 + rst_n]))
                 rst_n = (rst_n + 1) % 8
                 dc_pred = [0, 0, 0]
-            if subsample:
-                for by in range(2):
-                    for bx in range(2):
-                        row = min(my * 2 + by, zz_y.shape[0] - 1)
-                        col = min(mx * 2 + bx, zz_y.shape[1] - 1)
-                        dc_pred[0] = _encode_block(
-                            writer, zz_y[row, col], dc_pred[0], dc_l, ac_l
-                        )
-                dc_pred[1] = _encode_block(writer, zz_cb[my, mx], dc_pred[1], dc_c, ac_c)
-                dc_pred[2] = _encode_block(writer, zz_cr[my, mx], dc_pred[2], dc_c, ac_c)
-            else:
-                dc_pred[0] = _encode_block(writer, zz_y[my, mx], dc_pred[0], dc_l, ac_l)
-                dc_pred[1] = _encode_block(writer, zz_cb[my, mx], dc_pred[1], dc_c, ac_c)
-                dc_pred[2] = _encode_block(writer, zz_cr[my, mx], dc_pred[2], dc_c, ac_c)
+            for by in range(hv_y[1]):
+                for bx in range(hv_y[0]):
+                    row = min(my * hv_y[1] + by, zz_y.shape[0] - 1)
+                    col = min(mx * hv_y[0] + bx, zz_y.shape[1] - 1)
+                    dc_pred[0] = _encode_block(
+                        writer, zz_y[row, col], dc_pred[0], dc_l, ac_l
+                    )
+            dc_pred[1] = _encode_block(writer, zz_cb[my, mx], dc_pred[1], dc_c, ac_c)
+            dc_pred[2] = _encode_block(writer, zz_cr[my, mx], dc_pred[2], dc_c, ac_c)
             mcu_index += 1
     writer.flush()
     out.extend(writer.out)
@@ -1087,7 +1088,7 @@ def _enc_ac_refine(w: _ProgWriter, zz: np.ndarray, ss: int, se: int, al: int) ->
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     quality: int = 100,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
     grayscale: bool = False,
 ) -> bytes:

@@ -518,6 +518,24 @@ def test_jpeg_progressive_matches_baseline_decode():
     prog = decode_jpeg(encode_jpeg_progressive(px, quality=20, grayscale=True))
     assert (base == prog).all()
 
+    # 4:2:2 (horizontal-only chroma subsampling — hmax=2, vmax=1 MCUs)
+    for (h, w) in ((8, 16), (24, 33), (17, 9)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=30, subsample="422"))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=30, subsample="422"))
+        assert (base == prog).all(), (h, w)
+    # chroma-constant raster: 4:2:2 loses nothing, luma round-trips
+    g = rng.integers(0, 256, (33, 17), dtype=np.uint8)
+    px = np.stack([g, g, g], axis=-1)
+    dec = decode_jpeg(encode_jpeg(px, quality=100, subsample="422"))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 4
+    # subsample=True keeps meaning 4:2:0, byte-identically
+    px = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+    assert encode_jpeg(px, subsample=True) == encode_jpeg(px, subsample="420")
+    assert encode_jpeg_progressive(px, subsample=True) == encode_jpeg_progressive(
+        px, subsample="420"
+    )
+
     # restart markers inside progressive scans: EOB runs and DC
     # predictors must reset at each RSTn
     px = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
