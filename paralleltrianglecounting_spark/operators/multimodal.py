@@ -5,11 +5,10 @@ columns with typed metadata, processed by Arrow-vectorized
 Decode support is layered (this container ships no image libraries):
 
 - **real decode, dependency-free formats**: uncompressed 24-bit BMP,
-  binary PPM (P6), non-interlaced 8-bit PNG (gray/RGB/RGBA, all five
-  scanline filters, stdlib zlib), and baseline sequential JPEG
-  (baseline AND progressive processes, 4:4:4 / 4:2:2 / 4:2:0 /
-  grayscale, restart markers — ``operators.jpeg``) are parsed in
-  pure NumPy
+  binary PPM (P6), 8-bit PNG incl. Adam7 interlace (gray/RGB/RGBA,
+  all five scanline filters, stdlib zlib), and JPEG (baseline AND
+  progressive processes, 4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart
+  markers — ``operators.jpeg``) are parsed in pure NumPy
   (``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg``)
   — a genuine payload→pixels→features path proving the swap-in claim
   end-to-end (tests push real encoded bytes through
@@ -204,50 +203,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Pure stdlib-zlib + NumPy decode of a non-interlaced 8-bit PNG
-    (gray / RGB / RGBA) → (H, W, 3) uint8 RGB. Covers the dominant real
-    image format with no image library: IHDR/IDAT/IEND parsing with CRC
-    checks, inflate, and scanline unfiltering (filters 0-4 per the PNG
-    spec §9). Gray is channel-replicated, RGBA drops alpha — features
-    downstream are RGB-shaped either way. Correctness-first: the
-    Sub/Average/Paeth left-dependency runs per pixel; a production swap
-    to PIL replaces this one function, nothing in the plan moves."""
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    w = h = None
-    channels = 0
-    idat = b""
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            depth, color, _comp, _filt, interlace = data[8:13]
-            if depth != 8:
-                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
-            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
-            if channels == 0:
-                raise NotImplementedError(
-                    f"PNG color type {color} (palette/gray+alpha) not supported"
-                )
-        elif ctype == b"IDAT":
-            idat += data
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    stride = w * channels
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline size mismatch")
-    rows = raw.reshape(h, stride + 1)
-    filters = rows[:, 0]
+
+def _unfilter_scanlines(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct one (sub-)image from its (h, 1+stride) filter-byte +
+    scanline rows (PNG spec §9 filters 0-4). Filtering is local to the
+    image it was applied to, so Adam7 passes unfilter independently."""
+    h = rows.shape[0]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     for y in range(h):
-        f = int(filters[y])
+        f = int(rows[y, 0])
         cur = rows[y, 1:].astype(np.int64)
         up = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
         if f == 0:
@@ -268,27 +238,89 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {f} invalid")
         out[y] = rec & 0xFF
-    px = out.reshape(h, w, channels)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + NumPy decode of an 8-bit PNG (gray / RGB /
+    RGBA, non-interlaced or Adam7-interlaced) → (H, W, 3) uint8 RGB.
+    Covers the dominant real image format with no image library:
+    IHDR/IDAT/IEND parsing with CRC checks, inflate, scanline
+    unfiltering (filters 0-4 per the PNG spec §9), and the seven-pass
+    Adam7 deinterlace (§8.2 — each pass is its own independently
+    filtered sub-image scattered onto the output grid). Gray is
+    channel-replicated, RGBA drops alpha — features downstream are
+    RGB-shaped either way. Correctness-first: the Sub/Average/Paeth
+    left-dependency runs per pixel; a production swap to PIL replaces
+    this one function, nothing in the plan moves."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = None
+    channels = 0
+    interlace = 0
+    idat = b""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8:
+                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace} invalid")
+            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+            if channels == 0:
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette/gray+alpha) not supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    bpp = channels
+    if interlace == 0:
+        stride = w * channels
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG scanline size mismatch")
+        out = _unfilter_scanlines(raw.reshape(h, stride + 1), stride, bpp)
+        px = out.reshape(h, w, channels)
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes at all
+            stride = pw * channels
+            size = ph * (stride + 1)
+            if pos + size > raw.size:
+                raise ValueError("PNG interlaced scanline size mismatch")
+            sub = _unfilter_scanlines(
+                raw[pos : pos + size].reshape(ph, stride + 1), stride, bpp
+            )
+            px[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels)
+            pos += size
+        if pos != raw.size:
+            raise ValueError("PNG interlaced scanline size mismatch")
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     return px[..., :3].copy()
 
 
-def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Minimal PNG writer (8-bit RGB, non-interlaced) — the test-fixture
-    twin of ``decode_png``. ``filters`` picks the per-row filter type
-    (default all 0) so every unfilter branch is exercisable with real
-    spec-conformant bytes."""
-    import zlib
-
-    h, w, _ = pixels.shape
-    filters = filters or [0] * h
+def _filter_scanlines(sub: np.ndarray, filters: list[int]) -> bytearray:
+    """Filter one (sub-)image's rows (h, w, 3) into PNG scanlines
+    (filter byte + filtered row each), cycling ``filters`` over rows."""
+    h, w, _ = sub.shape
     bpp = 3
     stride = w * bpp
-    flat = pixels.reshape(h, stride).astype(np.int64)
+    flat = sub.reshape(h, stride).astype(np.int64)
     lines = bytearray()
     for y in range(h):
-        f = filters[y]
+        f = filters[y % len(filters)]
         cur = flat[y]
         up = flat[y - 1] if y > 0 else np.zeros(stride, np.int64)
         filt = np.zeros(stride, np.int64)
@@ -309,6 +341,32 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
                 raise ValueError(f"filter {f} invalid")
         lines.append(f)
         lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
+    return lines
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG writer (8-bit RGB, optionally Adam7-interlaced) —
+    the test-fixture twin of ``decode_png``. ``filters`` picks the
+    per-row filter type (default all 0, cycled over rows — and over
+    each pass's rows when interlaced) so every unfilter branch is
+    exercisable with real spec-conformant bytes."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    filters = filters or [0]
+    if interlace:
+        lines = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = pixels[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(_filter_scanlines(sub, filters))
+    else:
+        lines = _filter_scanlines(pixels, filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -321,7 +379,7 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     ihdr = (
         int(w).to_bytes(4, "big")
         + int(h).to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # 8-bit, RGB, deflate, adaptive, no interlace
+        + bytes([8, 2, 0, 0, 1 if interlace else 0])  # 8-bit RGB, deflate, adaptive
     )
     return (
         _PNG_SIG
@@ -332,9 +390,10 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Format dispatch for the real-decode path: BMP, PPM, non-interlaced
-    8-bit PNG, and JPEG (baseline sequential AND progressive) all
-    decode in pure NumPy/stdlib (``operators.jpeg`` for the latter). Video decode
+    """Format dispatch for the real-decode path: BMP, PPM, 8-bit PNG
+    (incl. Adam7 interlace), and JPEG (baseline sequential AND
+    progressive) all decode in pure NumPy/stdlib (``operators.jpeg``
+    for the latter). Video decode
     would slot in here (ffmpeg) — absent from this container, so it
     raises with the library named rather than decoding garbage."""
     if payload[:2] == b"BM":

@@ -323,11 +323,37 @@ def test_png_roundtrip_all_filters():
     good[-5] ^= 0xFF  # flip a byte inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(good))
-    # 16-bit / interlaced refuse with the reason named
+    # 16-bit refuses with the reason named
     ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
     png16 = _PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_png(png16)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNG: seven independently-filtered sub-images
+    scattered onto the output grid (spec §8.2). Sizes below 8 px
+    exercise empty and partial passes; mixed per-row filters exercise
+    that filtering is local to each pass, not the final image."""
+    import numpy as np
+
+    from paralleltrianglecounting_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(17)
+    for (h, w) in ((1, 1), (3, 2), (2, 9), (9, 2), (8, 8), (17, 9), (33, 40)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filts in ([0], [1, 2, 3, 4], [4]):
+            got = decode_png(encode_png(px, filters=filts, interlace=True))
+            assert (got == px).all(), (h, w, filts)
+    # interlaced and non-interlaced encodings of the same pixels decode
+    # identically (lossless either way)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    a = decode_png(encode_png(px, interlace=True))
+    b = decode_png(encode_png(px))
+    assert (a == b).all() and (a == px).all()
 
 
 def test_png_decode_end_to_end(spark):
