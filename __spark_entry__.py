@@ -37,7 +37,13 @@ from paralleltrianglecounting_spark.operators.degrees import (
     degree_histogram,
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
+from paralleltrianglecounting_spark.operators.hits import hits
 from paralleltrianglecounting_spark.operators.kcore import k_core
+from paralleltrianglecounting_spark.operators.linkpred import (
+    link_prediction_topk,
+    neighborhood_size,
+    square_count,
+)
 from paralleltrianglecounting_spark.operators.ktruss import k_truss
 from paralleltrianglecounting_spark.operators.labelprop import (
     community_modularity,
@@ -171,6 +177,17 @@ KTRUSS_UNROLL = 12
 # estimator deterministic-exact (hash56 edge sampling, scale 64x)
 APPROX_TRI_NUM = 1
 APPROX_TRI_DEN = 4
+# link prediction: global top-k non-edges by Adamic–Adar; the tie-break
+# runs on the ROUNDED score then (u, v), so the k-frontier is
+# deterministic and engine-portable
+LINKPRED_K = 100
+# HITS: fixed synchronous iteration count (the L1-normalized recurrence
+# unrolls to 4 CTEs per iteration in the oracle)
+HITS_ITERS = 5
+# neighborhood function gate: the exact 2-hop ball (the HLL++ sketch
+# variant is the scale path, bounded-error-tested in pytest — a sketch
+# is not value-reproducible across engines by design)
+NBHD_HOPS = 2
 
 
 def _pagerank_oracle_sql() -> str:
@@ -196,6 +213,49 @@ def _pagerank_oracle_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM pr{PAGERANK_ITERS}"
+    )
+
+
+def _hits_oracle_sql() -> str:
+    """HITS unrolled to 4 CTEs per iteration (auth raw/normalized, hub
+    raw/normalized); L1 normalization keeps the recurrence sqrt-free."""
+    ctes = [
+        _EDGES_CTE,
+        "h0 AS (SELECT v, 1.0 AS hub FROM verts)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS v, sum(h.hub) AS s
+  FROM edges e JOIN h{i - 1} h ON e.src = h.v GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(r.s, 0) / (SELECT sum(s) FROM a{i}r) AS auth
+  FROM verts LEFT JOIN a{i}r r ON r.v = verts.v
+)"""
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+  SELECT e.src AS v, sum(a.auth) AS s
+  FROM edges e JOIN a{i} a ON e.dst = a.v GROUP BY e.src
+)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(r.s, 0) / (SELECT sum(s) FROM h{i}r) AS hub
+  FROM verts LEFT JOIN h{i}r r ON r.v = verts.v
+)"""
+        )
+    n = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.v AS vertex, round(h.hub, {ROUND}) AS hub_r,
+       round(a.auth, {ROUND}) AS auth_r
+FROM h{n} h JOIN a{n} a ON a.v = h.v"""
     )
 
 
@@ -506,6 +566,27 @@ def _q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_jaccard(part_graph(spark, sf_dir))
 
 
+def _q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return square_count(part_graph(spark, sf_dir))
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_prediction_topk(part_graph(spark, sf_dir), k=LINKPRED_K)
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hits(part_graph(spark, sf_dir), iterations=HITS_ITERS)
+    return h.select(
+        "vertex",
+        F.round("hub", ROUND).alias("hub_r"),
+        F.round("auth", ROUND).alias("auth_r"),
+    )
+
+
+def _q_neighborhood_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighborhood_size(part_graph(spark, sf_dir), hops=NBHD_HOPS)
+
+
 def _q_personalized_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted twin of ``personalized_pagerank`` (same oracle): the gate
     proves the hub-salted message join leaves PPR values bit-identical
@@ -738,6 +819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "community_modularity": _q_community_modularity,
         "edge_jaccard": _q_edge_jaccard,
+        "square_count": _q_square_count,
+        "link_prediction": _q_link_prediction,
+        "hits": _q_hits,
+        "neighborhood_2hop": _q_neighborhood_2hop,
         "label_propagation": _q_label_propagation,
         "token_stats": _q_token_stats,
         "subword_stats": _q_subword_stats,
@@ -1292,6 +1377,42 @@ FROM edges e
 LEFT JOIN common c ON c.u = e.src AND c.v = e.dst
 JOIN deg du ON du.v = e.src
 JOIN deg dv ON dv.v = e.dst""",
+        "square_count": f"""WITH {_EDGES_CTE},
+wp AS (
+  SELECT b1.v AS u, b2.v AS w, count(*) AS codeg
+  FROM bidir b1 JOIN bidir b2 ON b1.u = b2.u AND b1.v < b2.v
+  GROUP BY b1.v, b2.v
+)
+SELECT CAST(sum(codeg * (codeg - 1) // 2) // 2 AS BIGINT) AS squares FROM wp""",
+        "link_prediction": f"""WITH {_EDGES_CTE},
+wp AS (
+  SELECT b1.v AS u, b2.v AS v, count(*) AS cn, sum(1.0 / ln(dz.degree)) AS aa
+  FROM bidir b1
+  JOIN bidir b2 ON b1.u = b2.u AND b1.v < b2.v
+  JOIN deg dz ON dz.v = b1.u
+  GROUP BY b1.v, b2.v
+),
+ne AS (
+  SELECT * FROM wp
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wp.u AND e.dst = wp.v)
+)
+SELECT ne.u, ne.v,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       round(aa, {ROUND}) AS adamic_adar_r,
+       CAST(du.degree * dv.degree AS BIGINT) AS pref_attach
+FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
+ORDER BY adamic_adar_r DESC, ne.u, ne.v
+LIMIT {LINKPRED_K}""",
+        "hits": _hits_oracle_sql(),
+        "neighborhood_2hop": f"""WITH {_EDGES_CTE},
+reach AS (
+  SELECT b1.u AS u, b2.v AS w
+  FROM bidir b1 JOIN bidir b2 ON b1.v = b2.u
+  UNION
+  SELECT u, v AS w FROM bidir
+)
+SELECT u AS vertex, CAST(count(*) AS BIGINT) AS ball
+FROM reach WHERE w != u GROUP BY u""",
         "label_propagation": _lpa_oracle_sql(),
         **_doc_oracles(),
     }
