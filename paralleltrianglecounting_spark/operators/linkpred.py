@@ -192,13 +192,18 @@ def neighborhood_size(
         raise ValueError(f"hops must be >= 1, got {hops}")
     bid = bidirected(edges).select(F.col("src").alias("u"), F.col("dst").alias("w"))
     reach = bid
-    for _ in range(hops - 1):
+    for i in range(hops - 1):
         nxt = reach.join(
             bid.select(F.col("u").alias("w"), F.col("w").alias("w2")), "w"
         ).select("u", F.col("w2").alias("w"))
-        # distinct between rounds: the next round's join input is the
-        # ball so far, not the (exponentially larger) walk multiset
-        reach = reach.unionByName(nxt).distinct()
+        reach = reach.unionByName(nxt)
+        if i < hops - 2:
+            # distinct between rounds: the NEXT expansion's join input
+            # must be the ball so far, not the (exponentially larger)
+            # walk multiset. The final round skips it — count_distinct
+            # and the HLL sketch both dedup inside the aggregate, so a
+            # trailing distinct would just add a full pair shuffle.
+            reach = reach.distinct()
     reach = reach.filter(F.col("u") != F.col("w"))
     counter: Column = (
         F.approx_count_distinct("w", rsd) if approx else F.count_distinct("w")
