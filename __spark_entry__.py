@@ -90,10 +90,16 @@ from paralleltrianglecounting_spark.operators.text import (
     fingerprints,
     lang_id,
     quality_scores,
+    repetition_scores,
     subword_stats,
     tfidf_top_terms,
     token_stats,
 )
+from paralleltrianglecounting_spark.operators.sampling import (
+    balanced_sample,
+    dataset_split,
+)
+from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import order_chain_graph, part_graph
 
 
@@ -188,6 +194,13 @@ HITS_ITERS = 5
 # variant is the scale path, bounded-error-tested in pytest — a sketch
 # is not value-reproducible across engines by design)
 NBHD_HOPS = 2
+# deterministic random-walk corpus: one walk per seed (id % mod == 0),
+# WALK_LEN hash-driven steps; the oracle unrolls one join + one
+# per-walk argmin window per step
+WALK_LEN = 4
+WALK_SEED_MOD = 16
+# train/val/test hash-split weights (percent)
+SPLIT_WEIGHTS = (80, 10, 10)
 
 
 def _pagerank_oracle_sql() -> str:
@@ -677,6 +690,24 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_split(_docs(spark, sf_dir), weights=SPLIT_WEIGHTS)
+
+
+def _q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return balanced_sample(_docs(spark, sf_dir), strata="lang")
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_walks(
+        part_graph(spark, sf_dir), walk_len=WALK_LEN, seed_mod=WALK_SEED_MOD
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
 
@@ -834,6 +865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "repetition_scores": _q_repetition_scores,
+        "dataset_split": _q_dataset_split,
+        "balanced_sample": _q_balanced_sample,
+        "random_walks": _q_random_walks,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_duplicates": _q_simhash_near_dups,
@@ -1078,6 +1113,56 @@ SELECT doc_id, term, tfidf_r,
                                ORDER BY tfidf_r DESC, term) AS INT) AS rank
 FROM scored
 QUALIFY rank <= 3""",
+        # Gopher-style repetition signals; bigram list via 1-based list
+        # indexing (generate_series(1, 0) is empty in DuckDB — the
+        # engine side guards Spark's descending sequence(1, 0) instead)
+        "repetition_scores": f"""WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         round(CASE WHEN len(toks) > 0
+               THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS dup_token_frac_r
+  FROM toks_t
+),
+gram AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM toks_t WHERE len(toks) >= 2
+),
+per_gram AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM gram GROUP BY doc_id, gram),
+per_doc AS (
+  SELECT doc_id, sum(cnt) AS total, max(cnt) AS mx,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+  FROM per_gram GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_tokens, base.dup_token_frac_r,
+       round(coalesce(mx::DOUBLE / total, 0.0), 6) AS top_bigram_frac_r,
+       round(coalesce(dup::DOUBLE / total, 0.0), 6) AS dup_bigram_frac_r
+FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id""",
+        "dataset_split": f"""WITH b AS (
+  SELECT doc_id,
+         ({_H56.format(x="'split:' || doc_id")} % 100) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_WEIGHTS[0]} THEN 'train'
+            WHEN bucket < {SPLIT_WEIGHTS[0] + SPLIT_WEIGHTS[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
+        "balanced_sample": f"""WITH h AS (
+  SELECT doc_id, lang,
+         {_H56.format(x="'balance:' || doc_id")} AS h
+  FROM documents
+),
+m AS (SELECT min(n) AS min_n
+      FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= min_n""",
         "ngram_jaccard_dedup": f"""WITH {_TOKS_CTE},
 sh AS (
   SELECT doc_id, lang, len(toks)::BIGINT AS ntok,
@@ -1243,6 +1328,37 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)""",
        round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     }
+
+
+def _walks_oracle_sql() -> str:
+    """Unrolled hash-driven walk: per step, one frontier×bidir join and
+    a per-walk argmin window (min (hash, neighbor)) — the two-phase
+    tie-break matching the engine's array_min over (h, u) structs."""
+    ctes = [
+        f"""s0 AS (
+  SELECT DISTINCT u AS walk_id, CAST(0 AS INT) AS step, u AS v
+  FROM bidir WHERE u % {WALK_SEED_MOD} = 0
+)"""
+    ]
+    for k in range(1, WALK_LEN + 1):
+        h = _H56.format(x=f"'walk:' || p.walk_id || ':{k}:' || b.v")
+        ctes.append(
+            f"""c{k} AS (
+  SELECT p.walk_id, b.v AS u, {h} AS h
+  FROM s{k - 1} p JOIN bidir b ON b.u = p.v
+),
+s{k} AS (
+  SELECT walk_id, CAST({k} AS INT) AS step, u AS v
+  FROM (SELECT walk_id, u,
+               row_number() OVER (PARTITION BY walk_id ORDER BY h, u) AS rn
+        FROM c{k})
+  WHERE rn = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, v FROM s{k}" for k in range(WALK_LEN + 1)
+    )
+    return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1414,5 +1530,6 @@ reach AS (
 SELECT u AS vertex, CAST(count(*) AS BIGINT) AS ball
 FROM reach WHERE w != u GROUP BY u""",
         "label_propagation": _lpa_oracle_sql(),
+        "random_walks": _walks_oracle_sql(),
         **_doc_oracles(),
     }

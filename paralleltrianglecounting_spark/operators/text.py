@@ -170,6 +170,80 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("fp"))
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams joined with one space. Guarded for
+    ``n < 2``: Spark's ``sequence(1, 0)`` counts *down* ([1, 0]) where
+    DuckDB's ``generate_series(1, 0)`` is empty, so short docs must
+    short-circuit to an empty array explicitly."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, dup_token_frac_r, top_bigram_frac_r,
+    dup_bigram_frac_r]: Gopher-style repetition signals — the standard
+    boilerplate/spam pre-filter for web-scale corpora (Rae et al. 2021,
+    "Scaling Language Models", Table A1 uses the same duplicate-n-gram
+    fraction family).
+
+    - ``dup_token_frac_r``  = 1 - distinct_tokens / n_tokens
+    - ``top_bigram_frac_r`` = occurrences of the most frequent bigram
+      / total bigrams
+    - ``dup_bigram_frac_r`` = occurrences belonging to bigrams seen
+      more than once / total bigrams
+
+    Docs with < 2 tokens report 0 for both bigram fractions.
+
+    Plan shape at 100 TB: the token fraction is a pure per-row
+    expression (no explode); the bigram fractions are one explode +
+    one (doc_id, gram) hash agg + one doc_id hash agg — both map-side
+    combinable, keys bounded by the corpus token stream — joined back
+    to the per-row stats. Linear, no window, no broadcast of anything
+    that scales with the corpus.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    dup_tok = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_frac_r"),
+    )
+    gram = docs.select(
+        "doc_id", F.explode(bigrams(tokens(F.col("text")))).alias("gram")
+    )
+    per_gram = gram.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("mx"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup"
+        ),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac_r",
+            F.round(
+                F.coalesce(F.col("mx") / F.col("total"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac_r"),
+            F.round(
+                F.coalesce(F.col("dup") / F.col("total"), F.lit(0.0)), 6
+            ).alias("dup_bigram_frac_r"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """[doc_id, term, tfidf_r, rank]: top-k terms per document by
     smoothed tf-idf — tf(d,t) · ln((N+1)/(df(t)+1)), rounded to 6 dp,

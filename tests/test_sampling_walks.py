@@ -1,0 +1,166 @@
+"""Deterministic corpus sampling (dataset_split / balanced_sample),
+repetition signals, and hash-driven random walks — engine-side
+semantics pinned against hand-computed and pure-Python oracles.
+
+The value-exactness of each vs the DuckDB oracle is the contract
+gate's job (driver_sim / correctness_sf); these tests pin the
+*semantics* (determinism, partition-invariance, exact fractions,
+walk-edge validity) that the SQL twin alone can't distinguish from a
+shared bug.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.sampling import (
+    balanced_sample,
+    dataset_split,
+)
+from paralleltrianglecounting_spark.operators.text import repetition_scores
+from paralleltrianglecounting_spark.operators.walks import random_walks
+from paralleltrianglecounting_spark.sources.edges import part_graph
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------- split
+
+
+def _hash56_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def test_dataset_split_matches_pure_python_hash(spark):
+    docs = _docs(spark, [(i, "x", "en") for i in range(200)])
+    got = {r.doc_id: (r.bucket, r.split) for r in dataset_split(docs).collect()}
+    for i in range(200):
+        b = _hash56_py(f"split:{i}") % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == (b, want)
+
+
+def test_dataset_split_stable_under_appends_and_partitioning(spark):
+    base = _docs(spark, [(i, "x", "en") for i in range(100)])
+    grown = _docs(spark, [(i, "x", "en") for i in range(300)]).repartition(7)
+    a = {r.doc_id: r.split for r in dataset_split(base).collect()}
+    b = {r.doc_id: r.split for r in dataset_split(grown).collect()}
+    assert all(b[k] == v for k, v in a.items())  # no reassignment
+
+
+def test_dataset_split_rejects_bad_weights(spark):
+    docs = _docs(spark, [(1, "x", "en")])
+    with pytest.raises(ValueError, match="sum to 100"):
+        dataset_split(docs, weights=(50, 30, 10))
+
+
+# ------------------------------------------------------- balanced sample
+
+
+def test_balanced_sample_exact_min_stratum_size(spark):
+    rows = [(i, "x", "en") for i in range(50)]
+    rows += [(100 + i, "x", "de") for i in range(7)]
+    rows += [(200 + i, "x", "fr") for i in range(20)]
+    out = balanced_sample(_docs(spark, rows)).collect()
+    by_lang: dict[str, set[int]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in by_lang.items()} == {
+        "en": 7, "de": 7, "fr": 7
+    }
+    # deterministic: same survivors on a different partitioning
+    out2 = balanced_sample(_docs(spark, rows).repartition(5)).collect()
+    assert {(r.doc_id, r.lang) for r in out2} == {
+        (r.doc_id, r.lang) for r in out
+    }
+
+
+# --------------------------------------------------------- repetition
+
+
+def test_repetition_scores_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            # tokens: a b a b a -> 2 distinct of 5; bigrams: "a b"x2,
+            # "b a"x2 -> total 4, mx 2, dup 4
+            (1, "a b a b a", "en"),
+            # all tokens unique, all bigrams unique
+            (2, "p q r", "en"),
+            # single token: no bigrams -> fractions 0
+            (3, "solo", "en"),
+            # empty text -> 0 tokens, all fractions 0
+            (4, "", "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert got[1].n_tokens == 5
+    assert got[1].dup_token_frac_r == pytest.approx(1 - 2 / 5, abs=1e-6)
+    assert got[1].top_bigram_frac_r == pytest.approx(2 / 4, abs=1e-6)
+    assert got[1].dup_bigram_frac_r == pytest.approx(1.0, abs=1e-6)
+    assert got[2].dup_token_frac_r == 0.0
+    assert got[2].top_bigram_frac_r == pytest.approx(1 / 2, abs=1e-6)
+    assert got[2].dup_bigram_frac_r == 0.0
+    assert (got[3].n_tokens, got[3].top_bigram_frac_r) == (1, 0.0)
+    assert (got[4].n_tokens, got[4].dup_token_frac_r) == (0, 0.0)
+    assert got[4].dup_bigram_frac_r == 0.0
+
+
+# ------------------------------------------------------------- walks
+
+
+def _py_walks(edges: list[tuple[int, int]], walk_len: int, seed_mod: int):
+    """Sequential oracle: same hash-argmin walk in pure Python."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    out = []
+    for seed in sorted(adj):
+        if seed % seed_mod != 0:
+            continue
+        v = seed
+        out.append((seed, 0, seed))
+        for k in range(1, walk_len + 1):
+            v = min(adj[v], key=lambda u: (_hash56_py(f"walk:{seed}:{k}:{u}"), u))
+            out.append((seed, k, v))
+    return sorted(out)
+
+
+def test_random_walks_match_sequential_oracle(spark, sf_tiny):
+    edges = part_graph(spark, sf_tiny)
+    got = sorted(
+        (r.walk_id, r.step, r.v)
+        for r in random_walks(edges, walk_len=5, seed_mod=8).collect()
+    )
+    elist = [(r.src, r.dst) for r in edges.collect()]
+    assert got == _py_walks(elist, walk_len=5, seed_mod=8)
+
+
+def test_random_walks_steps_traverse_real_edges(spark, sf_tiny):
+    edges = part_graph(spark, sf_tiny)
+    w = random_walks(edges, walk_len=3, seed_mod=16)
+    eset = {(r.src, r.dst) for r in edges.collect()}
+    walks: dict[int, dict[int, int]] = {}
+    for r in w.collect():
+        walks.setdefault(r.walk_id, {})[r.step] = r.v
+    assert walks, "no walks emitted"
+    for wid, steps in walks.items():
+        assert sorted(steps) == [0, 1, 2, 3]
+        assert steps[0] == wid
+        for k in range(3):
+            a, b = steps[k], steps[k + 1]
+            assert (min(a, b), max(a, b)) in eset
+
+
+def test_random_walks_zero_len_is_seeds_only(spark, sf_tiny):
+    edges = part_graph(spark, sf_tiny)
+    rows = random_walks(edges, walk_len=0, seed_mod=16).collect()
+    assert all(r.step == 0 and r.v == r.walk_id for r in rows)
+    with pytest.raises(ValueError, match=">= 0"):
+        random_walks(edges, walk_len=-1)
