@@ -211,9 +211,27 @@ def main() -> None:
             f"vals={'=' if entry['hash_match'] else 'X'} "
             f"spark={t_spark:7.1f}s duck={t_duck:7.1f}s"
         )
-    out["summary"] = {"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout}
     os.makedirs("BENCH", exist_ok=True)
     path = f"BENCH/correctness_{tier}.json"
+    if only and os.path.exists(path):
+        # subset run: fold into the existing artifact instead of
+        # clobbering the other queries' results
+        with open(path) as f:
+            prev = json.load(f)
+        merged = dict(prev.get("results", {}))
+        merged.update(out["results"])
+        out["results"] = merged
+    n_ok = n_fail = n_timeout = 0
+    for entry in out["results"].values():
+        if entry.get("oracle") == "oracle_timeout":
+            n_timeout += 1
+        elif "hash_match" in entry:
+            ok = (
+                entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+            )
+            n_ok += ok
+            n_fail += not ok
+    out["summary"] = {"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout}
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"summary: {out['summary']} -> {path}")
