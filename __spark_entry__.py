@@ -99,6 +99,7 @@ from paralleltrianglecounting_spark.operators.sampling import (
     balanced_sample,
     dataset_split,
 )
+from paralleltrianglecounting_spark.operators.betweenness import betweenness
 from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import order_chain_graph, part_graph
 
@@ -194,6 +195,13 @@ HITS_ITERS = 5
 # variant is the scale path, bounded-error-tested in pytest — a sketch
 # is not value-reproducible across engines by design)
 NBHD_HOPS = 2
+# betweenness: k-source depth-bounded Brandes (Brandes–Pich pivots).
+# 4 pivots, depth 3 — on the sf0.01 co-occurrence graph (ecc 2 from the
+# pivot set) depth 3 means the pivot DAGs are complete, so the gate
+# checks the exact Brandes dependency sums for those sources; the
+# depth-bound semantics are pytest-pinned on a path graph where they bind
+BC_SOURCES = 4
+BC_MAX_DEPTH = 3
 # deterministic random-walk corpus: one walk per seed (id % mod == 0),
 # WALK_LEN hash-driven steps; the oracle unrolls one join + one
 # per-walk argmin window per step
@@ -708,6 +716,12 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return betweenness(
+        part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
 
@@ -869,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
+        "betweenness": _q_betweenness,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_duplicates": _q_simhash_near_dups,
@@ -1361,6 +1376,58 @@ s{k} AS (
     return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes) + "\n" + union
 
 
+def _betweenness_oracle_sql() -> str:
+    """Unrolled k-source depth-bounded Brandes: forward per level
+    (frontier join + settled NOT EXISTS + sigma sum), backward per
+    level (two left joins + dependency sum), matching the engine's
+    superstep plan row-for-row."""
+    D = BC_MAX_DEPTH
+    ctes = [
+        f"seeds AS (SELECT v FROM verts ORDER BY v LIMIT {BC_SOURCES})",
+        "f0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+    ]
+    for k in range(1, D + 1):
+        settled = " OR ".join(
+            f"EXISTS (SELECT 1 FROM f{j} x WHERE x.s = c.s AND x.v = c.v)"
+            for j in range(k)
+        )
+        ctes.append(
+            f"""c{k} AS (
+  SELECT p.s, b.v AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM f{k - 1} p JOIN bidir b ON b.u = p.v
+  GROUP BY p.s, b.v
+),
+f{k} AS (SELECT c.s, c.v, c.sigma FROM c{k} c WHERE NOT ({settled}))"""
+        )
+    ctes.append(
+        f"d{D} AS (SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f{D})"
+    )
+    for k in range(D - 1, 0, -1):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT f.s, f.v, f.sigma,
+         coalesce(sum(f.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta
+  FROM f{k} f
+  LEFT JOIN bidir b ON b.u = f.v
+  LEFT JOIN d{k + 1} w ON w.s = f.s AND w.v = b.v
+  GROUP BY f.s, f.v, f.sigma
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT v, delta FROM d{k}" for k in range(1, D + 1)
+    )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+alldelta AS ({union})
+SELECT verts.v AS vertex,
+       round(coalesce(sum(alldelta.delta), 0.0), {ROUND}) AS bc_r
+FROM verts LEFT JOIN alldelta ON alldelta.v = verts.v
+GROUP BY verts.v"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tri_sql = (
         f"WITH {_EDGES_CTE},\n{_TRI_CTE}\nSELECT count(*) AS triangles FROM tri"
@@ -1531,5 +1598,6 @@ SELECT u AS vertex, CAST(count(*) AS BIGINT) AS ball
 FROM reach WHERE w != u GROUP BY u""",
         "label_propagation": _lpa_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
+        "betweenness": _betweenness_oracle_sql(),
         **_doc_oracles(),
     }
