@@ -65,6 +65,7 @@ from paralleltrianglecounting_spark.operators.dedup import (
     NGRAM_MAX_BLOCK,
     SIMHASH_BITS,
     SIMHASH_MAX_BUCKET,
+    contamination_check,
     dedup_clusters,
     deduplicated_docs,
     exact_duplicates,
@@ -195,6 +196,12 @@ HITS_ITERS = 5
 # variant is the scale path, bounded-error-tested in pytest — a sketch
 # is not value-reproducible across engines by design)
 NBHD_HOPS = 2
+# decontamination gate: the "benchmark" is the deterministic eval
+# slice doc_id % CONTAM_BENCH_MOD == 0; flag corpus docs sharing >=
+# CONTAM_MIN_OVERLAP distinct trigrams with any benchmark doc
+CONTAM_BENCH_MOD = 100
+CONTAM_N = 3
+CONTAM_MIN_OVERLAP = 2
 # betweenness: k-source depth-bounded Brandes (Brandes–Pich pivots).
 # 4 pivots, depth 3 — on the sf0.01 co-occurrence graph (ecc 2 from the
 # pivot set) depth 3 means the pivot DAGs are complete, so the gate
@@ -716,6 +723,15 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return contamination_check(
+        corpus, bench, n=CONTAM_N, min_overlap=CONTAM_MIN_OVERLAP
+    )
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness(
         part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
@@ -884,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
         "betweenness": _q_betweenness,
+        "contamination_check": _q_contamination,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_duplicates": _q_simhash_near_dups,
@@ -1178,6 +1195,25 @@ r AS (
   FROM h
 )
 SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= min_n""",
+        # decontamination: distinct-trigram overlap between the corpus
+        # and the deterministic benchmark slice; shingle construction
+        # matches ngram_jaccard_dedup's (1-based list_slice)
+        "contamination_check": f"""WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {CONTAM_N - 1}, 1)),
+           i -> array_to_string(list_slice(toks, i, i + {CONTAM_N - 1}), ' ')
+         )) AS grams
+  FROM toks_t WHERE len(toks) >= {CONTAM_N}
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} != 0)
+SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS shared_grams
+FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id, b.bench_id
+HAVING count(*) >= {CONTAM_MIN_OVERLAP}""",
         "ngram_jaccard_dedup": f"""WITH {_TOKS_CTE},
 sh AS (
   SELECT doc_id, lang, len(toks)::BIGINT AS ntok,

@@ -202,6 +202,57 @@ def ngram_oversized_blocks(
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """[doc_id, bench_id, shared_grams]: benchmark decontamination —
+    every (corpus doc, benchmark doc) pair sharing at least
+    ``min_overlap`` distinct token ``n``-grams. The standard eval-leak
+    scan a training pipeline runs before shipping a corpus (n-gram
+    overlap against held-out benchmarks, as in GPT-3/PaLM appendix
+    decontamination).
+
+    Plan shape at 100 TB: corpus n-grams are one linear shingle +
+    explode; the benchmark side (eval suites — tiny next to the corpus)
+    is shingled and BROADCAST by default, so the gram join is map-side
+    with no shuffle of the corpus stream; one (doc, bench) hash agg
+    with map-side combine. Set ``broadcast_bench=False`` if the
+    "benchmark" is itself corpus-scale — the join degrades to a
+    shuffle on gram, still linear.
+    """
+    both = []
+    for side, name in ((docs, "doc_id"), (bench, "bench_id")):
+        toks = tokens(F.col("text"))
+        grams = side.select(
+            F.col("doc_id").alias(name),
+            F.size(toks).alias("ntok"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                    )
+                )
+            ).alias("gram"),
+        ).where(F.col("ntok") >= n).drop("ntok")
+        both.append(grams)
+    corpus_g, bench_g = both
+    if broadcast_bench:
+        bench_g = F.broadcast(bench_g)
+    return (
+        corpus_g.join(bench_g, "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= min_overlap)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

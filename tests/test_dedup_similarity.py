@@ -370,3 +370,37 @@ def test_tfidf_top_terms_hand_computed(spark):
     # d1: banana and cherry tie (tf=1, df=2) -> term asc breaks the tie
     assert got[(1, 1)] == ("banana", tfidf(1, 2))
     assert got[(1, 2)] == ("cherry", tfidf(1, 2))
+
+
+def test_contamination_check_flags_planted_eval_leak(spark):
+    from paralleltrianglecounting_spark.operators.dedup import contamination_check
+
+    bench = _mkdocs(spark, ["alpha beta gamma delta epsilon zeta"])
+    corpus_rows = [
+        # quotes a 5-token benchmark span: trigrams "alpha beta gamma",
+        # "beta gamma delta", "gamma delta epsilon" -> 3 shared
+        "intro words then alpha beta gamma delta epsilon closing",
+        # one shared trigram only -> below min_overlap=2
+        "alpha beta gamma but nothing else matches here at all",
+        # nothing shared
+        "completely unrelated text with no overlap whatsoever",
+    ]
+    corpus = spark.createDataFrame(
+        [(100 + i, t, "en", "s", len(t)) for i, t in enumerate(corpus_rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    hits = contamination_check(corpus, bench, n=3, min_overlap=2).collect()
+    assert [(h.doc_id, h.bench_id, h.shared_grams) for h in hits] == [(100, 0, 3)]
+    # min_overlap=1 also surfaces the single-trigram doc
+    hits1 = {
+        h.doc_id
+        for h in contamination_check(corpus, bench, n=3, min_overlap=1).collect()
+    }
+    assert hits1 == {100, 101}
+    # repeated n-grams in the corpus doc count once (distinct semantics)
+    rep = spark.createDataFrame(
+        [(200, "alpha beta gamma alpha beta gamma", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = contamination_check(rep, bench, n=3, min_overlap=1).collect()
+    assert len(r) == 1 and r[0].shared_grams == 1
