@@ -52,6 +52,7 @@ from paralleltrianglecounting_spark.operators.labelprop import (
 from paralleltrianglecounting_spark.operators.pagerank import (
     pagerank,
     personalized_pagerank,
+    weighted_pagerank,
 )
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
@@ -102,7 +103,11 @@ from paralleltrianglecounting_spark.operators.sampling import (
 )
 from paralleltrianglecounting_spark.operators.betweenness import betweenness
 from paralleltrianglecounting_spark.operators.walks import random_walks
-from paralleltrianglecounting_spark.sources.edges import order_chain_graph, part_graph
+from paralleltrianglecounting_spark.sources.edges import (
+    order_chain_graph,
+    part_graph,
+    weighted_part_graph,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +239,54 @@ def _pagerank_oracle_sql() -> str:
   FROM bidir b
   JOIN pr{i - 1} p ON b.u = p.v
   JOIN deg dg ON dg.v = p.v
+  GROUP BY b.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM pr{PAGERANK_ITERS}"
+    )
+
+
+_WEDGES_CTE = """
+pairs AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS e FROM lineitem
+),
+wedges AS (
+  SELECT a.e AS src, b.e AS dst, count(*)::BIGINT AS weight
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.e < b.e
+  GROUP BY a.e, b.e
+),
+wbidir AS (
+  SELECT src AS u, dst AS v, weight FROM wedges
+  UNION ALL
+  SELECT dst AS u, src AS v, weight FROM wedges
+),
+strength AS (
+  SELECT u AS v, sum(weight) AS strength FROM wbidir GROUP BY u
+)
+""".strip()
+
+
+def _weighted_pagerank_oracle_sql() -> str:
+    """Weighted power iteration unrolled: contributions proportional to
+    edge weight over the sender's strength (weighted degree)."""
+    d = PAGERANK_DAMPING
+    ctes = [
+        _WEDGES_CTE,
+        "n AS (SELECT count(*) AS cnt FROM strength)",
+        "pr0 AS (SELECT v, 1.0 / (SELECT cnt FROM n) AS rank FROM strength)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT b.v AS v,
+         (1.0 - {d}) / (SELECT cnt FROM n)
+           + {d} * sum(p.rank * b.weight / s.strength) AS rank
+  FROM wbidir b
+  JOIN pr{i - 1} p ON b.u = p.v
+  JOIN strength s ON s.v = p.v
   GROUP BY b.v
 )"""
         )
@@ -513,6 +566,19 @@ def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(
         part_graph(spark, sf_dir), damping=PAGERANK_DAMPING, iterations=PAGERANK_ITERS
+    )
+    return pr.select("vertex", F.round("rank", ROUND).alias("rank_r"))
+
+
+def _q_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_part_graph(spark, sf_dir)
+
+
+def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = weighted_pagerank(
+        weighted_part_graph(spark, sf_dir),
+        damping=PAGERANK_DAMPING,
+        iterations=PAGERANK_ITERS,
     )
     return pr.select("vertex", F.round("rank", ROUND).alias("rank_r"))
 
@@ -867,7 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": _q_wedge_count,
         "connected_components": _q_connected_components,
         "component_sizes": _q_component_sizes,
+        "edges_weighted_part_graph": _q_edges_weighted,
         "pagerank": _q_pagerank,
+        "weighted_pagerank": _q_weighted_pagerank,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
         "personalized_pagerank_salted": _q_personalized_pagerank_salted,
@@ -1512,7 +1580,9 @@ cc(v, l) AS (
 ),
 lbl AS (SELECT v, min(l) AS component FROM cc GROUP BY v)
 SELECT component, count(*) AS n_vertices FROM lbl GROUP BY component""",
+        "edges_weighted_part_graph": f"WITH {_WEDGES_CTE}\nSELECT src, dst, weight FROM wedges",
         "pagerank": _pagerank_oracle_sql(),
+        "weighted_pagerank": _weighted_pagerank_oracle_sql(),
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "personalized_pagerank_salted": _ppr_oracle_sql(),

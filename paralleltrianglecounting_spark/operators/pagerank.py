@@ -295,3 +295,92 @@ def personalized_pagerank_run(
     if hot is not None:
         hot.unpersist()
     return result
+
+
+def weighted_message_topology(wedges: DataFrame, strength: DataFrame) -> DataFrame:
+    """``[src, dst, weight, strength]`` — the strength-annotated
+    bidirected weighted topology, hash-partitioned on the per-iteration
+    join key before caching (same exchange-free superstep contract as
+    :func:`message_topology`)."""
+    n_parts = int(wedges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bidir = wedges.select("src", "dst", "weight").unionByName(
+        wedges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return (
+        bidir.join(strength.withColumnRenamed("vertex", "src"), "src")
+        .repartition(n_parts, "src")
+    )
+
+
+def weighted_pagerank(
+    wedges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex, rank] over a weighted edge table ``[src, dst, weight]``:
+    each vertex distributes its rank along incident edges proportionally
+    to edge weight — ``contrib(u→v) = rank(u) · w(u,v) / strength(u)``
+    where ``strength`` is the weighted degree. Degenerates to plain
+    :func:`pagerank` when all weights are equal.
+
+    Plan per superstep is the unweighted plan with ``degree`` replaced
+    by ``strength``: ONE join of the |V|-row rank state against the
+    cached pre-partitioned topology, contribution in the join
+    projection, one partial+final hash agg by dst. The weighted
+    co-occurrence graph is where this matters in production: a repo
+    pair sharing 500 paths should pull rank 500× harder than a
+    one-path accident.
+    """
+    spark = wedges.sparkSession
+    # the weighted edge table is often itself an expensive aggregation
+    # (e.g. the co-occurrence count projection); both setup scans
+    # (strength and topology) read it, so cache it for the setup and
+    # release once the topology is materialized
+    wedges = wedges.select("src", "dst", "weight").persist()
+    bidir = wedges.unionByName(
+        wedges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    strength = (
+        bidir.groupBy(F.col("src").alias("vertex"))
+        .agg(F.sum("weight").alias("strength"))
+        .persist()
+    )
+    n = strength.count()
+    if n == 0:
+        wedges.unpersist()
+        return spark.createDataFrame([], "vertex long, rank double")
+    adj = weighted_message_topology(wedges, strength).persist()
+    edge_count = adj.count()
+    wedges.unpersist()
+
+    init = strength.select("vertex", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        ranks_src = state.select(F.col("vertex").alias("src"), "rank")
+        messages = adj.join(ranks_src, "src").select(
+            F.col("dst").alias("vertex"),
+            (F.col("rank") * F.col("weight") / F.col("strength")).alias(
+                "contrib"
+            ),
+        )
+        new_rank = messages.groupBy("vertex").agg(
+            ((1.0 - damping) / n + damping * F.sum("contrib")).alias("rank")
+        )
+        return new_rank, {"messages_sent": edge_count, "vertices": n}
+
+    runner = SuperstepRunner(
+        spark,
+        name="weighted_pagerank",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=iterations,
+    )
+    result = runner.run(init, step, stop_when_stable=False, resume=resume)
+    strength.unpersist()
+    adj.unpersist()
+    return result.state

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "canonicalize_edges",
     "cooccurrence_edges",
+    "weighted_cooccurrence_edges",
+    "weighted_part_graph",
     "part_graph",
     "supplier_graph",
     "order_chain_graph",
@@ -87,6 +89,44 @@ def cooccurrence_edges(
         .select(F.col("a._e").alias("src"), F.col("b._e").alias("dst"))
         .distinct()
     )
+
+
+def weighted_cooccurrence_edges(
+    df: DataFrame,
+    container: str,
+    entity: str,
+    max_container_size: int | None = None,
+) -> DataFrame:
+    """[src, dst, weight]: the weighted projection — ``weight`` = number
+    of containers the pair shares (repos sharing 3 paths get weight 3).
+    Same plan as :func:`cooccurrence_edges` with the final ``distinct``
+    replaced by a (src, dst) count agg — identical shuffle shape, one
+    extra aggregate column. Canonical ``src < dst``, no self-loops.
+    """
+    pairs = df.select(
+        F.col(container).alias("_c"), F.col(entity).cast("long").alias("_e")
+    ).distinct()
+    if max_container_size is not None:
+        sizes = pairs.groupBy("_c").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= max_container_size).select("_c")
+        pairs = pairs.join(F.broadcast(keep), "_c")
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a._c") == F.col("b._c")) & (F.col("a._e") < F.col("b._e")))
+        .groupBy(
+            F.col("a._e").alias("src"), F.col("b._e").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def weighted_part_graph(spark, sf_dir: str) -> DataFrame:
+    """Weighted twin of :func:`part_graph`: weight = shared-order count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return weighted_cooccurrence_edges(li, "l_orderkey", "l_partkey")
 
 
 def part_graph(spark, sf_dir: str, max_container_size: int | None = None) -> DataFrame:

@@ -79,6 +79,31 @@ def pagerank_oracle(
     return {v: float(pr[idx[v]]) for v in ids}
 
 
+def weighted_pagerank_oracle(
+    wedges: list[tuple[int, int, int]],
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> dict[int, float]:
+    """Weighted synchronous power iteration: contributions proportional
+    to edge weight over the sender's strength (weighted degree)."""
+    ids = sorted({v for (u, v, _) in wedges} | {u for (u, v, _) in wedges})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    strength = np.zeros(n)
+    for u, v, w in wedges:
+        strength[idx[u]] += w
+        strength[idx[v]] += w
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = pr / strength
+        nxt = np.zeros(n)
+        for u, v, w in wedges:
+            nxt[idx[u]] += contrib[idx[v]] * w
+            nxt[idx[v]] += contrib[idx[u]] * w
+        pr = (1 - damping) / n + damping * nxt
+    return {v: float(pr[idx[v]]) for v in ids}
+
+
 def label_propagation_oracle(
     edges: list[tuple[int, int]], iterations: int = 5
 ) -> dict[int, int]:

@@ -556,3 +556,55 @@ def test_k_truss_domino_cascade_incremental_matches_full(spark):
         (r.src, r.dst) for r in k_truss(g, k=4, incremental=False).collect()
     }
     assert got_full == want
+
+
+def test_weighted_pagerank_matches_numpy_oracle(spark):
+    from paralleltrianglecounting_spark.operators.pagerank import weighted_pagerank
+    from tests.oracles import weighted_pagerank_oracle
+
+    wedges = [(0, 1, 3), (0, 2, 1), (1, 2, 5), (2, 3, 2), (3, 4, 1), (1, 4, 4)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight long")
+    got = {r.vertex: r.rank for r in weighted_pagerank(df, iterations=12).collect()}
+    want = weighted_pagerank_oracle(wedges, iterations=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # rank mass is conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_with_unit_weights_equals_plain(spark):
+    from paralleltrianglecounting_spark.operators.pagerank import (
+        pagerank,
+        weighted_pagerank,
+    )
+    from paralleltrianglecounting_spark.sources.edges import part_graph
+
+    from tests.conftest import TESTDATA
+
+    edges = part_graph(spark, f"{TESTDATA}/sf0.001")
+    unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+    plain = {r.vertex: r.rank for r in pagerank(edges, iterations=5).collect()}
+    weighted = {
+        r.vertex: r.rank for r in weighted_pagerank(unit, iterations=5).collect()
+    }
+    assert set(plain) == set(weighted)
+    for v in plain:
+        assert weighted[v] == pytest.approx(plain[v], abs=1e-12), v
+
+
+def test_weighted_cooccurrence_weight_semantics(spark):
+    from paralleltrianglecounting_spark.sources.edges import (
+        cooccurrence_edges,
+        weighted_cooccurrence_edges,
+    )
+
+    rows = [("c1", 1), ("c1", 2), ("c2", 1), ("c2", 2), ("c3", 1), ("c3", 3),
+            ("c1", 1)]  # duplicate membership must not inflate the weight
+    df = spark.createDataFrame(rows, "c string, e long")
+    w = {(r.src, r.dst): r.weight
+         for r in weighted_cooccurrence_edges(df, "c", "e").collect()}
+    assert w == {(1, 2): 2, (1, 3): 1}
+    # unweighted projection = weighted projection's key set
+    uw = {(r.src, r.dst) for r in cooccurrence_edges(df, "c", "e").collect()}
+    assert uw == set(w)
