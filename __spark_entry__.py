@@ -102,6 +102,7 @@ from paralleltrianglecounting_spark.operators.sampling import (
     dataset_split,
 )
 from paralleltrianglecounting_spark.operators.betweenness import betweenness
+from paralleltrianglecounting_spark.operators.sssp import sssp
 from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import (
     order_chain_graph,
@@ -207,6 +208,12 @@ NBHD_HOPS = 2
 CONTAM_BENCH_MOD = 100
 CONTAM_N = 3
 CONTAM_MIN_OVERLAP = 2
+# weighted shortest paths: hop-bounded min-plus from the SSSP_SEEDS
+# smallest vertex ids; distances stay integral (hash-exact gate). The
+# bound is part of the semantics (the bfs_distances cap rule); min-plus
+# is idempotent at its fixpoint so the engine may stop early
+SSSP_SEEDS = 4
+SSSP_ITERS = 6
 # betweenness: k-source depth-bounded Brandes (Brandes–Pich pivots).
 # 4 pivots, depth 3 — on the sf0.01 co-occurrence graph (ecc 2 from the
 # pivot set) depth 3 means the pivot DAGs are complete, so the gate
@@ -294,6 +301,34 @@ def _weighted_pagerank_oracle_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM pr{PAGERANK_ITERS}"
+    )
+
+
+def _sssp_oracle_sql() -> str:
+    """Unrolled hop-bounded min-plus relaxation over the weighted
+    bidirected edge table."""
+    ctes = [
+        _WEDGES_CTE,
+        f"""d0 AS (
+  SELECT v, CAST(0 AS BIGINT) AS dist
+  FROM (SELECT DISTINCT u AS v FROM wbidir ORDER BY v LIMIT {SSSP_SEEDS})
+)""",
+    ]
+    for i in range(1, SSSP_ITERS + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM d{i - 1}
+    UNION ALL
+    SELECT b.v AS v, p.dist + b.weight AS dist
+    FROM d{i - 1} p JOIN wbidir b ON b.u = p.v
+  ) GROUP BY v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, dist FROM d{SSSP_ITERS}"
     )
 
 
@@ -798,6 +833,12 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sssp(
+        weighted_part_graph(spark, sf_dir), n_seeds=SSSP_SEEDS, iterations=SSSP_ITERS
+    )
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness(
         part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
@@ -936,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_weighted_part_graph": _q_edges_weighted,
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
+        "sssp": _q_sssp,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
         "personalized_pagerank_salted": _q_personalized_pagerank_salted,
@@ -1583,6 +1625,7 @@ SELECT component, count(*) AS n_vertices FROM lbl GROUP BY component""",
         "edges_weighted_part_graph": f"WITH {_WEDGES_CTE}\nSELECT src, dst, weight FROM wedges",
         "pagerank": _pagerank_oracle_sql(),
         "weighted_pagerank": _weighted_pagerank_oracle_sql(),
+        "sssp": _sssp_oracle_sql(),
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "personalized_pagerank_salted": _ppr_oracle_sql(),

@@ -106,3 +106,57 @@ def test_betweenness_matches_oracle_on_cooccurrence_graph(spark, sf_tiny):
 def test_betweenness_rejects_bad_depth(spark):
     with pytest.raises(ValueError, match=">= 1"):
         betweenness(_edges_df(spark, [(0, 1)]), max_depth=0)
+
+
+# ---------------------------------------------------------- sssp
+
+
+def _dijkstra(wedges, seeds):
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in wedges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_converges_to_dijkstra_on_weighted_cooccurrence(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.sssp import sssp
+    from paralleltrianglecounting_spark.sources.edges import weighted_part_graph
+
+    wpg = weighted_part_graph(spark, sf_tiny)
+    wedges = [(r.src, r.dst, r.weight) for r in wpg.collect()]
+    seeds = sorted({u for u, _, _ in wedges} | {v for _, v, _ in wedges})[:4]
+    # iterations far above the hop depth -> full SSSP fixpoint
+    got = {r.vertex: r.dist for r in sssp(wpg, n_seeds=4, iterations=12).collect()}
+    assert got == _dijkstra(wedges, seeds)
+
+
+def test_sssp_hop_bound_prefers_heavier_shorter_path(spark):
+    from paralleltrianglecounting_spark.operators.sssp import sssp
+
+    # 0 -10- 9 (1 hop, weight 10) vs 0-1-2-3-9 (4 hops, total 4):
+    # the light path needs 4 relaxation rounds
+    wedges = [(0, 9, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 9, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight long")
+    bounded = {r.vertex: r.dist
+               for r in sssp(df, n_seeds=1, iterations=2).collect()}
+    full = {r.vertex: r.dist
+            for r in sssp(df, n_seeds=1, iterations=6).collect()}
+    assert bounded[9] == 10  # within 2 hops the heavy edge wins
+    assert full[9] == 4      # the 4-hop light path at the fixpoint
+    assert bounded[3] == 11  # within 2 hops only the 0-9-3 detour reaches 3
+    assert full[3] == 3
