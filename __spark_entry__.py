@@ -101,7 +101,10 @@ from paralleltrianglecounting_spark.operators.sampling import (
     balanced_sample,
     dataset_split,
 )
-from paralleltrianglecounting_spark.operators.betweenness import betweenness
+from paralleltrianglecounting_spark.operators.betweenness import (
+    betweenness,
+    harmonic_centrality,
+)
 from paralleltrianglecounting_spark.operators.sssp import sssp
 from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import (
@@ -833,6 +836,12 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return harmonic_centrality(
+        part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
+    )
+
+
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(
         weighted_part_graph(spark, sf_dir), n_seeds=SSSP_SEEDS, iterations=SSSP_ITERS
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
         "betweenness": _q_betweenness,
+        "harmonic_centrality": _q_harmonic,
         "contamination_check": _q_contamination,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -1574,6 +1584,42 @@ GROUP BY verts.v"""
     )
 
 
+def _harmonic_oracle_sql() -> str:
+    """Unrolled pivot harmonic centrality: the betweenness forward CTEs
+    (the level index is the distance) + one 1/d sum."""
+    D = BC_MAX_DEPTH
+    ctes = [
+        f"seeds AS (SELECT v FROM verts ORDER BY v LIMIT {BC_SOURCES})",
+        "f0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+    ]
+    for k in range(1, D + 1):
+        settled = " OR ".join(
+            f"EXISTS (SELECT 1 FROM f{j} x WHERE x.s = c.s AND x.v = c.v)"
+            for j in range(k)
+        )
+        ctes.append(
+            f"""c{k} AS (
+  SELECT p.s, b.v AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM f{k - 1} p JOIN bidir b ON b.u = p.v
+  GROUP BY p.s, b.v
+),
+f{k} AS (SELECT c.s, c.v, c.sigma FROM c{k} c WHERE NOT ({settled}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT v, 1.0 / {k} AS inv_d FROM f{k}" for k in range(1, D + 1)
+    )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+alld AS ({union})
+SELECT verts.v AS vertex,
+       round(coalesce(sum(alld.inv_d), 0.0), {ROUND}) AS harmonic_r
+FROM verts LEFT JOIN alld ON alld.v = verts.v
+GROUP BY verts.v"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tri_sql = (
         f"WITH {_EDGES_CTE},\n{_TRI_CTE}\nSELECT count(*) AS triangles FROM tri"
@@ -1748,5 +1794,6 @@ FROM reach WHERE w != u GROUP BY u""",
         "label_propagation": _lpa_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
         "betweenness": _betweenness_oracle_sql(),
+        "harmonic_centrality": _harmonic_oracle_sql(),
         **_doc_oracles(),
     }

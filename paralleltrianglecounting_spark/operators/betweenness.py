@@ -36,7 +36,76 @@ from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.sources.edges import bidirected
 
-__all__ = ["betweenness"]
+__all__ = ["betweenness", "harmonic_centrality"]
+
+
+def _forward_levels(
+    bidir: DataFrame, sources: DataFrame, max_depth: int
+) -> list[DataFrame]:
+    """Per-level multi-source BFS frontiers carrying path counts:
+    ``levels[d]`` = [s, v, sigma] for vertices first reached at depth
+    ``d`` from source ``s``. Level 0 is the sources themselves. Each
+    frontier is persisted (callers re-read them) — one frontier join +
+    one left-anti settled check + one sigma hash agg per level."""
+    level0 = sources.select(
+        F.col("vertex").alias("s"),
+        F.col("vertex").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).persist()
+    levels = [level0]
+    settled = level0.select("s", "v")
+    for _ in range(max_depth):
+        frontier = (
+            levels[-1]
+            .join(bidir, levels[-1]["v"] == bidir["src"])
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .join(settled, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .persist()
+        )
+        levels.append(frontier)
+        settled = settled.unionByName(frontier.select("s", "v"))
+    return levels
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_sources: int = 4,
+    max_depth: int = 3,
+) -> DataFrame:
+    """[vertex, harmonic_r]: pivot-based harmonic centrality —
+    ``Σ_{pivots s ≠ v reaching v within max_depth} 1/dist(s, v)``,
+    rounded to 6 dp, pivots = the ``n_sources`` smallest non-isolated
+    vertex ids (Boldi–Vigna's axiomatically-preferred closeness
+    variant; the pivot-sample + radius bound is the same published
+    scale move as betweenness'). Every non-isolated vertex gets a row
+    (0.0 when no pivot reaches it).
+
+    Reuses the betweenness forward supersteps (the level index IS the
+    distance); cost is the forward phase alone — no backward pass.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bidir = bidirected(edges).repartition(n_part, "src").persist()
+    verts = bidir.select(F.col("src").alias("vertex")).distinct()
+    sources = verts.orderBy("vertex").limit(n_sources)
+    levels = _forward_levels(bidir, sources, max_depth)
+
+    acc = None
+    for d, lvl in enumerate(levels[1:], start=1):
+        part = lvl.select("v", (F.lit(1.0) / d).alias("inv_d"))
+        acc = part if acc is None else acc.unionByName(part)
+    summed = acc.groupBy("v").agg(F.sum("inv_d").alias("h"))
+    return (
+        verts.join(summed, verts["vertex"] == summed["v"], "left")
+        .select(
+            "vertex",
+            F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("harmonic_r"),
+        )
+    )
 
 
 def betweenness(
@@ -60,25 +129,7 @@ def betweenness(
     sources = verts.orderBy("vertex").limit(n_sources)
 
     # ---- forward: per-level frontiers with path counts -------------
-    level0 = sources.select(
-        F.col("vertex").alias("s"),
-        F.col("vertex").alias("v"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).persist()
-    levels = [level0]
-    settled = level0.select("s", "v")
-    for _ in range(max_depth):
-        frontier = (
-            levels[-1]
-            .join(bidir, levels[-1]["v"] == bidir["src"])
-            .select("s", F.col("dst").alias("v"), "sigma")
-            .join(settled, ["s", "v"], "left_anti")
-            .groupBy("s", "v")
-            .agg(F.sum("sigma").alias("sigma"))
-            .persist()
-        )
-        levels.append(frontier)
-        settled = settled.unionByName(frontier.select("s", "v"))
+    levels = _forward_levels(bidir, sources, max_depth)
 
     # ---- backward: dependency accumulation, deepest level first ----
     deltas = [

@@ -160,3 +160,65 @@ def test_sssp_hop_bound_prefers_heavier_shorter_path(spark):
     assert full[9] == 4      # the 4-hop light path at the fixpoint
     assert bounded[3] == 11  # within 2 hops only the 0-9-3 detour reaches 3
     assert full[3] == 3
+
+
+# ---------------------------------------------------- harmonic
+
+
+def py_harmonic(edges, n_sources, max_depth):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    h = {v: 0.0 for v in verts}
+    for s in verts[:n_sources]:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, max_depth + 1):
+            nxt = sorted(
+                {w for v in frontier for w in adj[v] if w not in dist}
+            )
+            for w in nxt:
+                dist[w] = d
+                h[w] += 1.0 / d
+            frontier = nxt
+    return h
+
+
+def test_harmonic_centrality_matches_sequential(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.betweenness import (
+        harmonic_centrality,
+    )
+
+    edges = part_graph(spark, sf_tiny)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    got = {
+        r.vertex: r.harmonic_r
+        for r in harmonic_centrality(edges, n_sources=6, max_depth=3).collect()
+    }
+    want = py_harmonic(pairs, n_sources=6, max_depth=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=5e-7), v
+
+
+def test_harmonic_centrality_star(spark):
+    from paralleltrianglecounting_spark.operators.betweenness import (
+        harmonic_centrality,
+    )
+
+    # star: hub 0 with leaves 1..5; pivots {0, 1, 2, 3}
+    pairs = [(0, i) for i in range(1, 6)]
+    got = {
+        r.vertex: r.harmonic_r
+        for r in harmonic_centrality(
+            _edges_df(spark, pairs), n_sources=4, max_depth=3
+        ).collect()
+    }
+    # hub: reached at d=1 by pivots 1,2,3 -> 3.0
+    assert got[0] == pytest.approx(3.0)
+    # leaf 1: d=1 from hub pivot, d=2 from pivots 2,3 -> 1 + 2*0.5 = 2.0
+    assert got[1] == pytest.approx(2.0)
+    # leaf 5 (not a pivot): d=1 from 0, d=2 from 1,2,3 -> 1 + 3*0.5 = 2.5
+    assert got[5] == pytest.approx(2.5)
