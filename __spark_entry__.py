@@ -106,6 +106,7 @@ from paralleltrianglecounting_spark.operators.betweenness import (
     harmonic_centrality,
 )
 from paralleltrianglecounting_spark.operators.sssp import sssp
+from paralleltrianglecounting_spark.operators.stats import group_quantiles, rollup_totals
 from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import (
     order_chain_graph,
@@ -836,6 +837,15 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_quantiles(ev, "event_type", "value")
+
+
+def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup_totals(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(
         part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
@@ -1028,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
+        "events_quantiles": _q_events_quantiles,
+        "orders_rollup": _q_orders_rollup,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
     }
@@ -1487,6 +1499,19 @@ JOIN e eb ON eb.vec_id = c.vec_b
 WHERE round(list_dot_product(ea.emb, eb.emb)
       / (sqrt(list_dot_product(ea.emb, ea.emb))
          * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.3""",
+        "events_quantiles": """SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS q25_r,
+       round(quantile_cont(value, 0.5), 6) AS q5_r,
+       round(quantile_cont(value, 0.75), 6) AS q75_r
+FROM events GROUP BY event_type""",
+        # monetary sum in DECIMAL(18,2): exact and order-free in both
+        # engines, then ONE cast to double — a raw double sum is
+        # partition-order-dependent and can never gate hash-exact
+        "orders_rollup": """SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS total_r
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "events_windowed": """SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,

@@ -164,3 +164,39 @@ def test_random_walks_zero_len_is_seeds_only(spark, sf_tiny):
     assert all(r.step == 0 and r.v == r.walk_id for r in rows)
     with pytest.raises(ValueError, match=">= 0"):
         random_walks(edges, walk_len=-1)
+
+
+# ----------------------------------------------------------- stats
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    from paralleltrianglecounting_spark.operators.stats import group_quantiles
+
+    rows = [("a", float(x)) for x in range(1, 101)] + [("b", 5.0), ("b", 15.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    exact = {r.g: r for r in group_quantiles(df, "g", "value").collect()}
+    # group a: 1..100 -> q25 = 1 + 99*.25 = 25.75, median 50.5
+    assert exact["a"].q25_r == pytest.approx(25.75)
+    assert exact["a"].q5_r == pytest.approx(50.5)
+    assert exact["a"].q75_r == pytest.approx(75.25)
+    assert exact["b"].q5_r == pytest.approx(10.0)  # interpolated midpoint
+    # sketch path: bounded error vs exact on the big group
+    approx = {
+        r.g: r
+        for r in group_quantiles(df, "g", "value", approx=True).collect()
+    }
+    assert abs(approx["a"].q5_r - 50.5) <= 2.0
+
+
+def test_rollup_totals_subtotal_consistency(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.stats import rollup_totals
+
+    orders = spark.read.parquet(f"{sf_tiny}/orders.parquet")
+    rows = rollup_totals(orders).collect()
+    grand = [r for r in rows if r.o_orderstatus is None]
+    assert len(grand) == 1 and grand[0].n_orders == orders.count()
+    # per-status subtotals sum to the grand total (DECIMAL-exact path)
+    lvl1 = [r for r in rows
+            if r.o_orderstatus is not None and r.o_orderpriority is None]
+    assert sum(r.n_orders for r in lvl1) == grand[0].n_orders
+    assert sum(r.total_r for r in lvl1) == pytest.approx(grand[0].total_r, abs=0.02)
