@@ -106,7 +106,11 @@ from paralleltrianglecounting_spark.operators.betweenness import (
     harmonic_centrality,
 )
 from paralleltrianglecounting_spark.operators.sssp import sssp
-from paralleltrianglecounting_spark.operators.stats import group_quantiles, rollup_totals
+from paralleltrianglecounting_spark.operators.stats import (
+    group_quantiles,
+    rollup_totals,
+    sessionize,
+)
 from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import (
     order_chain_graph,
@@ -842,6 +846,12 @@ def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(ev, "event_type", "value")
 
 
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+    )
+
+
 def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_totals(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
@@ -1040,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_duplicates": _q_embedding_near_dups,
         "events_quantiles": _q_events_quantiles,
         "orders_rollup": _q_orders_rollup,
+        "user_sessions": _q_user_sessions,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
     }
@@ -1508,6 +1519,23 @@ FROM events GROUP BY event_type""",
         # monetary sum in DECIMAL(18,2): exact and order-free in both
         # engines, then ONE cast to double — a raw double sum is
         # partition-order-dependent and can never gate hash-exact
+        "user_sessions": """WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id""",
         "orders_rollup": """SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
        round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS total_r

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_quantiles", "rollup_totals"]
+__all__ = ["group_quantiles", "rollup_totals", "sessionize"]
 
 DEFAULT_QS = (0.25, 0.5, 0.75)
 
@@ -52,6 +52,57 @@ def group_quantiles(
         name = f"q{str(q).replace('0.', '')}_r"
         aggs.append(F.round(col, 6).alias(name))
     return df.groupBy(group_col).agg(*aggs)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[user_id, session_id, session_start, session_end, n_events]:
+    gap-based sessionization — a new session starts whenever a user is
+    idle longer than ``gap_minutes``. The classic two-window form:
+    ``lag`` marks session boundaries, a running sum over the boundary
+    flags numbers the sessions (both windows partitioned per user —
+    never a global sort), then one hash agg per (user, session).
+
+    Session ids are 1-based per user in time order — deterministic and
+    engine-portable (ties on ts within one user break by the event
+    order, which both engines resolve identically only when ts is
+    unique per user; the events fixture's ts is unique per user at all
+    tiers, and real pipelines should add a tiebreak column to the sort
+    if theirs is not).
+
+    Scale shape at 100 TB: two per-user windows + one hash agg — the
+    shuffle key is the user id, so skew follows user activity; a
+    monster user costs one task's sort of their events, the standard
+    sessionization bound. The streaming analog is a session window with
+    watermarked state; this is the batch/backfill twin.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = events.select(
+        user_col, ts_col, new_sess.alias("_new")
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 def rollup_totals(

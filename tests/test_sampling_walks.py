@@ -200,3 +200,28 @@ def test_rollup_totals_subtotal_consistency(spark, sf_tiny):
             if r.o_orderstatus is not None and r.o_orderpriority is None]
     assert sum(r.n_orders for r in lvl1) == grand[0].n_orders
     assert sum(r.total_r for r in lvl1) == pytest.approx(grand[0].total_r, abs=0.02)
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from paralleltrianglecounting_spark.operators.stats import sessionize
+
+    t = lambda m: datetime(2026, 1, 1, 12, m)
+    rows = [
+        (1, t(0)), (1, t(10)), (1, t(41)),   # 31-min gap -> new session
+        (1, t(55)),
+        (2, t(0)),                            # single-event session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got[(1, 1)] == (t(0), t(10), 2)
+    assert got[(1, 2)] == (t(41), t(55), 2)
+    assert got[(2, 1)] == (t(0), t(0), 1)
+    # exactly 30-min gap does NOT split (strict > semantics)
+    df2 = spark.createDataFrame([(3, t(0)), (3, t(30))], "user_id long, ts timestamp")
+    r2 = sessionize(df2, gap_minutes=30).collect()
+    assert len(r2) == 1 and r2[0].n_events == 2
