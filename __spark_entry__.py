@@ -58,6 +58,7 @@ from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
     triangle_count_resumable,
+    triangle_triples,
     triangles_per_vertex,
 )
 from paralleltrianglecounting_spark.operators.dedup import (
@@ -110,6 +111,7 @@ from paralleltrianglecounting_spark.operators.stats import (
     group_quantiles,
     rollup_totals,
     sessionize,
+    sliding_window_counts,
 )
 from paralleltrianglecounting_spark.operators.walks import random_walks
 from paralleltrianglecounting_spark.sources.edges import (
@@ -841,6 +843,20 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine triples come out in rank-orientation order; canonicalize to
+    # id order (x < y < z) to match the oracle's src<dst edge chaining
+    t = triangle_triples(part_graph(spark, sf_dir))
+    lo = F.least("a", "b", "c")
+    hi = F.greatest("a", "b", "c")
+    mid = F.col("a") + F.col("b") + F.col("c") - lo - hi
+    return t.select(lo.alias("x"), mid.alias("y"), hi.alias("z"))
+
+
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return group_quantiles(ev, "event_type", "value")
@@ -1048,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
+        "triangle_list": _q_triangle_list,
+        "events_sliding": _q_events_sliding,
         "events_quantiles": _q_events_quantiles,
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
@@ -1510,6 +1528,22 @@ JOIN e eb ON eb.vec_id = c.vec_b
 WHERE round(list_dot_product(ea.emb, eb.emb)
       / (sqrt(list_dot_product(ea.emb, ea.emb))
          * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.3""",
+        "triangle_list": f"""WITH {_EDGES_CTE},
+{_TRI_CTE}
+SELECT a AS x, b AS y, c AS z FROM tri""",
+        # every ts lies in exactly window/slide = 2 sliding windows;
+        # starts are epoch-aligned slide multiples (Spark's window())
+        "events_sliding": """WITH slid AS (
+  SELECT event_type, value,
+         unnest([make_timestamp(((floor(epoch(ts) / 1800) * 1800)::BIGINT) * 1000000),
+                 make_timestamp(((floor(epoch(ts) / 1800) * 1800 - 1800)::BIGINT) * 1000000)])
+           AS window_start
+  FROM events
+)
+SELECT event_type, window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM slid GROUP BY event_type, window_start""",
         "events_quantiles": """SELECT event_type,
        count(*) AS n,
        round(quantile_cont(value, 0.25), 6) AS q25_r,

@@ -225,3 +225,34 @@ def test_sessionize_gap_semantics(spark):
     df2 = spark.createDataFrame([(3, t(0)), (3, t(30))], "user_id long, ts timestamp")
     r2 = sessionize(df2, gap_minutes=30).collect()
     assert len(r2) == 1 and r2[0].n_events == 2
+
+
+def test_sliding_window_counts_cover_each_event_twice(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.stats import (
+        sliding_window_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_tiny}/events.parquet")
+    out = sliding_window_counts(ev).collect()
+    # 1h windows sliding by 30min -> every event lands in exactly 2
+    assert sum(r.n_events for r in out) == 2 * ev.count()
+    # window starts are 30-min aligned
+    assert all(r.window_start.minute in (0, 30) and r.window_start.second == 0
+               for r in out)
+
+
+def test_triangle_list_matches_count_and_edges(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.triangles import (
+        triangle_count,
+        triangle_triples,
+    )
+
+    edges = part_graph(spark, sf_tiny)
+    triples = [
+        tuple(sorted((r.a, r.b, r.c))) for r in triangle_triples(edges).collect()
+    ]
+    assert len(triples) == len(set(triples))  # each triangle listed once
+    assert len(triples) == triangle_count(edges).collect()[0]["triangles"]
+    eset = {(r.src, r.dst) for r in edges.collect()}
+    for x, y, z in triples[:500]:
+        assert (x, y) in eset and (y, z) in eset and (x, z) in eset
