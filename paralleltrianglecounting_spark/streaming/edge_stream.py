@@ -75,6 +75,36 @@ def stream_windowed_events(
     )
 
 
+def stream_sliding_events(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Sliding-window twin of :func:`stream_windowed_events`: the same
+    ``window(ts, window, slide)`` expression the batch
+    ``sliding_window_counts`` uses, under readStream + watermark. Each
+    event updates window/slide overlapping windows; the watermark
+    finalizes and evicts windows as event time advances — overlapping
+    windows multiply STATE, not input, so the watermark matters
+    ``window/slide``× more than in the tumbling case."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 8)
+    stream = reader.parquet(source_dir) if fmt == "parquet" else reader.json(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -775,3 +775,44 @@ def test_events_windowed_stream_contract_equals_batch(spark, sf_tiny):
         for r in entry._q_events_windowed_stream(spark, sf_tiny).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_stream_sliding_events_equals_batch(spark, tmp_path, sf_tiny):
+    """The sliding-window stream, run to completion, must equal the
+    batch sliding_window_counts over the same events (state here is
+    window/slide x the tumbling case; the complete-mode drain proves
+    the overlapping windows accumulate across micro-batches)."""
+    from paralleltrianglecounting_spark.operators.stats import (
+        sliding_window_counts,
+    )
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        stream_sliding_events,
+    )
+
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    events = spark.read.parquet(f"{sf_tiny}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # three files -> three availableNow micro-batches
+    events.repartition(3).write.parquet(str(src / "staged"))
+    agg = stream_sliding_events(
+        spark, str(src / "staged"), watermark="10 days", fmt="parquet"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in spark.sql("SELECT * FROM slide_agg").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value_r)
+        for r in sliding_window_counts(events).collect()
+    }
+    assert got == want
