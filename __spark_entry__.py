@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paralleltrianglecounting_spark.operators.bfs import bfs_distances
+from paralleltrianglecounting_spark.operators.bfs import bfs_distances, diameter_estimate
 from paralleltrianglecounting_spark.operators.components import (
     component_sizes,
     connected_components,
@@ -218,6 +218,10 @@ NBHD_HOPS = 2
 CONTAM_BENCH_MOD = 100
 CONTAM_N = 3
 CONTAM_MIN_OVERLAP = 2
+# diameter double-sweep on the order-chain graph (disjoint customer
+# paths, median ~10 — a diameter that actually varies; the dense part
+# graph sits at 2-3). Per-sweep cap generous vs the chain depth
+DIAMETER_MAX_HOPS = 24
 # weighted shortest paths: hop-bounded min-plus from the SSSP_SEEDS
 # smallest vertex ids; distances stay integral (hash-exact gate). The
 # bound is part of the semantics (the bfs_distances cap rule); min-plus
@@ -878,6 +882,12 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diameter_estimate(
+        order_chain_graph(spark, sf_dir), max_hops=DIAMETER_MAX_HOPS
+    )
+
+
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(
         weighted_part_graph(spark, sf_dir), n_seeds=SSSP_SEEDS, iterations=SSSP_ITERS
@@ -1023,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
         "sssp": _q_sssp,
+        "diameter_estimate": _q_diameter,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
         "personalized_pagerank_salted": _q_personalized_pagerank_salted,
@@ -1707,6 +1718,51 @@ GROUP BY verts.v"""
     )
 
 
+_CHAIN_CTES = """nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS b
+  FROM orders
+),
+chain_edges AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+  FROM nxt WHERE b IS NOT NULL AND a != b
+),
+cbidir AS (
+  SELECT src AS u, dst AS v FROM chain_edges
+  UNION ALL
+  SELECT dst AS u, src AS v FROM chain_edges
+)""".strip()
+
+
+def _diameter_oracle_sql() -> str:
+    """Double sweep unrolled as two recursive BFS CTEs; the second seed
+    is the argmax (dist desc, id asc) of the first sweep."""
+    H = DIAMETER_MAX_HOPS
+    return f"""WITH RECURSIVE {_CHAIN_CTES},
+start AS (SELECT min(u) AS v FROM cbidir),
+b1(vertex, d) AS (
+  SELECT v, 0 FROM start
+  UNION
+  SELECT b.v, b1.d + 1 FROM b1 JOIN cbidir b ON b.u = b1.vertex
+  WHERE b1.d < {H}
+),
+m1 AS (SELECT vertex, min(d) AS dist FROM b1 GROUP BY vertex),
+far AS (SELECT vertex FROM m1 ORDER BY dist DESC, vertex LIMIT 1),
+b2(vertex, d) AS (
+  SELECT vertex, 0 FROM far
+  UNION
+  SELECT b.v, b2.d + 1 FROM b2 JOIN cbidir b ON b.u = b2.vertex
+  WHERE b2.d < {H}
+),
+m2 AS (SELECT vertex, min(d) AS dist FROM b2 GROUP BY vertex)
+SELECT (SELECT v FROM start) AS start_vertex,
+       (SELECT vertex FROM far) AS far_vertex,
+       max(dist) AS diameter_lb
+FROM m2"""
+
+
 def oracle_sql() -> dict[str, str]:
     tri_sql = (
         f"WITH {_EDGES_CTE},\n{_TRI_CTE}\nSELECT count(*) AS triangles FROM tri"
@@ -1759,6 +1815,7 @@ SELECT component, count(*) AS n_vertices FROM lbl GROUP BY component""",
         "pagerank": _pagerank_oracle_sql(),
         "weighted_pagerank": _weighted_pagerank_oracle_sql(),
         "sssp": _sssp_oracle_sql(),
+        "diameter_estimate": _diameter_oracle_sql(),
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "personalized_pagerank_salted": _ppr_oracle_sql(),

@@ -133,3 +133,41 @@ def bfs_run(
     finally:
         topo.unpersist()
     return result
+
+
+def diameter_estimate(edges: DataFrame, max_hops: int = 16) -> DataFrame:
+    """[start_vertex, far_vertex, diameter_lb]: the double-sweep
+    diameter lower bound (Magnien–Latapy–Habib) — BFS from a
+    deterministic start (the smallest non-isolated vertex id), hop to
+    the farthest vertex found (ties -> smallest id), BFS again from
+    there; the second eccentricity is the bound. Exact on trees, within
+    a small factor in practice on real graphs, and the standard cheap
+    probe before committing to an exact-diameter sweep.
+
+    Hops are capped at ``max_hops`` per sweep (the bfs_distances cap
+    contract); if the cap binds, the bound is over the capped ball.
+    Two scalar driver probes (one row each) pick the sweep endpoints —
+    the same size class as pagerank's convergence probe, never a
+    dataset collect. Cost: 2 multi-source-BFS runs = O(diameter)
+    supersteps over the one persisted topology each.
+    """
+    from pyspark.sql import functions as F
+
+    bidir = bidirected(edges)
+    start = bidir.agg(F.min("src").alias("v")).collect()[0]["v"]
+    if start is None:
+        return edges.sparkSession.createDataFrame(
+            [], "start_vertex long, far_vertex long, diameter_lb long"
+        )
+    d1 = bfs_distances(edges, [int(start)], max_hops=max_hops)
+    far = (
+        d1.orderBy(F.col("dist").desc(), F.col("vertex").asc())
+        .limit(1)
+        .collect()[0]["vertex"]
+    )
+    d2 = bfs_distances(edges, [int(far)], max_hops=max_hops)
+    return d2.agg(
+        F.lit(int(start)).alias("start_vertex"),
+        F.lit(int(far)).alias("far_vertex"),
+        F.max("dist").alias("diameter_lb"),
+    )

@@ -216,3 +216,33 @@ def test_order_chain_graph_deep_bfs(spark, sf_tiny):
     more = bfs_run(g, seeds, max_hops=6).state.count()
     assert more > len(got)
     g.unpersist()
+
+
+def test_diameter_double_sweep_exact_on_paths(spark):
+    from paralleltrianglecounting_spark.operators.bfs import diameter_estimate
+
+    # path 0-1-...-9: double sweep is exact on trees (diameter 9), even
+    # though the deterministic start (vertex 0) is an endpoint here;
+    # verify the midpoint-start case with a relabeled path where the
+    # smallest id sits in the middle
+    path = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    r = diameter_estimate(df, max_hops=16).collect()[0]
+    assert (r.start_vertex, r.diameter_lb) == (0, 9)
+    # midpoint start: ids 0 at center, arms 1..5 and 6..10
+    arms = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+            (0, 6), (6, 7), (7, 8), (8, 9), (9, 10)]
+    df2 = spark.createDataFrame(arms, "src long, dst long")
+    r2 = diameter_estimate(df2, max_hops=16).collect()[0]
+    # sweep 1 from 0 finds an arm tip (5, tie-break smallest id);
+    # sweep 2 from 5 crosses the center -> true diameter 10
+    assert (r2.far_vertex, r2.diameter_lb) == (5, 10)
+
+
+def test_diameter_cap_binds(spark):
+    from paralleltrianglecounting_spark.operators.bfs import diameter_estimate
+
+    path = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    r = diameter_estimate(df, max_hops=4).collect()[0]
+    assert r.diameter_lb == 4  # both sweeps truncated at the cap
