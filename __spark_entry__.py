@@ -27,7 +27,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paralleltrianglecounting_spark.operators.bfs import bfs_distances, diameter_estimate
+from paralleltrianglecounting_spark.operators.bfs import (
+    bfs_distances,
+    diameter_estimate,
+    ego_net,
+)
 from paralleltrianglecounting_spark.operators.components import (
     component_sizes,
     connected_components,
@@ -218,6 +222,11 @@ NBHD_HOPS = 2
 CONTAM_BENCH_MOD = 100
 CONTAM_N = 3
 CONTAM_MIN_OVERLAP = 2
+# ego-net: the induced subgraph on the 1-hop ball of the EGO_SEEDS
+# smallest ids (1 hop on the dense part graph already covers ~39% of
+# vertices; 2 hops would be nearly the whole graph)
+EGO_SEEDS = 4
+EGO_HOPS = 1
 # diameter double-sweep on the order-chain graph (disjoint customer
 # paths, median ~10 — a diameter that actually varies; the dense part
 # graph sits at 2-3). Per-sweep cap generous vs the chain depth
@@ -882,6 +891,12 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ego_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    seeds = _degrees(edges).select("vertex").orderBy("vertex").limit(EGO_SEEDS)
+    return ego_net(edges, seeds, hops=EGO_HOPS)
+
+
 def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diameter_estimate(
         order_chain_graph(spark, sf_dir), max_hops=DIAMETER_MAX_HOPS
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_pagerank": _q_weighted_pagerank,
         "sssp": _q_sssp,
         "diameter_estimate": _q_diameter,
+        "ego_net": _q_ego_net,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
         "personalized_pagerank_salted": _q_personalized_pagerank_salted,
@@ -1816,6 +1832,18 @@ SELECT component, count(*) AS n_vertices FROM lbl GROUP BY component""",
         "weighted_pagerank": _weighted_pagerank_oracle_sql(),
         "sssp": _sssp_oracle_sql(),
         "diameter_estimate": _diameter_oracle_sql(),
+        "ego_net": f"""WITH RECURSIVE {_EDGES_CTE},
+seeds AS (SELECT v AS vertex FROM verts ORDER BY v LIMIT {EGO_SEEDS}),
+bfs(vertex, d) AS (
+  SELECT vertex, 0 FROM seeds
+  UNION
+  SELECT b.v, bfs.d + 1 FROM bfs JOIN bidir b ON b.u = bfs.vertex
+  WHERE bfs.d < {EGO_HOPS}
+),
+ball AS (SELECT DISTINCT vertex FROM bfs)
+SELECT e.src, e.dst FROM edges e
+WHERE EXISTS (SELECT 1 FROM ball WHERE ball.vertex = e.src)
+  AND EXISTS (SELECT 1 FROM ball WHERE ball.vertex = e.dst)""",
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "personalized_pagerank_salted": _ppr_oracle_sql(),

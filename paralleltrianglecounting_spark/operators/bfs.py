@@ -171,3 +171,31 @@ def diameter_estimate(edges: DataFrame, max_hops: int = 16) -> DataFrame:
         F.lit(int(far)).alias("far_vertex"),
         F.max("dist").alias("diameter_lb"),
     )
+
+
+def ego_net(
+    edges: DataFrame,
+    seeds,
+    hops: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[src, dst]: the induced subgraph on the ``hops``-ball around the
+    seed set — every edge whose BOTH endpoints lie within ``hops`` of a
+    seed. The debugging/sampling primitive: extract a tractable
+    neighborhood of a suspicious vertex, or cut training subgraphs
+    around labeled seeds.
+
+    Plan: one capped multi-source BFS for the ball membership, then the
+    edge table LEFT SEMI joins against the ball on each endpoint — two
+    semi-joins, no row widening, edge payload columns never duplicated.
+    At 100 TB the ball table is the small side: for typical hop radii
+    it broadcasts, making both semi-joins map-side.
+    """
+    ball = bfs_distances(edges, seeds, max_hops=hops,
+                         checkpoint_dir=checkpoint_dir).select("vertex")
+    e = edges.select("src", "dst")
+    return (
+        e.join(ball.withColumnRenamed("vertex", "src"), "src", "left_semi")
+        .join(ball.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )

@@ -246,3 +246,20 @@ def test_diameter_cap_binds(spark):
     df = spark.createDataFrame(path, "src long, dst long")
     r = diameter_estimate(df, max_hops=4).collect()[0]
     assert r.diameter_lb == 4  # both sweeps truncated at the cap
+
+
+def test_ego_net_induced_subgraph_semantics(spark):
+    from paralleltrianglecounting_spark.operators.bfs import ego_net
+
+    # two components: a triangle 0-1-2 with a tail 2-3-4, plus 10-11
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r.src, r.dst) for r in ego_net(df, [0], hops=1).collect()}
+    # 1-ball of 0 = {0,1,2}; induced edges include 1-2 (both endpoints
+    # in the ball) but not 2-3 (3 outside)
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    got2 = {(r.src, r.dst) for r in ego_net(df, [0], hops=2).collect()}
+    assert got2 == {(0, 1), (0, 2), (1, 2), (2, 3)}
+    # disconnected seed: only its own component's ball
+    got3 = {(r.src, r.dst) for r in ego_net(df, [10], hops=3).collect()}
+    assert got3 == {(10, 11)}
