@@ -117,7 +117,7 @@ from paralleltrianglecounting_spark.operators.stats import (
     sessionize,
     sliding_window_counts,
 )
-from paralleltrianglecounting_spark.operators.walks import random_walks
+from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
 from paralleltrianglecounting_spark.sources.edges import (
     order_chain_graph,
     part_graph,
@@ -249,6 +249,12 @@ BC_MAX_DEPTH = 3
 # per-walk argmin window per step
 WALK_LEN = 4
 WALK_SEED_MOD = 16
+# node2vec-style second-order walk gate: copy counts (1, 1, 4) =
+# (return, inout, in-prev's-neighborhood) — BFS-ish bias, exactly
+# weighted via the integer-copy min-hash trick
+N2V_RET = 1
+N2V_IO = 1
+N2V_BASE = 4
 # train/val/test hash-split weights (percent)
 SPLIT_WEIGHTS = (80, 10, 10)
 
@@ -909,6 +915,17 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return biased_walks(
+        part_graph(spark, sf_dir),
+        walk_len=WALK_LEN,
+        seed_mod=WALK_SEED_MOD,
+        return_copies=N2V_RET,
+        inout_copies=N2V_IO,
+        base_copies=N2V_BASE,
+    )
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness(
         part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
@@ -1081,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
+        "biased_walks": _q_biased_walks,
         "betweenness": _q_betweenness,
         "harmonic_centrality": _q_harmonic,
         "contamination_check": _q_contamination,
@@ -1646,6 +1664,46 @@ s{k} AS (
     return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes) + "\n" + union
 
 
+def _biased_walks_oracle_sql() -> str:
+    """Unrolled second-order walk: per step, candidates with integer
+    copy counts (CASE on previous-vertex relation), copies exploded via
+    generate_series, argmin of (hash, u) per walk."""
+    ctes = [
+        f"""s0 AS (
+  SELECT DISTINCT u AS walk_id, CAST(NULL AS BIGINT) AS prev, u AS v
+  FROM bidir WHERE u % {WALK_SEED_MOD} = 0
+)"""
+    ]
+    for k in range(1, WALK_LEN + 1):
+        h = _H56.format(x=f"'n2v:' || walk_id || ':{k}:' || u || ':' || j")
+        ctes.append(
+            f"""c{k} AS (
+  SELECT p.walk_id, p.v AS cprev, b.v AS u,
+         CASE WHEN p.prev IS NULL THEN 1
+              WHEN b.v = p.prev THEN {N2V_RET}
+              WHEN EXISTS (SELECT 1 FROM bidir e
+                           WHERE e.u = p.prev AND e.v = b.v) THEN {N2V_BASE}
+              ELSE {N2V_IO} END AS w
+  FROM s{k - 1} p JOIN bidir b ON b.u = p.v
+),
+x{k} AS (
+  SELECT walk_id, cprev, u, unnest(generate_series(1, w)) AS j FROM c{k}
+),
+s{k} AS (
+  SELECT walk_id, cprev AS prev, u AS v
+  FROM (SELECT walk_id, cprev, u,
+               row_number() OVER (PARTITION BY walk_id ORDER BY {h}, u) AS rn
+        FROM x{k})
+  WHERE rn = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({k} AS INT) AS step, v FROM s{k}"
+        for k in range(WALK_LEN + 1)
+    )
+    return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes) + "\n" + union
+
+
 def _betweenness_oracle_sql() -> str:
     """Unrolled k-source depth-bounded Brandes: forward per level
     (frontier join + settled NOT EXISTS + sigma sum), backward per
@@ -1965,6 +2023,7 @@ SELECT u AS vertex, CAST(count(*) AS BIGINT) AS ball
 FROM reach WHERE w != u GROUP BY u""",
         "label_propagation": _lpa_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
+        "biased_walks": _biased_walks_oracle_sql(),
         "betweenness": _betweenness_oracle_sql(),
         "harmonic_centrality": _harmonic_oracle_sql(),
         **_doc_oracles(),

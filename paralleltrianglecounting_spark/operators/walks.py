@@ -96,3 +96,118 @@ def random_walks(
     return cur.select(
         "walk_id", F.posexplode(F.col("path")).alias("step", "v")
     )
+
+
+def biased_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed_mod: int = 16,
+    return_copies: int = 1,
+    inout_copies: int = 1,
+    base_copies: int = 2,
+    salt: str = "n2v",
+) -> DataFrame:
+    """[walk_id, step, v]: node2vec-style SECOND-ORDER biased walks,
+    exactly weighted and fully deterministic.
+
+    node2vec biases the next hop by where the walk came from: weight
+    1/p to return to the previous vertex, 1 to stay in the previous
+    vertex's neighborhood (a "BFS-ish" move), 1/q to wander outward.
+    RNG-weighted choice is irreproducible, so this uses the
+    integer-copy min-hash trick: give candidate ``u`` an integer copy
+    count ``w(u)`` (``return_copies`` if u is the previous vertex,
+    ``base_copies`` if u neighbors it, else ``inout_copies``) and pick
+    the candidate owning the minimum of ``w(u)`` independent hashes.
+    P(u wins) = w(u)/Σw EXACTLY (the minimum of the pooled hashes is
+    uniform over the pool), with no floating point anywhere — the same
+    determinism class as the MinHash gates, so the walk corpus is
+    value-exact testable against an ANSI-SQL oracle. (p, q) map to
+    copy counts by scaling {1/p, 1, 1/q} to integers.
+
+    Plan per step: the frontier joins the persisted adjacency TWICE
+    (current vertex's neighbors to enumerate candidates, previous
+    vertex's neighbors to classify them) — both equi-joins against the
+    same cached, pre-partitioned table; the weighted argmin is one
+    nested JVM transform (neighbors × copies) per row, never a row
+    explosion. Step 1 has no previous vertex and draws uniformly.
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    for name, c in (
+        ("return_copies", return_copies),
+        ("inout_copies", inout_copies),
+        ("base_copies", base_copies),
+    ):
+        if not isinstance(c, int) or c < 1:
+            raise ValueError(f"{name} must be a positive int, got {c!r}")
+    adj = adjacency(edges)
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    adj = adj.repartition(n_part, "vertex").persist()
+    prev_adj = adj.select(
+        F.col("vertex").alias("_pv"), F.col("neighbors").alias("_pnbrs")
+    )
+
+    seeds = adj.select(F.col("vertex").alias("walk_id")).where(
+        F.col("vertex") % seed_mod == 0
+    )
+    cur = seeds.select(
+        "walk_id",
+        F.array(F.col("walk_id")).alias("path"),
+        F.col("walk_id").alias("v"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+
+    def min_copy_hash(u, k: int, copies) -> F.Column:
+        # min over `copies` independent hashes of (walk, step, u, copy)
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), copies),
+                lambda j: hash56(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{k}:"),
+                        u.cast("string"),
+                        F.lit(":"),
+                        j.cast("string"),
+                    )
+                ),
+            )
+        )
+
+    for k in range(1, walk_len + 1):
+        copies_of = lambda u: (
+            F.when(u == F.col("prev"), F.lit(return_copies))
+            .when(
+                F.array_contains(
+                    F.coalesce(F.col("_pnbrs"), F.array().cast("array<long>")), u
+                ),
+                F.lit(base_copies),
+            )
+            .otherwise(F.lit(inout_copies))
+        )
+        uniform = F.col("prev").isNull()
+        pick = F.array_min(
+            F.transform(
+                F.col("neighbors"),
+                lambda u: F.struct(
+                    F.when(uniform, min_copy_hash(u, k, F.lit(1)))
+                    .otherwise(min_copy_hash(u, k, copies_of(u)))
+                    .alias("h"),
+                    u.alias("u"),
+                ),
+            )
+        )["u"]
+        cur = (
+            cur.join(adj, cur["v"] == adj["vertex"])
+            .join(prev_adj, cur["prev"] == F.col("_pv"), "left")
+            .select(
+                "walk_id",
+                F.concat(F.col("path"), F.array(pick)).alias("path"),
+                pick.alias("v"),
+                F.col("v").alias("prev"),
+            )
+        )
+    return cur.select(
+        "walk_id", F.posexplode(F.col("path")).alias("step", "v")
+    )

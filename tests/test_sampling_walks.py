@@ -256,3 +256,101 @@ def test_triangle_list_matches_count_and_edges(spark, sf_tiny):
     eset = {(r.src, r.dst) for r in edges.collect()}
     for x, y, z in triples[:500]:
         assert (x, y) in eset and (y, z) in eset and (x, z) in eset
+
+
+# ------------------------------------------------------ biased walks
+
+
+def _py_biased_walks(edges, walk_len, seed_mod, ret, io, base):
+    adj: dict[int, list[int]] = {}
+    aset: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+        aset.setdefault(s, set()).add(d)
+        aset.setdefault(d, set()).add(s)
+    out = []
+    for seed in sorted(adj):
+        if seed % seed_mod != 0:
+            continue
+        prev, v = None, seed
+        out.append((seed, 0, seed))
+        for k in range(1, walk_len + 1):
+            best = None
+            for u in adj[v]:
+                if prev is None:
+                    w = 1
+                elif u == prev:
+                    w = ret
+                elif u in aset[prev]:
+                    w = base
+                else:
+                    w = io
+                h = min(
+                    _hash56_py(f"n2v:{seed}:{k}:{u}:{j}")
+                    for j in range(1, w + 1)
+                )
+                if best is None or (h, u) < best:
+                    best = (h, u)
+            prev, v = v, best[1]
+            out.append((seed, k, v))
+    return sorted(out)
+
+
+def test_biased_walks_match_sequential_oracle(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.walks import biased_walks
+
+    edges = part_graph(spark, sf_tiny)
+    got = sorted(
+        (r.walk_id, r.step, r.v)
+        for r in biased_walks(
+            edges, walk_len=4, seed_mod=8,
+            return_copies=2, inout_copies=1, base_copies=3,
+        ).collect()
+    )
+    elist = [(r.src, r.dst) for r in edges.collect()]
+    want = _py_biased_walks(elist, 4, 8, ret=2, io=1, base=3)
+    assert got == want
+
+
+def test_biased_walks_copy_weights_shift_the_distribution(spark):
+    from paralleltrianglecounting_spark.operators.walks import biased_walks
+
+    # star of leaf pairs: hub 0 joined to 1..40, and each odd leaf
+    # joined to its even twin (1-2, 3-4, ...). A walk at leaf L with
+    # prev=0 chooses between the hub (weight inout=1) and the twin
+    # (in N(0) -> weight base). With base=64 the twin must win for
+    # almost every walk; with base=1 the choice is ~uniform.
+    pairs = [(0, i) for i in range(1, 41)]
+    pairs += [(i, i + 1) for i in range(1, 40, 2)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+
+    def twin_rate(base):
+        rows = biased_walks(df, walk_len=2, seed_mod=1,
+                            return_copies=1, inout_copies=1,
+                            base_copies=base).collect()
+        by_walk: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_walk.setdefault(r.walk_id, {})[r.step] = r.v
+        hits = total = 0
+        for wid, steps in by_walk.items():
+            if steps[0] != 0 and steps[1] == 0:
+                # at the hub with prev = a leaf: that leaf's twin is
+                # NOT in N(prev)... skip; we want leaf-with-prev=hub
+                continue
+            if steps[0] == 0 and steps[1] != 0:
+                total += 1
+                leaf = steps[1]
+                twin = leaf + 1 if leaf % 2 == 1 else leaf - 1
+                hits += steps[2] == twin
+        return hits, total
+
+    hits_heavy, total = twin_rate(64)
+    assert total == 1  # only the hub-seeded walk starts at 0
+    assert hits_heavy == 1  # 64:1 weight -> the twin wins
+    # determinism: identical output on a re-run
+    a = sorted(map(tuple, biased_walks(df, walk_len=2, seed_mod=1,
+                                       base_copies=64).collect()))
+    b = sorted(map(tuple, biased_walks(df, walk_len=2, seed_mod=1,
+                                       base_copies=64).collect()))
+    assert a == b
