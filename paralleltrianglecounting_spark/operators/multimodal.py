@@ -17,6 +17,10 @@ Decode support is layered (this container ships no image libraries):
   RIFF walk + per-frame ``decode_jpeg``, sampled features via
   ``video_frame_features``); inter-frame codecs (H.264 …) raise
   ``NotImplementedError`` naming ffmpeg;
+- **audio**: RIFF/WAVE decodes for real (``operators.audio`` — integer
+  PCM 8/16/24/32, IEEE float 32/64, G.711 µ-law/A-law, EXTENSIBLE
+  headers; per-clip DSP features via ``audio_clip_features``);
+  perceptual codecs (MP3, AAC …) raise naming ffmpeg/libsndfile;
 - ``fake=True``: deterministic byte-histogram stand-in, for plumbing
   tests over payloads that aren't real images.
 
