@@ -58,6 +58,7 @@ from paralleltrianglecounting_spark.operators.pagerank import (
     personalized_pagerank,
     weighted_pagerank,
 )
+from paralleltrianglecounting_spark.operators.cliques import k4_count
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -728,6 +729,10 @@ def _q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return square_count(part_graph(spark, sf_dir))
 
 
+def _q_k4_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k4_count(part_graph(spark, sf_dir))
+
+
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_topk(part_graph(spark, sf_dir), k=LINKPRED_K)
 
@@ -1080,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q_community_modularity,
         "edge_jaccard": _q_edge_jaccard,
         "square_count": _q_square_count,
+        "k4_count": _q_k4_count,
         "link_prediction": _q_link_prediction,
         "hits": _q_hits,
         "neighborhood_2hop": _q_neighborhood_2hop,
@@ -1992,6 +1998,16 @@ wp AS (
   GROUP BY b1.v, b2.v
 )
 SELECT CAST(sum(codeg * (codeg - 1) // 2) // 2 AS BIGINT) AS squares FROM wp""",
+        # each K4 {a<b<c<d} counted once: its id-lowest triangle (a,b,c)
+        # from tri, the 4th corner d via the three edges (a,d),(b,d),(c,d)
+        # — src<dst in the canonical edge table enforces d > c > b > a
+        "k4_count": f"""WITH {_EDGES_CTE},
+{_TRI_CTE}
+SELECT count(*)::BIGINT AS k4_count
+FROM tri t
+JOIN edges e1 ON e1.src = t.c
+JOIN edges e2 ON e2.src = t.b AND e2.dst = e1.dst
+JOIN edges e3 ON e3.src = t.a AND e3.dst = e1.dst""",
         "link_prediction": f"""WITH {_EDGES_CTE},
 wp AS (
   SELECT b1.v AS u, b2.v AS v, count(*) AS cn, sum(1.0 / ln(dz.degree)) AS aa

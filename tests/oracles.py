@@ -196,3 +196,23 @@ def k_core_oracle(edges: list[tuple[int, int]], k: int) -> set[int]:
                     adj[w].discard(v)
                 changed = True
     return set(adj)
+
+
+def k4_count_brute(edges: list[tuple[int, int]]) -> int:
+    """Per-edge common-neighborhood pair check — independent of the
+    engine's rank-ordered generator."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    count = 0
+    seen = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    for u, v in seen:
+        common = sorted(adj[u] & adj[v])
+        for i, c in enumerate(common):
+            for d in common[i + 1 :]:
+                if d in adj[c]:
+                    count += 1
+    return count // 6  # each K4 has 6 edges, each generating it once
