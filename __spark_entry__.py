@@ -97,6 +97,7 @@ from paralleltrianglecounting_spark.operators.text import (
     STOPWORDS,
     fingerprints,
     lang_id,
+    pmi_collocations,
     quality_scores,
     repetition_scores,
     subword_stats,
@@ -109,6 +110,7 @@ from paralleltrianglecounting_spark.operators.sampling import (
 )
 from paralleltrianglecounting_spark.operators.betweenness import (
     betweenness,
+    closeness_centrality,
     harmonic_centrality,
 )
 from paralleltrianglecounting_spark.operators.sssp import sssp
@@ -243,6 +245,8 @@ SSSP_ITERS = 6
 # pivot set) depth 3 means the pivot DAGs are complete, so the gate
 # checks the exact Brandes dependency sums for those sources; the
 # depth-bound semantics are pytest-pinned on a path graph where they bind
+PMI_K = 20
+PMI_MIN_COUNT = 5
 BC_SOURCES = 4
 BC_MAX_DEPTH = 3
 # deterministic random-walk corpus: one walk per seed (id % mod == 0),
@@ -844,6 +848,10 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(_docs(spark, sf_dir), k=PMI_K, min_count=PMI_MIN_COUNT)
+
+
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(_docs(spark, sf_dir), weights=SPLIT_WEIGHTS)
 
@@ -898,6 +906,12 @@ def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(
+        part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
+    )
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return closeness_centrality(
         part_graph(spark, sf_dir), n_sources=BC_SOURCES, max_depth=BC_MAX_DEPTH
     )
 
@@ -1100,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "pmi_collocations": _q_pmi_collocations,
         "repetition_scores": _q_repetition_scores,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
@@ -1107,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biased_walks": _q_biased_walks,
         "betweenness": _q_betweenness,
         "harmonic_centrality": _q_harmonic,
+        "closeness_centrality": _q_closeness,
         "contamination_check": _q_contamination,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -1357,6 +1373,37 @@ SELECT doc_id, term, tfidf_r,
                                ORDER BY tfidf_r DESC, term) AS INT) AS rank
 FROM scored
 QUALIFY rank <= 3""",
+        # PMI collocations: counts exact in both engines; the double
+        # arithmetic (one multiply chain, one divide, one ln) is
+        # written in the same association order as the Spark side so
+        # the IEEE results are bit-identical before the 6-dp round
+        "pmi_collocations": f"""WITH {_TOKS_CTE},
+pair AS (
+  SELECT s.p.x AS x, s.p.y AS y FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> {{'x': toks[i], 'y': toks[i + 1]}})) AS p
+    FROM toks_t WHERE len(toks) >= 2
+  ) s
+),
+cxy AS (
+  SELECT x, y, count(*)::BIGINT AS pair_cnt FROM pair GROUP BY x, y
+  HAVING count(*) >= {PMI_MIN_COUNT}
+),
+tok AS (SELECT unnest(toks) AS term FROM toks_t),
+cx AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+totals AS (
+  SELECT sum(len(toks))::DOUBLE AS t1,
+         sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END)::DOUBLE AS t2
+  FROM toks_t
+)
+SELECT cxy.x AS gram_x, cxy.y AS gram_y, pair_cnt,
+       round(ln((pair_cnt::DOUBLE * t1 * t1) / (t2 * dx.c * dy.c)), {ROUND}) AS pmi_r
+FROM cxy
+JOIN cx dx ON dx.term = cxy.x
+JOIN cx dy ON dy.term = cxy.y
+CROSS JOIN totals
+ORDER BY pmi_r DESC, gram_x, gram_y
+LIMIT {PMI_K}""",
         # Gopher-style repetition signals; bigram list via 1-based list
         # indexing (generate_series(1, 0) is empty in DuckDB — the
         # engine side guards Spark's descending sequence(1, 0) instead)
@@ -1798,6 +1845,46 @@ GROUP BY verts.v"""
     )
 
 
+def _closeness_oracle_sql() -> str:
+    """Unrolled pivot closeness: the same forward CTEs as harmonic
+    (the level index is the distance), then per-vertex reach count /
+    distance sum."""
+    D = BC_MAX_DEPTH
+    ctes = [
+        f"seeds AS (SELECT v FROM verts ORDER BY v LIMIT {BC_SOURCES})",
+        "f0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+    ]
+    for k in range(1, D + 1):
+        settled = " OR ".join(
+            f"EXISTS (SELECT 1 FROM f{j} x WHERE x.s = c.s AND x.v = c.v)"
+            for j in range(k)
+        )
+        ctes.append(
+            f"""c{k} AS (
+  SELECT p.s, b.v AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM f{k - 1} p JOIN bidir b ON b.u = p.v
+  GROUP BY p.s, b.v
+),
+f{k} AS (SELECT c.s, c.v, c.sigma FROM c{k} c WHERE NOT ({settled}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT v, CAST({k} AS BIGINT) AS d FROM f{k}" for k in range(1, D + 1)
+    )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+alld AS ({union})
+SELECT verts.v AS vertex,
+       CAST(count(alld.v) AS BIGINT) AS n_reached,
+       CAST(coalesce(sum(alld.d), 0) AS BIGINT) AS sum_dist,
+       round(coalesce(CAST(count(alld.v) AS DOUBLE) / sum(alld.d), 0.0),
+             {ROUND}) AS closeness_r
+FROM verts LEFT JOIN alld ON alld.v = verts.v
+GROUP BY verts.v"""
+    )
+
+
 _CHAIN_CTES = """nxt AS (
   SELECT o_orderkey AS a,
          lead(o_orderkey) OVER (
@@ -2042,5 +2129,6 @@ FROM reach WHERE w != u GROUP BY u""",
         "biased_walks": _biased_walks_oracle_sql(),
         "betweenness": _betweenness_oracle_sql(),
         "harmonic_centrality": _harmonic_oracle_sql(),
+        "closeness_centrality": _closeness_oracle_sql(),
         **_doc_oracles(),
     }

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from paralleltrianglecounting_spark.sources.edges import bidirected
 
-__all__ = ["betweenness", "harmonic_centrality"]
+__all__ = ["betweenness", "closeness_centrality", "harmonic_centrality"]
 
 
 def _forward_levels(
@@ -104,6 +104,57 @@ def harmonic_centrality(
         .select(
             "vertex",
             F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("harmonic_r"),
+        )
+    )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    n_sources: int = 4,
+    max_depth: int = 3,
+) -> DataFrame:
+    """[vertex, n_reached, sum_dist, closeness_r]: pivot-based
+    depth-bounded closeness — over the pivots ``s ≠ v`` that reach
+    ``v`` within ``max_depth``, ``n_reached / Σ dist(s, v)`` (0.0 when
+    no pivot reaches ``v``), rounded to 6 dp, pivots = the
+    ``n_sources`` smallest non-isolated vertex ids. Dividing by the
+    per-vertex reach count (not a global n-1) is the standard
+    pivot-sample correction — otherwise fringe vertices reached by few
+    pivots would be spuriously penalized. The exact integer
+    ``n_reached`` / ``sum_dist`` columns are carried alongside so the
+    ratio is auditable.
+
+    Shares the betweenness/harmonic forward supersteps (the level
+    index IS the distance); cost is the forward phase alone.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bidir = bidirected(edges).repartition(n_part, "src").persist()
+    verts = bidir.select(F.col("src").alias("vertex")).distinct()
+    sources = verts.orderBy("vertex").limit(n_sources)
+    levels = _forward_levels(bidir, sources, max_depth)
+
+    acc = None
+    for d, lvl in enumerate(levels[1:], start=1):
+        part = lvl.select("v", F.lit(d).cast("long").alias("d"))
+        acc = part if acc is None else acc.unionByName(part)
+    summed = acc.groupBy("v").agg(
+        F.count("d").alias("n"), F.sum("d").alias("sd")
+    )
+    return (
+        verts.join(summed, verts["vertex"] == summed["v"], "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce(F.col("sd"), F.lit(0)).cast("long").alias("sum_dist"),
+            F.round(
+                F.coalesce(
+                    F.col("n").cast("double") / F.col("sd"), F.lit(0.0)
+                ),
+                6,
+            ).alias("closeness_r"),
         )
     )
 

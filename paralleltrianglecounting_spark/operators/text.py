@@ -282,3 +282,74 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf_r", "rank")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """[gram_x, gram_y, pair_cnt, pmi_r]: the corpus's top-k bigram
+    collocations by pointwise mutual information (Church & Hanks 1990)
+    — ``ln(P(x,y) / (P(x)·P(y)))`` with P estimated from corpus counts:
+    ``ln((c_xy · T1 · T1) / (T2 · c_x · c_y))``, rounded to 6 dp,
+    pairs below ``min_count`` dropped (the standard hapax guard — PMI
+    is maximized by frequency-1 pairs otherwise). Ordered
+    ``pmi_r DESC, gram_x, gram_y`` — deterministic at ties.
+
+    The phrase-mining primitive for training-data pipelines
+    (multi-word-expression detection before tokenizer training).
+
+    Plan shape at 100 TB: one bigram explode + one (x, y) hash agg,
+    one token explode + one unigram hash agg; the unigram dictionary
+    joins twice onto the min_count-filtered pair table as plain
+    equi-joins — AQE broadcasts it while it measures small and shuffles
+    it once it scales with the corpus; the two scalar
+    totals (T1 tokens, T2 bigrams) are per-row expressions + one
+    scalar agg riding a broadcast cross join; top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort). All
+    counts exact; the float enters only in the final ln.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("x"),
+                        F.element_at(toks, i + 1).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    cxy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_count)
+    )
+    tok = docs.select(F.explode(toks).alias("term"))
+    cx = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = docs.agg(
+        F.sum(n).cast("double").alias("t1"),
+        F.sum(F.greatest(n - 1, F.lit(0))).cast("double").alias("t2"),
+    )
+    scored = (
+        cxy.join(cx.select(F.col("term").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(cx.select(F.col("term").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("x").alias("gram_x"),
+            F.col("y").alias("gram_y"),
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.round(
+                F.log(
+                    (F.col("pair_cnt").cast("double") * F.col("t1") * F.col("t1"))
+                    / (F.col("t2") * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_r"), "gram_x", "gram_y").limit(k)

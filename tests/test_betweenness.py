@@ -222,3 +222,70 @@ def test_harmonic_centrality_star(spark):
     assert got[1] == pytest.approx(2.0)
     # leaf 5 (not a pivot): d=1 from 0, d=2 from 1,2,3 -> 1 + 3*0.5 = 2.5
     assert got[5] == pytest.approx(2.5)
+
+
+# ---------------------------------------------------- closeness
+
+
+def py_closeness(edges, n_sources, max_depth):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    n = {v: 0 for v in verts}
+    sd = {v: 0 for v in verts}
+    for s in verts[:n_sources]:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, max_depth + 1):
+            nxt = sorted(
+                {w for v in frontier for w in adj[v] if w not in dist}
+            )
+            for w in nxt:
+                dist[w] = d
+                n[w] += 1
+                sd[w] += d
+            frontier = nxt
+    return {v: (n[v], sd[v], n[v] / sd[v] if sd[v] else 0.0) for v in verts}
+
+
+def test_closeness_matches_sequential(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.betweenness import (
+        closeness_centrality,
+    )
+
+    edges = part_graph(spark, sf_tiny)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    got = {
+        r.vertex: (r.n_reached, r.sum_dist, r.closeness_r)
+        for r in closeness_centrality(
+            edges, n_sources=6, max_depth=3
+        ).collect()
+    }
+    want = py_closeness(pairs, n_sources=6, max_depth=3)
+    assert set(got) == set(want)
+    for v, (n, sd, c) in want.items():
+        assert got[v][0] == n and got[v][1] == sd, v
+        assert got[v][2] == pytest.approx(c, abs=5e-7), v
+
+
+def test_closeness_star(spark):
+    from paralleltrianglecounting_spark.operators.betweenness import (
+        closeness_centrality,
+    )
+
+    # star: hub 0 with leaves 1..5; pivots {0, 1, 2, 3}
+    pairs = [(0, i) for i in range(1, 6)]
+    got = {
+        r.vertex: (r.n_reached, r.sum_dist, r.closeness_r)
+        for r in closeness_centrality(
+            _edges_df(spark, pairs), n_sources=4, max_depth=3
+        ).collect()
+    }
+    # hub: reached at d=1 by pivots 1,2,3
+    assert got[0] == (3, 3, pytest.approx(1.0))
+    # leaf 1 (a pivot): d=1 from hub pivot, d=2 from pivots 2,3
+    assert got[1] == (3, 5, pytest.approx(0.6))
+    # leaf 5 (not a pivot): d=1 from 0, d=2 from 1,2,3
+    assert got[5] == (4, 7, pytest.approx(4 / 7))

@@ -404,3 +404,57 @@ def test_contamination_check_flags_planted_eval_leak(spark):
     )
     r = contamination_check(rep, bench, n=3, min_overlap=1).collect()
     assert len(r) == 1 and r[0].shared_grams == 1
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from paralleltrianglecounting_spark.operators.text import pmi_collocations
+
+    # "x y" always adjacent (3x), tokens a/b fill independently;
+    # min_count=2 keeps {x y (3), a b (2)} and drops singletons
+    docs = _mkdocs(
+        spark,
+        [
+            "x y a b",      # pairs: (x,y) (y,a) (a,b)
+            "x y b a",      # pairs: (x,y) (y,b) (b,a)
+            "a x y b a b",  # pairs: (a,x) (x,y) (y,b) (b,a) (a,b)
+        ],
+    )
+    got = [
+        (r.gram_x, r.gram_y, r.pair_cnt, r.pmi_r)
+        for r in pmi_collocations(docs, k=10, min_count=2).collect()
+    ]
+    t1, t2 = 14.0, 11.0  # tokens, bigram slots
+    c = {"x": 3, "y": 3, "a": 4, "b": 4}
+
+    def pmi(cxy, cx, cy):
+        v = math.log((cxy * t1 * t1) / (t2 * cx * cy))
+        return math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+
+    want = sorted(
+        [
+            ("x", "y", 3, pmi(3, c["x"], c["y"])),
+            ("a", "b", 2, pmi(2, c["a"], c["b"])),
+            ("b", "a", 2, pmi(2, c["b"], c["a"])),
+            ("y", "b", 2, pmi(2, c["y"], c["b"])),
+        ],
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    assert got == want, (got, want)
+
+
+def test_pmi_min_count_and_k_bind(spark):
+    from paralleltrianglecounting_spark.operators.text import pmi_collocations
+
+    # "p q p q p q" -> pairs p q:3, q p:2; "r s" -> r s:1
+    docs = _mkdocs(spark, ["p q p q p q", "r s", ""])
+    assert pmi_collocations(docs, k=5, min_count=4).count() == 0
+    only = pmi_collocations(docs, k=5, min_count=3).collect()
+    assert [(r.gram_x, r.gram_y, r.pair_cnt) for r in only] == [("p", "q", 3)]
+    # k binds: 3 surviving pairs at min_count=1, keep the top 2;
+    # r s (count 1 but rare unigrams) outranks the p/q pairs on PMI
+    top2 = pmi_collocations(docs, k=2, min_count=1).collect()
+    assert len(top2) == 2
+    assert (top2[0].gram_x, top2[0].gram_y) == ("r", "s")
+    assert top2[0].pmi_r >= top2[1].pmi_r
