@@ -216,3 +216,28 @@ def k4_count_brute(edges: list[tuple[int, int]]) -> int:
                 if d in adj[c]:
                     count += 1
     return count // 6  # each K4 has 6 edges, each generating it once
+
+
+def kclique_count_brute(edges: list[tuple[int, int]], k: int) -> int:
+    """Recursive ordered enumeration over id-sorted adjacency —
+    independent of the engine's rank-ordered generator."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def count(cand: set[int], depth: int) -> int:
+        if depth == k:
+            return 1
+        if len(cand) < k - depth:
+            return 0
+        return sum(
+            count(cand & {w for w in adj[c] if w > c}, depth + 1)
+            for c in cand
+        )
+
+    return sum(
+        count({w for w in adj[v] if w > v}, 1) for v in sorted(adj)
+    )
