@@ -59,6 +59,7 @@ from paralleltrianglecounting_spark.operators.pagerank import (
     weighted_pagerank,
 )
 from paralleltrianglecounting_spark.operators.cliques import k4_count
+from paralleltrianglecounting_spark.operators.matching import maximal_matching
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -245,6 +246,7 @@ SSSP_ITERS = 6
 # pivot set) depth 3 means the pivot DAGs are complete, so the gate
 # checks the exact Brandes dependency sums for those sources; the
 # depth-bound semantics are pytest-pinned on a path graph where they bind
+MATCHING_UNROLL = 16
 PMI_K = 20
 PMI_MIN_COUNT = 5
 BC_SOURCES = 4
@@ -737,6 +739,10 @@ def _q_k4_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k4_count(part_graph(spark, sf_dir))
 
 
+def _q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return maximal_matching(part_graph(spark, sf_dir))
+
+
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_topk(part_graph(spark, sf_dir), k=LINKPRED_K)
 
@@ -1100,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_jaccard": _q_edge_jaccard,
         "square_count": _q_square_count,
         "k4_count": _q_k4_count,
+        "maximal_matching": _q_maximal_matching,
         "link_prediction": _q_link_prediction,
         "hits": _q_hits,
         "neighborhood_2hop": _q_neighborhood_2hop,
@@ -1845,6 +1852,53 @@ GROUP BY verts.v"""
     )
 
 
+def _matching_oracle_sql() -> str:
+    """Unrolled locally-dominant maximal matching: per round, the
+    per-vertex argmin pick (window twin of the engine's min(struct)
+    hash agg), the both-endpoints-agree join, and the incident-edge
+    drop. Idempotent once the live set is empty; the final select is
+    guarded LOUD — zero rows if the unroll did not reach the fixpoint."""
+    R = MATCHING_UNROLL
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT src, dst, ('0x' || substr(md5("
+        "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 14))"
+        "::BIGINT AS w FROM edges)"
+    ]
+    for k in range(1, R + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT v, src, dst FROM (
+    SELECT i.v, i.src, i.dst,
+           row_number() OVER (PARTITION BY i.v ORDER BY i.w, i.src, i.dst) AS rn
+    FROM (SELECT src AS v, w, src, dst FROM l{k - 1}
+          UNION ALL SELECT dst AS v, w, src, dst FROM l{k - 1}) i
+  ) WHERE rn = 1
+),
+m{k} AS (
+  SELECT e.src, e.dst, CAST({k} AS INT) AS mround FROM l{k - 1} e
+  JOIN p{k} a ON a.v = e.src AND a.src = e.src AND a.dst = e.dst
+  JOIN p{k} b ON b.v = e.dst AND b.src = e.src AND b.dst = e.dst
+),
+l{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM l{k - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM m{k} m
+                    WHERE m.src = e.src OR m.dst = e.src
+                       OR m.src = e.dst OR m.dst = e.dst)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, mround FROM m{k}" for k in range(1, R + 1)
+    )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+allm AS ({union})
+SELECT src, dst, mround FROM allm
+WHERE (SELECT count(*) FROM l{R}) = 0"""
+    )
+
+
 def _closeness_oracle_sql() -> str:
     """Unrolled pivot closeness: the same forward CTEs as harmonic
     (the level index is the distance), then per-vertex reach count /
@@ -1882,6 +1936,53 @@ SELECT verts.v AS vertex,
              {ROUND}) AS closeness_r
 FROM verts LEFT JOIN alld ON alld.v = verts.v
 GROUP BY verts.v"""
+    )
+
+
+def _matching_oracle_sql() -> str:
+    """Unrolled locally-dominant maximal matching: per round, the
+    per-vertex argmin pick (window twin of the engine's min(struct)
+    hash agg), the both-endpoints-agree join, and the incident-edge
+    drop. Idempotent once the live set is empty; the final select is
+    guarded LOUD — zero rows if the unroll did not reach the fixpoint."""
+    R = MATCHING_UNROLL
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT src, dst, ('0x' || substr(md5("
+        "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 14))"
+        "::BIGINT AS w FROM edges)"
+    ]
+    for k in range(1, R + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT v, src, dst FROM (
+    SELECT i.v, i.src, i.dst,
+           row_number() OVER (PARTITION BY i.v ORDER BY i.w, i.src, i.dst) AS rn
+    FROM (SELECT src AS v, w, src, dst FROM l{k - 1}
+          UNION ALL SELECT dst AS v, w, src, dst FROM l{k - 1}) i
+  ) WHERE rn = 1
+),
+m{k} AS (
+  SELECT e.src, e.dst, CAST({k} AS INT) AS mround FROM l{k - 1} e
+  JOIN p{k} a ON a.v = e.src AND a.src = e.src AND a.dst = e.dst
+  JOIN p{k} b ON b.v = e.dst AND b.src = e.src AND b.dst = e.dst
+),
+l{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM l{k - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM m{k} m
+                    WHERE m.src = e.src OR m.dst = e.src
+                       OR m.src = e.dst OR m.dst = e.dst)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, mround FROM m{k}" for k in range(1, R + 1)
+    )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+allm AS ({union})
+SELECT src, dst, mround FROM allm
+WHERE (SELECT count(*) FROM l{R}) = 0"""
     )
 
 
@@ -2130,5 +2231,6 @@ FROM reach WHERE w != u GROUP BY u""",
         "betweenness": _betweenness_oracle_sql(),
         "harmonic_centrality": _harmonic_oracle_sql(),
         "closeness_centrality": _closeness_oracle_sql(),
+        "maximal_matching": _matching_oracle_sql(),
         **_doc_oracles(),
     }

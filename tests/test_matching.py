@@ -1,0 +1,129 @@
+"""Maximal matching: exact agreement with a sequential locally-dominant
+twin, matching/maximality invariants, and determinism across
+parallelism."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from paralleltrianglecounting_spark.operators.matching import maximal_matching
+from paralleltrianglecounting_spark.sources.edges import canonicalize_edges
+from paralleltrianglecounting_spark.sources.gfile import read_g_file
+from paralleltrianglecounting_spark.sources.planted import planted_triangles
+from tests.conftest import reference_graph
+
+
+def _w(u: int, v: int) -> int:
+    return int(hashlib.md5(f"{u}:{v}".encode()).hexdigest()[:14], 16)
+
+
+def py_matching(edges):
+    """Sequential twin of the locally-dominant rounds."""
+    live = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    out = {}
+    rnd = 0
+    while live:
+        rnd += 1
+        pick: dict[int, tuple] = {}
+        for u, v in live:
+            key = (_w(u, v), u, v)
+            for x in (u, v):
+                if x not in pick or key < pick[x]:
+                    pick[x] = key
+        m = {
+            (u, v)
+            for u, v in live
+            if pick[u] == (_w(u, v), u, v) and pick[v] == (_w(u, v), u, v)
+        }
+        assert m, "locally-dominant round must always match an edge"
+        mv = {x for e in m for x in e}
+        out.update({e: rnd for e in m})
+        live = {e for e in live if e[0] not in mv and e[1] not in mv}
+    return out
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_matching_equals_sequential_twin_reference_graph(spark):
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    got = {
+        (r.src, r.dst): r.mround for r in maximal_matching(edges).collect()
+    }
+    assert got == py_matching(pairs)
+
+
+def test_matching_invariants_planted(spark):
+    edges = canonicalize_edges(
+        planted_triangles(spark, num_nodes=120, num_triangles=90, seed=3)
+    )
+    pairs = {(r.src, r.dst) for r in edges.collect()}
+    m = {(r.src, r.dst) for r in maximal_matching(edges).collect()}
+    # a matching: vertex-disjoint, and every matched pair is an edge
+    verts = [x for e in m for x in e]
+    assert len(verts) == len(set(verts))
+    assert m <= pairs
+    # maximal: every edge has a matched endpoint
+    mv = set(verts)
+    assert all(u in mv or v in mv for u, v in pairs)
+
+
+def test_matching_deterministic_across_parallelism(spark):
+    edges = canonicalize_edges(
+        planted_triangles(spark, num_nodes=60, num_triangles=40, seed=9)
+    )
+    a = sorted(
+        (r.src, r.dst, r.mround)
+        for r in maximal_matching(edges.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.src, r.dst, r.mround)
+        for r in maximal_matching(edges.repartition(16)).collect()
+    )
+    assert a == b
+
+
+def test_matching_golden_small(spark):
+    # single edge: matched in round 1
+    assert [
+        (r.src, r.dst, r.mround)
+        for r in maximal_matching(_df(spark, [(1, 2)])).collect()
+    ] == [(1, 2, 1)]
+    # triangle: exactly one edge can match
+    tri = maximal_matching(_df(spark, [(0, 1), (1, 2), (0, 2)])).collect()
+    assert len(tri) == 1
+    # empty graph
+    assert maximal_matching(_df(spark, [])).count() == 0
+
+
+def test_matching_max_rounds_raises(spark):
+    with pytest.raises(RuntimeError):
+        maximal_matching(_df(spark, [(0, 1), (2, 3)]), max_rounds=0)
+
+
+def test_matching_checkpoint_resume(spark, tmp_path):
+    from paralleltrianglecounting_spark.operators.matching import (
+        maximal_matching_run,
+    )
+
+    edges = canonicalize_edges(
+        planted_triangles(spark, num_nodes=50, num_triangles=30, seed=5)
+    )
+    ck = str(tmp_path / "mm")
+    full = maximal_matching_run(edges, checkpoint_dir=ck)
+    assert full.converged
+    want = sorted(
+        (r.src, r.dst, r.mround)
+        for r in full.state.where("mround > 0").collect()
+    )
+    # resuming from the completed checkpoints replays no supersteps
+    again = maximal_matching_run(edges, checkpoint_dir=ck)
+    got = sorted(
+        (r.src, r.dst, r.mround)
+        for r in again.state.where("mround > 0").collect()
+    )
+    assert got == want
