@@ -59,7 +59,10 @@ from paralleltrianglecounting_spark.operators.pagerank import (
     weighted_pagerank,
 )
 from paralleltrianglecounting_spark.operators.cliques import k4_count
-from paralleltrianglecounting_spark.operators.matching import maximal_matching
+from paralleltrianglecounting_spark.operators.matching import (
+    coarsen_graph,
+    maximal_matching,
+)
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -743,6 +746,10 @@ def _q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(part_graph(spark, sf_dir))
 
 
+def _q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return coarsen_graph(part_graph(spark, sf_dir))
+
+
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_topk(part_graph(spark, sf_dir), k=LINKPRED_K)
 
@@ -1107,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": _q_square_count,
         "k4_count": _q_k4_count,
         "maximal_matching": _q_maximal_matching,
+        "coarsen_graph": _q_coarsen_graph,
         "link_prediction": _q_link_prediction,
         "hits": _q_hits,
         "neighborhood_2hop": _q_neighborhood_2hop,
@@ -1852,12 +1860,12 @@ GROUP BY verts.v"""
     )
 
 
-def _matching_oracle_sql() -> str:
-    """Unrolled locally-dominant maximal matching: per round, the
-    per-vertex argmin pick (window twin of the engine's min(struct)
+def _matching_ctes() -> str:
+    """Unrolled locally-dominant maximal matching CTE chain: per round,
+    the per-vertex argmin pick (window twin of the engine's min(struct)
     hash agg), the both-endpoints-agree join, and the incident-edge
-    drop. Idempotent once the live set is empty; the final select is
-    guarded LOUD — zero rows if the unroll did not reach the fixpoint."""
+    drop. Idempotent once the live set is empty; consumers add a LOUD
+    fixpoint guard — zero rows if the unroll did not converge."""
     R = MATCHING_UNROLL
     ctes = [
         "l0 AS MATERIALIZED (SELECT src, dst, ('0x' || substr(md5("
@@ -1889,13 +1897,42 @@ l{k} AS MATERIALIZED (
     union = "\nUNION ALL\n".join(
         f"SELECT src, dst, mround FROM m{k}" for k in range(1, R + 1)
     )
+    ctes.append(f"allm AS ({union})")
+    return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes)
+
+
+def _matching_oracle_sql() -> str:
+    R = MATCHING_UNROLL
     return (
-        f"WITH {_EDGES_CTE},\n"
-        + ",\n".join(ctes)
-        + f""",
-allm AS ({union})
+        _matching_ctes()
+        + f"""
 SELECT src, dst, mround FROM allm
 WHERE (SELECT count(*) FROM l{R}) = 0"""
+    )
+
+
+def _coarsen_oracle_sql() -> str:
+    """Matching contraction: matched pairs collapse onto their lower
+    endpoint, parent edges re-key through the representative map,
+    self-loops drop, parallel edges merge into an exact weight. Guarded
+    by the same matching fixpoint check (zero rows, never a partial
+    contraction)."""
+    R = MATCHING_UNROLL
+    return (
+        _matching_ctes()
+        + f""",
+map_t AS (SELECT dst AS vertex, src AS rep FROM allm),
+ce AS (
+  SELECT least(coalesce(ms.rep, e.src), coalesce(md.rep, e.dst)) AS s,
+         greatest(coalesce(ms.rep, e.src), coalesce(md.rep, e.dst)) AS d
+  FROM edges e
+  LEFT JOIN map_t ms ON ms.vertex = e.src
+  LEFT JOIN map_t md ON md.vertex = e.dst
+)
+SELECT s AS src, d AS dst, count(*)::BIGINT AS weight
+FROM ce
+WHERE s != d AND (SELECT count(*) FROM l{R}) = 0
+GROUP BY s, d"""
     )
 
 
@@ -1939,12 +1976,12 @@ GROUP BY verts.v"""
     )
 
 
-def _matching_oracle_sql() -> str:
-    """Unrolled locally-dominant maximal matching: per round, the
-    per-vertex argmin pick (window twin of the engine's min(struct)
+def _matching_ctes() -> str:
+    """Unrolled locally-dominant maximal matching CTE chain: per round,
+    the per-vertex argmin pick (window twin of the engine's min(struct)
     hash agg), the both-endpoints-agree join, and the incident-edge
-    drop. Idempotent once the live set is empty; the final select is
-    guarded LOUD — zero rows if the unroll did not reach the fixpoint."""
+    drop. Idempotent once the live set is empty; consumers add a LOUD
+    fixpoint guard — zero rows if the unroll did not converge."""
     R = MATCHING_UNROLL
     ctes = [
         "l0 AS MATERIALIZED (SELECT src, dst, ('0x' || substr(md5("
@@ -1976,13 +2013,42 @@ l{k} AS MATERIALIZED (
     union = "\nUNION ALL\n".join(
         f"SELECT src, dst, mround FROM m{k}" for k in range(1, R + 1)
     )
+    ctes.append(f"allm AS ({union})")
+    return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes)
+
+
+def _matching_oracle_sql() -> str:
+    R = MATCHING_UNROLL
     return (
-        f"WITH {_EDGES_CTE},\n"
-        + ",\n".join(ctes)
-        + f""",
-allm AS ({union})
+        _matching_ctes()
+        + f"""
 SELECT src, dst, mround FROM allm
 WHERE (SELECT count(*) FROM l{R}) = 0"""
+    )
+
+
+def _coarsen_oracle_sql() -> str:
+    """Matching contraction: matched pairs collapse onto their lower
+    endpoint, parent edges re-key through the representative map,
+    self-loops drop, parallel edges merge into an exact weight. Guarded
+    by the same matching fixpoint check (zero rows, never a partial
+    contraction)."""
+    R = MATCHING_UNROLL
+    return (
+        _matching_ctes()
+        + f""",
+map_t AS (SELECT dst AS vertex, src AS rep FROM allm),
+ce AS (
+  SELECT least(coalesce(ms.rep, e.src), coalesce(md.rep, e.dst)) AS s,
+         greatest(coalesce(ms.rep, e.src), coalesce(md.rep, e.dst)) AS d
+  FROM edges e
+  LEFT JOIN map_t ms ON ms.vertex = e.src
+  LEFT JOIN map_t md ON md.vertex = e.dst
+)
+SELECT s AS src, d AS dst, count(*)::BIGINT AS weight
+FROM ce
+WHERE s != d AND (SELECT count(*) FROM l{R}) = 0
+GROUP BY s, d"""
     )
 
 
@@ -2232,5 +2298,6 @@ FROM reach WHERE w != u GROUP BY u""",
         "harmonic_centrality": _harmonic_oracle_sql(),
         "closeness_centrality": _closeness_oracle_sql(),
         "maximal_matching": _matching_oracle_sql(),
+        "coarsen_graph": _coarsen_oracle_sql(),
         **_doc_oracles(),
     }

@@ -52,7 +52,7 @@ from paralleltrianglecounting_spark.plans.superstep import (
     SuperstepRunner,
 )
 
-__all__ = ["maximal_matching", "maximal_matching_run"]
+__all__ = ["coarsen_graph", "maximal_matching", "maximal_matching_run"]
 
 
 def _edge_rank(src, dst):
@@ -168,3 +168,60 @@ def maximal_matching_run(
         spark, "maximal_matching", checkpoint_dir, max_iterations=max_rounds
     )
     return runner.run(init, step, resume=resume)
+
+
+def coarsen_graph(
+    edges: DataFrame,
+    matching: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[src, dst, weight] — one level of matching contraction, the
+    multilevel-partitioning / graph-coarsening primitive (Karypis &
+    Kumar's METIS scheme, heavy-edge matching replaced by the
+    deterministic hash-ranked matching): each matched pair collapses
+    onto its lower endpoint, every parent edge re-keys through the
+    representative map, self-loops (contracted pairs) drop, and
+    parallel edges merge with an exact multiplicity ``weight``. The
+    output is again a canonical weighted edge table — iterable, and
+    directly consumable by ``weighted_pagerank``/``sssp``.
+
+    A maximal matching contracts ≥ the matched-vertex half of every
+    dense region, so levels shrink geometrically on real graphs.
+
+    Plan shape: the matching (supersteps above) + two left equi-joins
+    against the |matched|-row map + one hash agg. Nothing new moves at
+    100 TB beyond one extra pass over the edge table.
+    """
+    base = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    m = (
+        matching
+        if matching is not None
+        else maximal_matching(edges, checkpoint_dir=checkpoint_dir)
+    )
+    # canonical matched pairs have src < dst: dst re-keys onto src
+    map_t = m.select(F.col("dst").alias("vertex"), F.col("src").alias("rep"))
+    ms = map_t.select(F.col("vertex").alias("sv"), F.col("rep").alias("srep"))
+    md = map_t.select(F.col("vertex").alias("dv"), F.col("rep").alias("drep"))
+    remapped = (
+        base.join(ms, base["src"] == ms["sv"], "left")
+        .join(md, base["dst"] == md["dv"], "left")
+        .select(
+            F.coalesce(F.col("srep"), F.col("src")).alias("s"),
+            F.coalesce(F.col("drep"), F.col("dst")).alias("d"),
+        )
+    )
+    return (
+        remapped.where(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

@@ -127,3 +127,50 @@ def test_matching_checkpoint_resume(spark, tmp_path):
         for r in again.state.where("mround > 0").collect()
     )
     assert got == want
+
+
+def test_coarsen_graph_semantics(spark):
+    from paralleltrianglecounting_spark.operators.matching import coarsen_graph
+
+    # path 0-1-2-3 plus parallel-making edge 0-2:
+    # hash matching on this path (twin-verified below) collapses pairs;
+    # check the invariant properties instead of hardcoding the matching
+    edges = _df(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    m = {(r.src, r.dst) for r in maximal_matching(edges).collect()}
+    got = {
+        (r.src, r.dst): r.weight for r in coarsen_graph(edges).collect()
+    }
+    rep = {}
+    for u, v in m:
+        rep[v] = u
+    remap = lambda x: rep.get(x, x)
+    want = {}
+    for u, v in [(0, 1), (1, 2), (2, 3), (0, 2)]:
+        a, b = sorted((remap(u), remap(v)))
+        if a != b:
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    # contracted vertex count drops by |matching|
+    verts = {x for e in [(0, 1), (1, 2), (2, 3), (0, 2)] for x in e}
+    cverts = {x for e in got for x in e}
+    assert len(cverts) <= len(verts) - len(m)
+
+
+def test_coarsen_levels_shrink(spark):
+    from paralleltrianglecounting_spark.operators.matching import coarsen_graph
+
+    edges = canonicalize_edges(
+        planted_triangles(spark, num_nodes=100, num_triangles=80, seed=2)
+    )
+    n0 = edges.count()
+    l1 = coarsen_graph(edges).persist()
+    n1 = l1.count()
+    l2 = coarsen_graph(l1.select("src", "dst"))
+    n2 = l2.count()
+    assert n1 < n0 and n2 < n1
+    # weights conserve parent edge multiplicity
+    w1 = l1.groupBy().sum("weight").collect()[0][0]
+    from pyspark.sql import functions as F
+
+    m = maximal_matching(edges).count()
+    assert w1 == n0 - m  # contracted matched edges become self-loops
