@@ -59,10 +59,12 @@ from paralleltrianglecounting_spark.operators.pagerank import (
     weighted_pagerank,
 )
 from paralleltrianglecounting_spark.operators.cliques import k4_count
+from paralleltrianglecounting_spark.operators.delta import triangle_count_delta
 from paralleltrianglecounting_spark.operators.matching import (
     coarsen_graph,
     maximal_matching,
 )
+from paralleltrianglecounting_spark.operators.matching import _edge_rank
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -250,6 +252,7 @@ SSSP_ITERS = 6
 # checks the exact Brandes dependency sums for those sources; the
 # depth-bound semantics are pytest-pinned on a path graph where they bind
 MATCHING_UNROLL = 16
+DELTA_MOD = 20
 PMI_K = 20
 PMI_MIN_COUNT = 5
 BC_SOURCES = 4
@@ -750,6 +753,12 @@ def _q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_graph(part_graph(spark, sf_dir))
 
 
+def _q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    is_delta = (_edge_rank(F.col("src"), F.col("dst")) % DELTA_MOD) == 0
+    return triangle_count_delta(edges.where(~is_delta), edges.where(is_delta))
+
+
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_topk(part_graph(spark, sf_dir), k=LINKPRED_K)
 
@@ -1115,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_count": _q_k4_count,
         "maximal_matching": _q_maximal_matching,
         "coarsen_graph": _q_coarsen_graph,
+        "triangle_delta": _q_triangle_delta,
         "link_prediction": _q_link_prediction,
         "hits": _q_hits,
         "neighborhood_2hop": _q_neighborhood_2hop,
@@ -2299,5 +2309,26 @@ FROM reach WHERE w != u GROUP BY u""",
         "closeness_centrality": _closeness_oracle_sql(),
         "maximal_matching": _matching_oracle_sql(),
         "coarsen_graph": _coarsen_oracle_sql(),
+        # incremental triangle maintenance: the oracle is the honest
+        # full-recount difference (two id-ordered triangle joins); the
+        # engine side computes the same number delta-incrementally
+        "triangle_delta": f"""WITH {_EDGES_CTE},
+ew AS (
+  SELECT src, dst,
+         ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 14))::BIGINT % {DELTA_MOD} AS hb
+  FROM edges
+),
+b AS (SELECT src, dst FROM ew WHERE hb != 0),
+tu AS (
+  SELECT count(*)::BIGINT AS c
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tb AS (
+  SELECT count(*)::BIGINT AS c
+  FROM b e1 JOIN b e2 ON e1.dst = e2.src
+  JOIN b e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT CAST(tu.c - tb.c AS BIGINT) AS new_triangles FROM tu, tb""",
         **_doc_oracles(),
     }
