@@ -50,6 +50,7 @@ from paralleltrianglecounting_spark.operators.linkpred import (
 )
 from paralleltrianglecounting_spark.operators.ktruss import k_truss
 from paralleltrianglecounting_spark.operators.labelprop import (
+    seeded_label_propagation,
     community_modularity,
     label_propagation,
 )
@@ -253,6 +254,8 @@ SSSP_ITERS = 6
 # depth-bound semantics are pytest-pinned on a path graph where they bind
 MATCHING_UNROLL = 16
 DELTA_MOD = 20
+SEEDED_LPA_K = 8
+SEEDED_LPA_ITERS = 3
 PMI_K = 20
 PMI_MIN_COUNT = 5
 BC_SOURCES = 4
@@ -667,6 +670,20 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical either way
     return label_propagation(
         part_graph(spark, sf_dir), iterations=LPA_ITERS, detect_stability=False
+    )
+
+
+def _q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    seeds = (
+        _degrees(edges)
+        .select("vertex")
+        .orderBy("vertex")
+        .limit(SEEDED_LPA_K)
+        .select("vertex", F.col("vertex").alias("label"))
+    )
+    return seeded_label_propagation(
+        edges, seeds, iterations=SEEDED_LPA_ITERS, detect_stability=False
     )
 
 
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "neighborhood_2hop": _q_neighborhood_2hop,
         "label_propagation": _q_label_propagation,
+        "seeded_lpa": _q_seeded_lpa,
         "token_stats": _q_token_stats,
         "subword_stats": _q_subword_stats,
         "quality_scores": _q_quality_scores,
@@ -1870,6 +1888,46 @@ GROUP BY verts.v"""
     )
 
 
+def _seeded_lpa_oracle_sql() -> str:
+    """Unrolled seeded (clamped) synchronous label propagation: per
+    superstep one labeled-neighbor count + argmax (row_number twin of
+    the engine's max(struct) hash agg) + the seed clamp; unlabeled
+    vertices drop from the final select in both engines."""
+    D = SEEDED_LPA_ITERS
+    ctes = [
+        f"seeds AS (SELECT v, v AS label FROM (SELECT v FROM verts ORDER BY v LIMIT {SEEDED_LPA_K}))",
+        "lbl0 AS (SELECT verts.v, s.label FROM verts LEFT JOIN seeds s ON s.v = verts.v)",
+    ]
+    for k in range(1, D + 1):
+        ctes.append(
+            f"""cnt{k} AS (
+  SELECT b.v AS v, l.label AS label, count(*) AS c
+  FROM bidir b JOIN lbl{k - 1} l ON b.u = l.v
+  WHERE l.label IS NOT NULL
+  GROUP BY b.v, l.label
+),
+arg{k} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{k}
+  ) WHERE rn = 1
+),
+lbl{k} AS (
+  SELECT verts.v, coalesce(s.label, a.label) AS label
+  FROM verts
+  LEFT JOIN seeds s ON s.v = verts.v
+  LEFT JOIN arg{k} a ON a.v = verts.v
+)"""
+        )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vertex, label FROM lbl{D} WHERE label IS NOT NULL"""
+    )
+
+
 def _matching_ctes() -> str:
     """Unrolled locally-dominant maximal matching CTE chain: per round,
     the per-vertex argmin pick (window twin of the engine's min(struct)
@@ -2307,6 +2365,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "betweenness": _betweenness_oracle_sql(),
         "harmonic_centrality": _harmonic_oracle_sql(),
         "closeness_centrality": _closeness_oracle_sql(),
+        "seeded_lpa": _seeded_lpa_oracle_sql(),
         "maximal_matching": _matching_oracle_sql(),
         "coarsen_graph": _coarsen_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest

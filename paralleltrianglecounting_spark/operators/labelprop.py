@@ -148,3 +148,76 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         ).alias("q_c")
     )
     return per_c.agg(F.round(F.sum("q_c"), 6).alias("modularity_r"))
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    detect_stability: bool = True,
+) -> DataFrame:
+    """[vertex, label] — semi-supervised label propagation: ``seeds``
+    ([vertex, label]) are clamped every superstep; every other vertex
+    simultaneously adopts the most frequent label among its *labeled*
+    neighbors (ties -> smallest label), starting unlabeled. Vertices no
+    label wave has reached yet are omitted from the output (the labeled
+    frontier grows one hop per superstep), so the result is the
+    seed-community assignment of everything within ``iterations`` hops
+    of a seed — the classic seed-expansion community/classification
+    primitive (Zhu–Ghahramani label spreading, majority-vote form).
+
+    Same synchronous-deterministic contract, plan shape (one join
+    against the pre-partitioned bidirected topology + two codegen hash
+    aggs per superstep), and superstep runner (lineage truncation /
+    checkpoint / resume) as ``label_propagation``; the only extra work
+    is the |seeds|-row clamp join.
+    """
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = bidirected(edges).repartition(n_parts, "src").persist()
+    n_msgs = adj.count()
+    verts = vertices(edges)
+    s = seeds.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("label").cast("long").alias("slabel"),
+    )
+    init = verts.join(s, "vertex", "left").select(
+        "vertex", F.col("slabel").alias("label")
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        labeled = state.where(F.col("label").isNotNull()).withColumnRenamed(
+            "vertex", "src"
+        )
+        neighbor_labels = adj.join(labeled, "src").select(
+            F.col("dst").alias("vertex"), "label"
+        )
+        counted = neighbor_labels.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cand = counted.groupBy("vertex").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))["nl"]).alias(
+                "clabel"
+            )
+        )
+        new = (
+            verts.join(s, "vertex", "left")
+            .join(cand, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("slabel"), F.col("clabel")).alias("label"),
+            )
+        )
+        return new, {"messages_sent": n_msgs}
+
+    runner = SuperstepRunner(
+        spark,
+        name="seeded_label_propagation",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=iterations,
+    )
+    result = runner.run(init, step, stop_when_stable=detect_stability, resume=resume)
+    adj.unpersist()
+    return result.state.where(F.col("label").isNotNull())

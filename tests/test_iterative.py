@@ -608,3 +608,85 @@ def test_weighted_cooccurrence_weight_semantics(spark):
     # unweighted projection = weighted projection's key set
     uw = {(r.src, r.dst) for r in cooccurrence_edges(df, "c", "e").collect()}
     assert uw == set(w)
+
+
+# ---------------------------------------------------- seeded LPA
+
+
+def py_seeded_lpa(edges, seeds, iterations):
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {v: seeds.get(v) for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v in adj:
+            votes: dict[int, int] = {}
+            for u in adj[v]:
+                if lbl[u] is not None:
+                    votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+            if v in seeds:
+                new[v] = seeds[v]
+            elif votes:
+                new[v] = min(
+                    (l for l in votes), key=lambda l: (-votes[l], l)
+                )
+            else:
+                new[v] = None
+        lbl = new
+    return {v: l for v, l in lbl.items() if l is not None}
+
+
+def test_seeded_lpa_matches_sequential(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.labelprop import (
+        seeded_label_propagation,
+    )
+    from paralleltrianglecounting_spark.sources.edges import part_graph
+
+    edges = part_graph(spark, sf_tiny)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    vs = sorted({x for e in pairs for x in e})[:6]
+    seeds = {v: v for v in vs}
+    sdf = spark.createDataFrame(
+        [(v, v) for v in vs], "vertex long, label long"
+    )
+    got = {
+        r.vertex: r.label
+        for r in seeded_label_propagation(
+            edges, sdf, iterations=3, detect_stability=False
+        ).collect()
+    }
+    assert got == py_seeded_lpa(pairs, seeds, 3)
+
+
+def test_seeded_lpa_clamps_and_waves(spark):
+    from paralleltrianglecounting_spark.operators.labelprop import (
+        seeded_label_propagation,
+    )
+
+    # path 0-1-2-3-4-5 with seeds 0 -> 100, 5 -> 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(0, 100), (5, 200)], "vertex long, label long"
+    )
+    one = {
+        r.vertex: r.label
+        for r in seeded_label_propagation(
+            edges, seeds, iterations=1, detect_stability=False
+        ).collect()
+    }
+    # one hop: only seeds + their neighbors are labeled; seeds clamped
+    assert one == {0: 100, 1: 100, 4: 200, 5: 200}
+    three = {
+        r.vertex: r.label
+        for r in seeded_label_propagation(
+            edges, seeds, iterations=3, detect_stability=False
+        ).collect()
+    }
+    # hand-traced synchronous trajectory: iter2 labels the middle
+    # (2<-100, 3<-200), iter3 re-votes 2 and 3 with both neighbors
+    # labeled -> each ties 1-1 and takes the smaller label, 100
+    assert three == {0: 100, 1: 100, 2: 100, 3: 100, 4: 200, 5: 200}
