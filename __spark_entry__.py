@@ -1928,82 +1928,6 @@ SELECT v AS vertex, label FROM lbl{D} WHERE label IS NOT NULL"""
     )
 
 
-def _matching_ctes() -> str:
-    """Unrolled locally-dominant maximal matching CTE chain: per round,
-    the per-vertex argmin pick (window twin of the engine's min(struct)
-    hash agg), the both-endpoints-agree join, and the incident-edge
-    drop. Idempotent once the live set is empty; consumers add a LOUD
-    fixpoint guard — zero rows if the unroll did not converge."""
-    R = MATCHING_UNROLL
-    ctes = [
-        "l0 AS MATERIALIZED (SELECT src, dst, ('0x' || substr(md5("
-        "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 14))"
-        "::BIGINT AS w FROM edges)"
-    ]
-    for k in range(1, R + 1):
-        ctes.append(
-            f"""p{k} AS (
-  SELECT v, src, dst FROM (
-    SELECT i.v, i.src, i.dst,
-           row_number() OVER (PARTITION BY i.v ORDER BY i.w, i.src, i.dst) AS rn
-    FROM (SELECT src AS v, w, src, dst FROM l{k - 1}
-          UNION ALL SELECT dst AS v, w, src, dst FROM l{k - 1}) i
-  ) WHERE rn = 1
-),
-m{k} AS (
-  SELECT e.src, e.dst, CAST({k} AS INT) AS mround FROM l{k - 1} e
-  JOIN p{k} a ON a.v = e.src AND a.src = e.src AND a.dst = e.dst
-  JOIN p{k} b ON b.v = e.dst AND b.src = e.src AND b.dst = e.dst
-),
-l{k} AS MATERIALIZED (
-  SELECT e.src, e.dst, e.w FROM l{k - 1} e
-  WHERE NOT EXISTS (SELECT 1 FROM m{k} m
-                    WHERE m.src = e.src OR m.dst = e.src
-                       OR m.src = e.dst OR m.dst = e.dst)
-)"""
-        )
-    union = "\nUNION ALL\n".join(
-        f"SELECT src, dst, mround FROM m{k}" for k in range(1, R + 1)
-    )
-    ctes.append(f"allm AS ({union})")
-    return f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes)
-
-
-def _matching_oracle_sql() -> str:
-    R = MATCHING_UNROLL
-    return (
-        _matching_ctes()
-        + f"""
-SELECT src, dst, mround FROM allm
-WHERE (SELECT count(*) FROM l{R}) = 0"""
-    )
-
-
-def _coarsen_oracle_sql() -> str:
-    """Matching contraction: matched pairs collapse onto their lower
-    endpoint, parent edges re-key through the representative map,
-    self-loops drop, parallel edges merge into an exact weight. Guarded
-    by the same matching fixpoint check (zero rows, never a partial
-    contraction)."""
-    R = MATCHING_UNROLL
-    return (
-        _matching_ctes()
-        + f""",
-map_t AS (SELECT dst AS vertex, src AS rep FROM allm),
-ce AS (
-  SELECT least(coalesce(ms.rep, e.src), coalesce(md.rep, e.dst)) AS s,
-         greatest(coalesce(ms.rep, e.src), coalesce(md.rep, e.dst)) AS d
-  FROM edges e
-  LEFT JOIN map_t ms ON ms.vertex = e.src
-  LEFT JOIN map_t md ON md.vertex = e.dst
-)
-SELECT s AS src, d AS dst, count(*)::BIGINT AS weight
-FROM ce
-WHERE s != d AND (SELECT count(*) FROM l{R}) = 0
-GROUP BY s, d"""
-    )
-
-
 def _closeness_oracle_sql() -> str:
     """Unrolled pivot closeness: the same forward CTEs as harmonic
     (the level index is the distance), then per-vertex reach count /
