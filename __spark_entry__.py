@@ -66,6 +66,7 @@ from paralleltrianglecounting_spark.operators.matching import (
     maximal_matching,
 )
 from paralleltrianglecounting_spark.operators.matching import _edge_rank
+from paralleltrianglecounting_spark.operators.msf import minimum_spanning_forest
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -253,6 +254,14 @@ SSSP_ITERS = 6
 # checks the exact Brandes dependency sums for those sources; the
 # depth-bound semantics are pytest-pinned on a path graph where they bind
 MATCHING_UNROLL = 16
+# Borůvka MSF: measured 2 real rounds + 1 no-op fixpoint round at both
+# gate tiers (single connected component); rounds are idempotent at the
+# fixpoint so the unroll just needs >= the actual depth — loud
+# final-live guard if it ever isn't. 8 doubling jumps resolve parent
+# chains up to depth 256; a per-round idempotence guard zeroes the
+# output loudly if a deeper chain ever appears.
+MSF_UNROLL = 4
+MSF_JUMPS = 8
 DELTA_MOD = 20
 SEEDED_LPA_K = 8
 SEEDED_LPA_ITERS = 3
@@ -770,6 +779,10 @@ def _q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_graph(part_graph(spark, sf_dir))
 
 
+def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minimum_spanning_forest(weighted_part_graph(spark, sf_dir))
+
+
 def _q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = part_graph(spark, sf_dir)
     is_delta = (_edge_rank(F.col("src"), F.col("dst")) % DELTA_MOD) == 0
@@ -1141,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_count": _q_k4_count,
         "maximal_matching": _q_maximal_matching,
         "coarsen_graph": _q_coarsen_graph,
+        "minimum_spanning_forest": _q_msf,
         "triangle_delta": _q_triangle_delta,
         "link_prediction": _q_link_prediction,
         "hits": _q_hits,
@@ -2044,6 +2058,87 @@ GROUP BY s, d"""
     )
 
 
+def _msf_oracle_sql() -> str:
+    """Unrolled Borůvka over the weighted part graph: per round, the
+    re-key through the current labels, the per-component argmin choice
+    (window twin of the engine's min(struct) hash agg), mutual-2-cycle
+    rooting, MSF_JUMPS unrolled pointer-jumping doublings, and the label
+    update. Two LOUD guards zero the output if the unroll is too small:
+    the final live-edge count (rounds) and the per-round pointer
+    idempotence check (jumps)."""
+    R, J = MSF_UNROLL, MSF_JUMPS
+    ctes = [
+        _WEDGES_CTE,
+        """mv AS (SELECT DISTINCT v FROM (
+  SELECT src AS v FROM wedges UNION ALL SELECT dst AS v FROM wedges))""",
+        "l0 AS MATERIALIZED (SELECT v, v AS comp FROM mv)",
+    ]
+    for k in range(1, R + 1):
+        ctes.append(
+            f"""rk{k} AS MATERIALIZED (
+  SELECT ls.comp AS cu, ld.comp AS cv, e.weight AS w, e.src, e.dst
+  FROM wedges e
+  JOIN l{k - 1} ls ON ls.v = e.src
+  JOIN l{k - 1} ld ON ld.v = e.dst
+  WHERE ls.comp != ld.comp
+),
+ch{k} AS MATERIALIZED (
+  SELECT comp, other, w, src, dst FROM (
+    SELECT i.*, row_number() OVER (PARTITION BY comp ORDER BY w, src, dst) AS rn
+    FROM (SELECT cu AS comp, cv AS other, w, src, dst FROM rk{k}
+          UNION ALL
+          SELECT cv AS comp, cu AS other, w, src, dst FROM rk{k}) i
+  ) WHERE rn = 1
+),
+pj{k}_0 AS MATERIALIZED (
+  SELECT a.comp,
+         coalesce(CASE WHEN t.comp IS NOT NULL AND c.comp < c.other
+                       THEN c.comp ELSE c.other END, a.comp) AS parent
+  FROM (SELECT DISTINCT comp FROM l{k - 1}) a
+  LEFT JOIN ch{k} c ON c.comp = a.comp
+  LEFT JOIN ch{k} t ON t.comp = c.other AND t.other = c.comp
+                   AND t.src = c.src AND t.dst = c.dst
+)"""
+        )
+        for j in range(1, J + 1):
+            ctes.append(
+                f"""pj{k}_{j} AS MATERIALIZED (
+  SELECT a.comp, b.parent FROM pj{k}_{j - 1} a
+  JOIN pj{k}_{j - 1} b ON b.comp = a.parent
+)"""
+            )
+        ctes.append(
+            f"""g{k} AS (
+  SELECT count(*) AS c FROM pj{k}_{J} a
+  JOIN pj{k}_{J} b ON b.comp = a.parent WHERE b.parent != a.parent
+),
+l{k} AS MATERIALIZED (
+  SELECT l.v, r.parent AS comp FROM l{k - 1} l JOIN pj{k}_{J} r ON r.comp = l.comp
+),
+m{k} AS (SELECT DISTINCT src, dst, w, CAST({k} AS INT) AS mround FROM ch{k})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, w, mround FROM m{k}" for k in range(1, R + 1)
+    )
+    guards = " + ".join(f"(SELECT c FROM g{k})" for k in range(1, R + 1))
+    ctes.append(f"allm AS ({union})")
+    ctes.append(
+        f"""live_final AS (
+  SELECT count(*) AS c FROM wedges e
+  JOIN l{R} ls ON ls.v = e.src
+  JOIN l{R} ld ON ld.v = e.dst
+  WHERE ls.comp != ld.comp
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src, dst, w AS weight, mround FROM allm
+WHERE (SELECT c FROM live_final) = 0 AND {guards} = 0"""
+    )
+
+
 _CHAIN_CTES = """nxt AS (
   SELECT o_orderkey AS a,
          lead(o_orderkey) OVER (
@@ -2292,6 +2387,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "seeded_lpa": _seeded_lpa_oracle_sql(),
         "maximal_matching": _matching_oracle_sql(),
         "coarsen_graph": _coarsen_oracle_sql(),
+        "minimum_spanning_forest": _msf_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest
         # full-recount difference (two id-ordered triangle joins); the
         # engine side computes the same number delta-incrementally
