@@ -67,6 +67,8 @@ from paralleltrianglecounting_spark.operators.matching import (
 )
 from paralleltrianglecounting_spark.operators.matching import _edge_rank
 from paralleltrianglecounting_spark.operators.msf import minimum_spanning_forest
+from paralleltrianglecounting_spark.operators.eigenvector import eigenvector_centrality
+from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -262,6 +264,13 @@ MATCHING_UNROLL = 16
 # output loudly if a deeper chain ever appears.
 MSF_UNROLL = 4
 MSF_JUMPS = 8
+# eigenvector: 5 unnormalized power-iteration steps keep every walk
+# count AND the L1 norm below 2^53 at both gate tiers (measured: the
+# norm crosses at k=6 on sf0.1), so all sums are integer-exact in a
+# double in BOTH engines and the gate is bit-identical, not
+# tolerance-matched. The operator raises loudly past the bound.
+EV_ITERS = 5
+RICH_CLUB_KS = [8, 16, 32, 64, 128]
 DELTA_MOD = 20
 SEEDED_LPA_K = 8
 SEEDED_LPA_ITERS = 3
@@ -783,6 +792,14 @@ def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(weighted_part_graph(spark, sf_dir))
 
 
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eigenvector_centrality(part_graph(spark, sf_dir), iterations=EV_ITERS)
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rich_club(part_graph(spark, sf_dir), RICH_CLUB_KS)
+
+
 def _q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = part_graph(spark, sf_dir)
     is_delta = (_edge_rank(F.col("src"), F.col("dst")) % DELTA_MOD) == 0
@@ -1155,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": _q_maximal_matching,
         "coarsen_graph": _q_coarsen_graph,
         "minimum_spanning_forest": _q_msf,
+        "eigenvector_centrality": _q_eigenvector,
+        "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
         "link_prediction": _q_link_prediction,
         "hits": _q_hits,
@@ -2139,6 +2158,54 @@ WHERE (SELECT c FROM live_final) = 0 AND {guards} = 0"""
     )
 
 
+def _eigenvector_oracle_sql() -> str:
+    """Unnormalized power iteration unrolled EV_ITERS times: every
+    iterate is an integer below 2^53, so the doubles are exact in both
+    engines; one final L1 division, rounded to 6 dp."""
+    ctes = [
+        _EDGES_CTE,
+        "x0 AS (SELECT v, CAST(1 AS DOUBLE) AS x FROM verts)",
+    ]
+    for k in range(1, EV_ITERS + 1):
+        ctes.append(
+            f"""x{k} AS (
+  SELECT b.v AS v, sum(p.x) AS x FROM bidir b JOIN x{k - 1} p ON b.u = p.v
+  GROUP BY b.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vertex, x AS walks,
+       round(x / (SELECT sum(x) FROM x{EV_ITERS}), {ROUND}) AS score_r
+FROM x{EV_ITERS}"""
+    )
+
+
+def _rich_club_oracle_sql() -> str:
+    """Suffix sums over the vertex-degree and per-edge-min-degree
+    histograms; φ(k) NULL below |R_k| = 2, exactly as the engine."""
+    ks = ", ".join(f"({k})" for k in sorted(set(RICH_CLUB_KS)))
+    return f"""WITH {_EDGES_CTE},
+eh AS (
+  SELECT least(du.degree, dv.degree) AS m, count(*)::BIGINT AS cnt
+  FROM edges e JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
+  GROUP BY 1
+),
+vh AS (SELECT degree, count(*)::BIGINT AS n FROM deg GROUP BY 1),
+ks(k) AS (VALUES {ks}),
+nr AS (SELECT k, sum(n)::BIGINT AS n_rich FROM ks JOIN vh ON vh.degree > ks.k GROUP BY k),
+er AS (SELECT k, sum(cnt)::BIGINT AS e_rich FROM ks JOIN eh ON eh.m > ks.k GROUP BY k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       coalesce(n_rich, 0) AS n_rich,
+       coalesce(e_rich, 0) AS e_rich,
+       CASE WHEN coalesce(n_rich, 0) >= 2
+            THEN round(2.0 * coalesce(e_rich, 0) / (n_rich * (n_rich - 1)), {ROUND})
+       END AS phi_r
+FROM ks LEFT JOIN nr ON nr.k = ks.k LEFT JOIN er ON er.k = ks.k"""
+
+
 _CHAIN_CTES = """nxt AS (
   SELECT o_orderkey AS a,
          lead(o_orderkey) OVER (
@@ -2388,6 +2455,8 @@ FROM reach WHERE w != u GROUP BY u""",
         "maximal_matching": _matching_oracle_sql(),
         "coarsen_graph": _coarsen_oracle_sql(),
         "minimum_spanning_forest": _msf_oracle_sql(),
+        "eigenvector_centrality": _eigenvector_oracle_sql(),
+        "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest
         # full-recount difference (two id-ordered triangle joins); the
         # engine side computes the same number delta-incrementally

@@ -76,3 +76,55 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .join(dv, "dst")
         .agg(F.round(F.corr("_du", "_dv"), 6).alias("assortativity_r"))
     )
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """[k, n_rich, e_rich, phi_r] — the rich-club coefficient per
+    degree threshold k: with R_k = vertices of degree > k,
+    φ(k) = 2·|E(R_k)| / (|R_k|·(|R_k|−1)) — how densely the hubs
+    interconnect (Colizza et al. 2006). φ(k) is NULL when |R_k| < 2.
+
+    Plan: ONE pass over the edge table (two degree lookups + a hash agg
+    on the per-edge minimum endpoint degree), after which everything is
+    suffix sums over two histogram-sized tables: |R_k| and |E(R_k)| are
+    both "count where degree/min-degree > k", i.e. range joins of the
+    ~O(√E)-row histograms against the |ks|-row threshold list. No per-k
+    pass over the edges, so probing 50 thresholds costs the same as
+    probing one — the property that matters when |E| is 10^12."""
+    deg = degrees(edges)
+    du = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("_dv"))
+    # histogram of per-edge min endpoint degree (canonical edges: each
+    # undirected edge counted once)
+    edge_hist = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .select(F.least("_du", "_dv").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vert_hist = degree_histogram(edges)
+    spark = edges.sparkSession
+    ks_df = spark.createDataFrame([(int(k),) for k in sorted(set(ks))], "k long")
+    n_rich = (
+        ks_df.join(vert_hist, vert_hist["degree"] > ks_df["k"])
+        .groupBy("k")
+        .agg(F.sum("n_vertices").alias("n_rich"))
+    )
+    e_rich = (
+        ks_df.join(edge_hist, edge_hist["m"] > ks_df["k"])
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("e_rich"))
+    )
+    n_c = F.coalesce("n_rich", F.lit(0))
+    e_c = F.coalesce("e_rich", F.lit(0))
+    # explicit |R_k| >= 2 guard: ANSI mode raises on /0, and the NULL
+    # must be the same NULL the oracle's CASE produces
+    phi = F.when(
+        n_c >= 2, F.round(2.0 * e_c / (n_c * (n_c - 1)), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        ks_df.join(n_rich, "k", "left")
+        .join(e_rich, "k", "left")
+        .select("k", n_c.alias("n_rich"), e_c.alias("e_rich"), phi.alias("phi_r"))
+    )
