@@ -1130,6 +1130,46 @@ def _q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental triangle maintenance as a STREAM: the part
+    graph's edges are staged as parquet files and ingested by an
+    availableNow micro-batch stream (3+ triggers at 8 files each); each
+    batch counts only the triangles it creates (delta
+    inclusion–exclusion against the accumulated table) and the summed
+    total is gated against the SAME oracle as the batch
+    ``triangle_count`` — the maintained count must equal a full
+    recount, which batch boundaries cannot affect (every triangle is
+    counted once, by the batch delivering its last edge)."""
+    import shutil
+    import tempfile
+
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        incremental_triangle_stream,
+        incremental_triangle_total,
+    )
+
+    stage = tempfile.mkdtemp(prefix="tri_stream_stage_")
+    work = tempfile.mkdtemp(prefix="tri_stream_work_")
+    table = f"{work}/table"
+    counts = f"{work}/counts"
+    ck = f"{work}/ck"
+    try:
+        part_graph(spark, sf_dir).repartition(24).write.mode("overwrite").parquet(
+            stage
+        )
+        q = (
+            incremental_triangle_stream(spark, stage, table, counts, ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        total = incremental_triangle_total(spark, counts).collect()[0]["triangles"]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame([(int(total),)], "triangles long")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_triangle_count(spark, "/root/testdata/sf0.001")
@@ -1214,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
+        "triangle_count_stream": _q_triangle_count_stream,
     }
 
 
@@ -2259,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         "edges_part_graph": f"WITH {_EDGES_CTE}\nSELECT src, dst FROM edges",
         "degrees": f"WITH {_EDGES_CTE}\nSELECT v AS vertex, degree FROM deg",
         "triangle_count": tri_sql,
+        "triangle_count_stream": tri_sql,
         "triangle_count_csr": tri_sql,
         "triangle_count_wedge": tri_sql,
         "triangle_count_auto": tri_sql,

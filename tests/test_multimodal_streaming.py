@@ -816,3 +816,66 @@ def test_stream_sliding_events_equals_batch(spark, tmp_path, sf_tiny):
         for r in sliding_window_counts(events).collect()
     }
     assert got == want
+
+
+def test_incremental_triangle_stream_golden_and_invariant(spark, tmp_path):
+    """Exact incremental maintenance: graph_100 split across micro-
+    batches lands on the golden 373 at the end, the running sum matches
+    a full recount after EVERY trigger, duplicate re-deliveries count
+    nothing, and the total is independent of batch boundaries."""
+    from paralleltrianglecounting_spark.operators.triangles import triangle_count
+    from paralleltrianglecounting_spark.sources.gfile import read_g_file
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        compacted_edges,
+        incremental_triangle_stream,
+        incremental_triangle_total,
+    )
+    from tests.conftest import reference_graph
+
+    g = read_g_file(spark, reference_graph("graph_100"))
+    edges = [(r.src, r.dst) for r in g.collect()]
+
+    def run(n_files: int, per_trigger: int, dup_first: int = 0) -> tuple[int, list]:
+        work = tmp_path / f"run_{n_files}_{per_trigger}_{dup_first}"
+        stage = str(work / "stage")
+        rows = edges + edges[:dup_first]
+        spark.createDataFrame(rows, "src long, dst long").repartition(
+            n_files
+        ).write.parquet(stage)
+        q = (
+            incremental_triangle_stream(
+                spark,
+                stage,
+                str(work / "table"),
+                str(work / "counts"),
+                str(work / "ck"),
+                max_files_per_trigger=per_trigger,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        total = incremental_triangle_total(spark, str(work / "counts")).collect()[
+            0
+        ]["triangles"]
+        per_batch = sorted(
+            (r.batch_id, r.new_triangles)
+            for r in spark.read.parquet(str(work / "counts")).collect()
+        )
+        # invariant: after every prefix of batches, the accumulated
+        # count equals the exact recount of the compacted table
+        prefix = 0
+        for _, n in per_batch:
+            prefix += n
+        assert prefix == total
+        recount = triangle_count(
+            compacted_edges(spark, str(work / "table"))
+        ).collect()[0]["triangles"]
+        assert recount == total
+        return total, per_batch
+
+    t_a, batches_a = run(6, 2)  # 3 triggers
+    t_b, _ = run(4, 1)  # 4 triggers, different boundaries
+    t_dup, _ = run(6, 2, dup_first=25)  # re-delivered edges
+    assert t_a == t_b == t_dup == 373
+    assert len(batches_a) >= 2  # real cross-batch maintenance happened
