@@ -66,7 +66,10 @@ from paralleltrianglecounting_spark.operators.matching import (
     maximal_matching,
 )
 from paralleltrianglecounting_spark.operators.matching import _edge_rank
-from paralleltrianglecounting_spark.operators.msf import minimum_spanning_forest
+from paralleltrianglecounting_spark.operators.msf import (
+    minimum_spanning_forest,
+    single_linkage_clusters,
+)
 from paralleltrianglecounting_spark.operators.eigenvector import eigenvector_centrality
 from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
@@ -271,6 +274,11 @@ MSF_JUMPS = 8
 # tolerance-matched. The operator raises loudly past the bound.
 EV_ITERS = 5
 RICH_CLUB_KS = [8, 16, 32, 64, 128]
+# single-linkage cut at the weakest tie strength: weight 1 = "shared
+# exactly one order" — the noisiest co-occurrence links, so the cut
+# yields a non-trivial dendrogram level (neither all-singletons nor
+# one blob) at both gate tiers
+SL_THRESHOLD = 1
 DELTA_MOD = 20
 SEEDED_LPA_K = 8
 SEEDED_LPA_ITERS = 3
@@ -792,6 +800,12 @@ def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(weighted_part_graph(spark, sf_dir))
 
 
+def _q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return single_linkage_clusters(
+        weighted_part_graph(spark, sf_dir), SL_THRESHOLD
+    )
+
+
 def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eigenvector_centrality(part_graph(spark, sf_dir), iterations=EV_ITERS)
 
@@ -1212,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": _q_maximal_matching,
         "coarsen_graph": _q_coarsen_graph,
         "minimum_spanning_forest": _q_msf,
+        "single_linkage_clusters": _q_single_linkage,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2118,14 +2133,9 @@ GROUP BY s, d"""
     )
 
 
-def _msf_oracle_sql() -> str:
-    """Unrolled Borůvka over the weighted part graph: per round, the
-    re-key through the current labels, the per-component argmin choice
-    (window twin of the engine's min(struct) hash agg), mutual-2-cycle
-    rooting, MSF_JUMPS unrolled pointer-jumping doublings, and the label
-    update. Two LOUD guards zero the output if the unroll is too small:
-    the final live-edge count (rounds) and the per-round pointer
-    idempotence check (jumps)."""
+def _msf_oracle_ctes() -> tuple[list, str]:
+    """Shared unrolled-Borůvka CTE chain (see _msf_oracle_sql) plus the
+    loud-guard predicate consumers must AND into their final SELECT."""
     R, J = MSF_UNROLL, MSF_JUMPS
     ctes = [
         _WEDGES_CTE,
@@ -2190,12 +2200,55 @@ m{k} AS (SELECT DISTINCT src, dst, w, CAST({k} AS INT) AS mround FROM ch{k})"""
   WHERE ls.comp != ld.comp
 )"""
     )
+    return ctes, f"(SELECT c FROM live_final) = 0 AND {guards} = 0"
+
+
+def _msf_oracle_sql() -> str:
+    """Unrolled Borůvka over the weighted part graph: per round, the
+    re-key through the current labels, the per-component argmin choice
+    (window twin of the engine's min(struct) hash agg), mutual-2-cycle
+    rooting, MSF_JUMPS unrolled pointer-jumping doublings, and the label
+    update. Two LOUD guards zero the output if the unroll is too small:
+    the final live-edge count (rounds) and the per-round pointer
+    idempotence check (jumps)."""
+    ctes, guard = _msf_oracle_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT src, dst, w AS weight, mround FROM allm
-WHERE (SELECT c FROM live_final) = 0 AND {guards} = 0"""
+WHERE {guard}"""
+    )
+
+
+def _single_linkage_oracle_sql() -> str:
+    """Single-linkage cut of the independently-derived (unrolled
+    Borůvka) forest: recursive min-label components over the ≤|V|−1
+    under-threshold forest edges, singletons filled from the vertex
+    set. Min-label over the FULL threshold subgraph is equivalent (the
+    single-linkage identity, pytest-pinned engine-side) but needs
+    diameter × |E_t| work — infeasible for the oracle budget at sf0.1.
+    The same loud Borůvka guards empty the output if the unroll was
+    insufficient."""
+    ctes, guard = _msf_oracle_ctes()
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+fe AS (SELECT src, dst FROM allm WHERE w <= {SL_THRESHOLD}),
+slb AS (
+  SELECT src AS u, dst AS v FROM fe
+  UNION ALL
+  SELECT dst AS u, src AS v FROM fe
+),
+scc(v, l) AS (
+  SELECT v, v FROM mv
+  UNION
+  SELECT b.v, scc.l FROM scc JOIN slb b ON b.u = scc.v WHERE scc.l < b.v
+)
+SELECT v AS vertex, min(l) AS cluster FROM scc
+WHERE {guard}
+GROUP BY v"""
     )
 
 
@@ -2497,6 +2550,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "maximal_matching": _matching_oracle_sql(),
         "coarsen_graph": _coarsen_oracle_sql(),
         "minimum_spanning_forest": _msf_oracle_sql(),
+        "single_linkage_clusters": _single_linkage_oracle_sql(),
         "eigenvector_centrality": _eigenvector_oracle_sql(),
         "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest

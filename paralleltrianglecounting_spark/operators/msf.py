@@ -72,7 +72,7 @@ from paralleltrianglecounting_spark.plans.superstep import (
     table_identity,
 )
 
-__all__ = ["minimum_spanning_forest", "msf_run"]
+__all__ = ["minimum_spanning_forest", "msf_run", "single_linkage_clusters"]
 
 _STATE_SCHEMA = "a long, b long, w long, mround int"
 
@@ -103,6 +103,42 @@ def minimum_spanning_forest(
         F.col("b").alias("dst"),
         F.col("w").alias("weight"),
         "mround",
+    )
+
+
+def single_linkage_clusters(
+    wedges: DataFrame, threshold, max_rounds: int = 32
+) -> DataFrame:
+    """[vertex, cluster] — single-linkage clustering at distance
+    ``threshold``: two vertices share a cluster iff a path of edges
+    with weight ≤ threshold connects them. Cluster id = min member id
+    (the connected-components convention); vertices with no
+    under-threshold edge are singletons.
+
+    The classic identity makes this an MSF corollary: components of
+    {e : w(e) ≤ t} equal components of {e ∈ MSF : w(e) ≤ t}, so the
+    engine runs connected components over AT MOST |V|−1 forest edges
+    instead of the full threshold subgraph — the dendrogram-cut shape
+    that matters when the near-duplicate distance graph has 10^12
+    candidate edges but clusters are wanted at many thresholds: pay
+    Borůvka once, then every cut is a CC over a forest. (The DuckDB
+    gate deliberately takes the OTHER route — min-label propagation
+    over the full threshold subgraph — so the gate cross-checks the
+    identity itself, not a re-derivation of the engine's plan.)"""
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+
+    forest = minimum_spanning_forest(wedges, max_rounds=max_rounds)
+    cut = forest.filter(F.col("weight") <= threshold).select("src", "dst")
+    labels = connected_components(cut)
+    verts = (
+        wedges.select(F.col("src").alias("vertex"))
+        .unionByName(wedges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    return verts.join(labels, "vertex", "left").select(
+        "vertex", F.coalesce("component", "vertex").alias("cluster")
     )
 
 

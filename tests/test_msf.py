@@ -142,3 +142,51 @@ def test_msf_gate_unroll_sufficient(spark, sf_tiny):
     res = msf_run(weighted_part_graph(spark, sf_tiny))
     assert res.converged
     assert res.iterations <= entry.MSF_UNROLL
+
+
+def test_single_linkage_identity_and_brute(spark):
+    """The single-linkage identity: clusters from the under-threshold
+    FOREST edges equal connected components of the under-threshold
+    FULL subgraph (engine-vs-engine), and both match a union-find
+    twin, across several thresholds of a planted weighted graph."""
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+    from paralleltrianglecounting_spark.operators.msf import (
+        single_linkage_clusters,
+    )
+
+    base = canonicalize_edges(
+        planted_triangles(spark, num_nodes=100, num_triangles=70, seed=13)
+    )
+    pairs = [(r.src, r.dst, _w(r.src, r.dst) % 7 + 1) for r in base.collect()]
+    wdf = _wdf(spark, pairs)
+    all_v = sorted({v for s, d, _ in pairs for v in (s, d)})
+    for t in (0, 2, 4, 7):
+        got = {r.vertex: r.cluster for r in
+               single_linkage_clusters(wdf, t).collect()}
+        # full-subgraph components, via the engine's CC operator
+        sub = wdf.where(F.col("weight") <= t).select("src", "dst")
+        full = {r.vertex: r.component for r in connected_components(sub).collect()}
+        want_full = {v: full.get(v, v) for v in all_v}
+        assert got == want_full
+        # union-find twin
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d, w in pairs:
+            if w <= t:
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+        label = {}
+        for v in all_v:
+            r = find(v)
+            label.setdefault(r, []).append(v)
+        want = {v: min(vs) for r, vs in label.items() for v in vs}
+        assert got == want
