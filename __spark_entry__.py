@@ -70,6 +70,7 @@ from paralleltrianglecounting_spark.operators.msf import (
     minimum_spanning_forest,
     single_linkage_clusters,
 )
+from paralleltrianglecounting_spark.operators.mis import maximal_independent_set
 from paralleltrianglecounting_spark.operators.eigenvector import eigenvector_centrality
 from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
@@ -274,6 +275,10 @@ MSF_JUMPS = 8
 # tolerance-matched. The operator raises loudly past the bound.
 EV_ITERS = 5
 RICH_CLUB_KS = [8, 16, 32, 64, 128]
+# Luby MIS: measured 8 real rounds + 1 no-op fixpoint round at both
+# gate tiers; rounds are idempotent once live is empty, and the loud
+# final-live guard empties the oracle if the unroll is ever too small
+MIS_UNROLL = 12
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -800,6 +805,10 @@ def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(weighted_part_graph(spark, sf_dir))
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return maximal_independent_set(part_graph(spark, sf_dir))
+
+
 def _q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(
         weighted_part_graph(spark, sf_dir), SL_THRESHOLD
@@ -1227,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_graph": _q_coarsen_graph,
         "minimum_spanning_forest": _q_msf,
         "single_linkage_clusters": _q_single_linkage,
+        "maximal_independent_set": _q_mis,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2252,6 +2262,59 @@ GROUP BY v"""
     )
 
 
+def _mis_oracle_sql() -> str:
+    """Unrolled Luby rounds: per round, the per-vertex min live-
+    neighbor rank (window twin of the engine's min(struct) hash agg),
+    the local-minimum membership test (row comparison (h, v) <
+    (hu, u)), and the member+neighbor drop. Loud final-live guard."""
+    R = MIS_UNROLL
+
+    def h(col: str) -> str:
+        return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT"
+
+    ctes = [
+        _EDGES_CTE,
+        "live0 AS MATERIALIZED (SELECT v FROM verts)",
+    ]
+    for k in range(1, R + 1):
+        ctes.append(
+            f"""le{k} AS (
+  SELECT b.u, b.v FROM bidir b
+  JOIN live{k - 1} lu ON lu.v = b.u
+  JOIN live{k - 1} lv ON lv.v = b.v
+),
+nm{k} AS (
+  SELECT v, hu, u FROM (
+    SELECT e.u AS v, {h('e.v')} AS hu, e.v AS u,
+           row_number() OVER (PARTITION BY e.u ORDER BY {h('e.v')}, e.v) AS rn
+    FROM le{k} e
+  ) WHERE rn = 1
+),
+m{k} AS MATERIALIZED (
+  SELECT l.v, CAST({k} AS INT) AS mround
+  FROM live{k - 1} l LEFT JOIN nm{k} n ON n.v = l.v
+  WHERE n.v IS NULL OR ({h('l.v')}, l.v) < (n.hu, n.u)
+),
+live{k} AS MATERIALIZED (
+  SELECT l.v FROM live{k - 1} l
+  WHERE NOT EXISTS (SELECT 1 FROM m{k} m WHERE m.v = l.v)
+    AND NOT EXISTS (SELECT 1 FROM bidir b JOIN m{k} m ON b.u = m.v
+                    WHERE b.v = l.v)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT v, mround FROM m{k}" for k in range(1, R + 1)
+    )
+    ctes.append(f"allm AS ({union})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vertex, mround FROM allm
+WHERE (SELECT count(*) FROM live{R}) = 0"""
+    )
+
+
 def _eigenvector_oracle_sql() -> str:
     """Unnormalized power iteration unrolled EV_ITERS times: every
     iterate is an integer below 2^53, so the doubles are exact in both
@@ -2551,6 +2614,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "coarsen_graph": _coarsen_oracle_sql(),
         "minimum_spanning_forest": _msf_oracle_sql(),
         "single_linkage_clusters": _single_linkage_oracle_sql(),
+        "maximal_independent_set": _mis_oracle_sql(),
         "eigenvector_centrality": _eigenvector_oracle_sql(),
         "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest

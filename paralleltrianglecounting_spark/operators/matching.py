@@ -101,6 +101,7 @@ def maximal_matching_run(
     resume: bool = True,
 ) -> SuperstepResult:
     spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     init = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -162,7 +163,11 @@ def maximal_matching_run(
         surv = live.join(mverts, live["src"] == mverts["mv"], "left_anti").join(
             mverts, live["dst"] == mverts["mv"], "left_anti"
         )
-        return done.unionByName(m).unionByName(surv), {"round": i + 1}
+        # bound the union's partition growth (see operators/mis.py) —
+        # the checkpointed state otherwise gains its branches' partition
+        # counts every round and late rounds pay empty-task scheduling
+        new_state = done.unionByName(m).unionByName(surv).coalesce(n_parts)
+        return new_state, {"round": i + 1}
 
     runner = SuperstepRunner(
         spark, "maximal_matching", checkpoint_dir, max_iterations=max_rounds

@@ -286,7 +286,10 @@ def msf_run(
             )
         )
         new_state = new_labels.unionByName(forest).unionByName(new_forest)
-        return new_state, {"jumps": n_jumps, "vertices": n_vertices}
+        # bound the union's partition growth (see operators/mis.py) —
+        # without it each round adds its branches' partitions to the
+        # checkpointed state and late rounds pay empty-task scheduling
+        return new_state.coalesce(n_parts), {"jumps": n_jumps, "vertices": n_vertices}
 
     identity = None
     if checkpoint_dir is not None:
