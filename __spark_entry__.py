@@ -71,6 +71,7 @@ from paralleltrianglecounting_spark.operators.msf import (
     single_linkage_clusters,
 )
 from paralleltrianglecounting_spark.operators.mis import maximal_independent_set
+from paralleltrianglecounting_spark.operators.coloring import greedy_coloring
 from paralleltrianglecounting_spark.operators.eigenvector import eigenvector_centrality
 from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
@@ -279,6 +280,13 @@ RICH_CLUB_KS = [8, 16, 32, 64, 128]
 # gate tiers; rounds are idempotent once live is empty, and the loud
 # final-live guard empties the oracle if the unroll is ever too small
 MIS_UNROLL = 12
+# Jones–Plassmann coloring is gated on the order-chain graph (paths):
+# measured 7-8 real rounds there. On the dense co-occurrence graph JP
+# needs ~|V|·(Δ+1)/|V| ≈ Δ rounds (local minima per round ≈ n/Δ) —
+# far past any feasible SQL unroll, so the dense graph is covered by
+# the proper-coloring + sequential-twin pytests instead (the
+# bfs_distances_deep precedent for picking the gate graph by power).
+COLORING_UNROLL = 12
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -809,6 +817,10 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(part_graph(spark, sf_dir))
 
 
+def _q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return greedy_coloring(order_chain_graph(spark, sf_dir))
+
+
 def _q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(
         weighted_part_graph(spark, sf_dir), SL_THRESHOLD
@@ -1237,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": _q_msf,
         "single_linkage_clusters": _q_single_linkage,
         "maximal_independent_set": _q_mis,
+        "greedy_coloring": _q_greedy_coloring,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2315,6 +2328,71 @@ WHERE (SELECT count(*) FROM live{R}) = 0"""
     )
 
 
+def _coloring_oracle_sql() -> str:
+    """Unrolled Jones–Plassmann over the order-chain graph: per round,
+    the min live-neighbor rank window, the local-minimum winner test,
+    the colored-neighbor color list, and the smallest-missing-color
+    pick (list_filter over range(0, |used|+1) — bounded by the used
+    set, as in the engine). Loud final-live guard."""
+    R = COLORING_UNROLL
+
+    def h(col: str) -> str:
+        return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT"
+
+    ctes = [
+        _CHAIN_CTES,
+        """cverts AS (SELECT DISTINCT v FROM (
+  SELECT src AS v FROM chain_edges UNION ALL SELECT dst FROM chain_edges))""",
+        "live0 AS MATERIALIZED (SELECT v FROM cverts)",
+        "colored0 AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS INT) AS color WHERE 1=0)",
+    ]
+    for k in range(1, R + 1):
+        ctes.append(
+            f"""nm{k} AS (
+  SELECT v, hu, u FROM (
+    SELECT b.u AS v, {h('b.v')} AS hu, b.v AS u,
+           row_number() OVER (PARTITION BY b.u ORDER BY {h('b.v')}, b.v) AS rn
+    FROM cbidir b
+    JOIN live{k - 1} lu ON lu.v = b.u
+    JOIN live{k - 1} lv ON lv.v = b.v
+  ) WHERE rn = 1
+),
+w{k} AS MATERIALIZED (
+  SELECT l.v FROM live{k - 1} l LEFT JOIN nm{k} n ON n.v = l.v
+  WHERE n.v IS NULL OR ({h('l.v')}, l.v) < (n.hu, n.u)
+),
+used{k} AS (
+  SELECT b.u AS v, list(DISTINCT c.color) AS used
+  FROM cbidir b
+  JOIN w{k} w ON w.v = b.u
+  JOIN colored{k - 1} c ON c.v = b.v
+  GROUP BY b.u
+),
+newc{k} AS (
+  SELECT w.v,
+         CAST(list_min(list_filter(
+           range(0, 1 + len(coalesce(u.used, []))),
+           x -> NOT list_contains(coalesce(u.used, []), x)
+         )) AS INT) AS color
+  FROM w{k} w LEFT JOIN used{k} u ON u.v = w.v
+),
+colored{k} AS MATERIALIZED (
+  SELECT v, color FROM colored{k - 1} UNION ALL SELECT v, color FROM newc{k}
+),
+live{k} AS MATERIALIZED (
+  SELECT l.v FROM live{k - 1} l
+  WHERE NOT EXISTS (SELECT 1 FROM w{k} w WHERE w.v = l.v)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vertex, color FROM colored{R}
+WHERE (SELECT count(*) FROM live{R}) = 0"""
+    )
+
+
 def _eigenvector_oracle_sql() -> str:
     """Unnormalized power iteration unrolled EV_ITERS times: every
     iterate is an integer below 2^53, so the doubles are exact in both
@@ -2615,6 +2693,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "minimum_spanning_forest": _msf_oracle_sql(),
         "single_linkage_clusters": _single_linkage_oracle_sql(),
         "maximal_independent_set": _mis_oracle_sql(),
+        "greedy_coloring": _coloring_oracle_sql(),
         "eigenvector_centrality": _eigenvector_oracle_sql(),
         "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest
