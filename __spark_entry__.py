@@ -64,6 +64,7 @@ from paralleltrianglecounting_spark.operators.delta import triangle_count_delta
 from paralleltrianglecounting_spark.operators.matching import (
     coarsen_graph,
     maximal_matching,
+    vertex_cover,
 )
 from paralleltrianglecounting_spark.operators.matching import _edge_rank
 from paralleltrianglecounting_spark.operators.msf import (
@@ -809,6 +810,10 @@ def _q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_graph(part_graph(spark, sf_dir))
 
 
+def _q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vertex_cover(part_graph(spark, sf_dir))
+
+
 def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(weighted_part_graph(spark, sf_dir))
 
@@ -1246,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_count": _q_k4_count,
         "maximal_matching": _q_maximal_matching,
         "coarsen_graph": _q_coarsen_graph,
+        "vertex_cover": _q_vertex_cover,
         "minimum_spanning_forest": _q_msf,
         "single_linkage_clusters": _q_single_linkage,
         "maximal_independent_set": _q_mis,
@@ -2040,6 +2046,19 @@ SELECT v AS vertex, label FROM lbl{D} WHERE label IS NOT NULL"""
     )
 
 
+def _vertex_cover_oracle_sql() -> str:
+    """Endpoints of the unrolled maximal matching (same CTE chain,
+    same loud fixpoint guard)."""
+    R = MATCHING_UNROLL
+    return (
+        _matching_ctes()
+        + f"""
+SELECT DISTINCT vertex FROM (
+  SELECT src AS vertex FROM allm UNION ALL SELECT dst FROM allm)
+WHERE (SELECT count(*) FROM l{R}) = 0"""
+    )
+
+
 def _closeness_oracle_sql() -> str:
     """Unrolled pivot closeness: the same forward CTEs as harmonic
     (the level index is the distance), then per-vertex reach count /
@@ -2690,6 +2709,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "seeded_lpa": _seeded_lpa_oracle_sql(),
         "maximal_matching": _matching_oracle_sql(),
         "coarsen_graph": _coarsen_oracle_sql(),
+        "vertex_cover": _vertex_cover_oracle_sql(),
         "minimum_spanning_forest": _msf_oracle_sql(),
         "single_linkage_clusters": _single_linkage_oracle_sql(),
         "maximal_independent_set": _mis_oracle_sql(),

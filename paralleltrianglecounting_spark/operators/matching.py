@@ -94,6 +94,26 @@ def maximal_matching(
     return res.state.where(F.col("mround") > 0).select("src", "dst", "mround")
 
 
+def vertex_cover(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_rounds: int = 64,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex] — a 2-approximate minimum vertex cover: the endpoints
+    of the deterministic maximal matching (Gavril/Yannakakis — every
+    edge has a matched endpoint by maximality, and any cover must take
+    ≥1 endpoint per matched edge, so |cover| ≤ 2·OPT). Inherits the
+    matching's determinism at any parallelism and its checkpoint/resume;
+    the marginal cost over the matching is one projection + distinct."""
+    m = maximal_matching(edges, checkpoint_dir, max_rounds, resume)
+    return (
+        m.select(F.col("src").alias("vertex"))
+        .unionByName(m.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+
+
 def maximal_matching_run(
     edges: DataFrame,
     checkpoint_dir: str | None = None,
