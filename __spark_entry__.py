@@ -73,6 +73,7 @@ from paralleltrianglecounting_spark.operators.msf import (
 )
 from paralleltrianglecounting_spark.operators.mis import maximal_independent_set
 from paralleltrianglecounting_spark.operators.coloring import greedy_coloring
+from paralleltrianglecounting_spark.operators.densest import densest_subgraph
 from paralleltrianglecounting_spark.operators.eigenvector import eigenvector_centrality
 from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
@@ -288,6 +289,15 @@ MIS_UNROLL = 12
 # the proper-coloring + sequential-twin pytests instead (the
 # bfs_distances_deep precedent for picking the gate graph by power).
 COLORING_UNROLL = 12
+# densest subgraph: ε=0.1 gives a measured 7-8 round peel at both gate
+# tiers (ε=0.5 empties in 2 — no gate power); the best round on the
+# uniformly-dense co-occurrence graph is legitimately round 0 (the
+# whole graph IS its densest subgraph), so the oracle must reproduce
+# the full peel ledger + argmax to agree; a planted-clique pytest pins
+# the best-round>0 case. Threshold literal is repr(2(1+ε)) so both
+# engines compare against the identical double.
+DENSEST_EPS = 0.1
+DENSEST_UNROLL = 12
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -826,6 +836,10 @@ def _q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(order_chain_graph(spark, sf_dir))
 
 
+def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return densest_subgraph(part_graph(spark, sf_dir), epsilon=DENSEST_EPS)
+
+
 def _q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(
         weighted_part_graph(spark, sf_dir), SL_THRESHOLD
@@ -1256,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage_clusters": _q_single_linkage,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_greedy_coloring,
+        "densest_subgraph": _q_densest_subgraph,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2347,6 +2362,66 @@ WHERE (SELECT count(*) FROM live{R}) = 0"""
     )
 
 
+def _densest_oracle_sql() -> str:
+    """Unrolled (1+ε) greedy peel: per round, the edge/vertex counts
+    (density as a correctly-rounded DOUBLE division of the same
+    integers the engine divides), the over-threshold survivor filter,
+    and the semi-join edge shrink; then the ledger argmax (max density,
+    ties to the earliest round) selects whose vertex set to emit. Loud
+    guard: the peel must have emptied within the unroll."""
+    R = DENSEST_UNROLL
+    factor = repr(2.0 * (1.0 + DENSEST_EPS))
+    ctes = [_EDGES_CTE, "e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for k in range(R + 1):
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e{k} UNION ALL SELECT dst FROM e{k})
+),
+s{k} AS (
+  SELECT (SELECT count(*) FROM e{k})::BIGINT AS ecnt,
+         (SELECT count(*) FROM v{k})::BIGINT AS vcnt
+)"""
+        )
+        if k == R:
+            break
+        ctes.append(
+            f"""keep{k} AS (
+  SELECT v FROM (
+    SELECT u AS v, count(*)::BIGINT AS degree FROM (
+      SELECT src AS u FROM e{k} UNION ALL SELECT dst AS u FROM e{k})
+    GROUP BY u
+  )
+  WHERE degree > {factor} * (SELECT CAST(ecnt AS DOUBLE) / vcnt FROM s{k} WHERE ecnt > 0)
+),
+e{k + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{k} e
+  JOIN keep{k} ks ON ks.v = e.src
+  JOIN keep{k} kd ON kd.v = e.dst
+)"""
+        )
+    ledger = "\nUNION ALL\n".join(
+        f"SELECT {k} AS r, CASE WHEN ecnt > 0 THEN CAST(ecnt AS DOUBLE) / vcnt END AS d FROM s{k}"
+        for k in range(R + 1)
+    )
+    allv = "\nUNION ALL\n".join(
+        f"SELECT {k} AS r, v FROM v{k}" for k in range(R + 1)
+    )
+    ctes.append(f"ledger AS ({ledger})")
+    ctes.append(
+        "winner AS (SELECT r FROM ledger WHERE d IS NOT NULL "
+        "ORDER BY d DESC, r ASC LIMIT 1)"
+    )
+    ctes.append(f"allv AS ({allv})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vertex FROM allv
+WHERE r = (SELECT r FROM winner)
+  AND (SELECT ecnt FROM s{R}) = 0"""
+    )
+
+
 def _coloring_oracle_sql() -> str:
     """Unrolled Jones–Plassmann over the order-chain graph: per round,
     the min live-neighbor rank window, the local-minimum winner test,
@@ -2714,6 +2789,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "single_linkage_clusters": _single_linkage_oracle_sql(),
         "maximal_independent_set": _mis_oracle_sql(),
         "greedy_coloring": _coloring_oracle_sql(),
+        "densest_subgraph": _densest_oracle_sql(),
         "eigenvector_centrality": _eigenvector_oracle_sql(),
         "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest
