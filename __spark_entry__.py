@@ -138,7 +138,11 @@ from paralleltrianglecounting_spark.operators.stats import (
     sliding_window_counts,
 )
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
+from paralleltrianglecounting_spark.operators.bipartite import bipartite_motifs
+from paralleltrianglecounting_spark.operators.dag import topological_levels
+from paralleltrianglecounting_spark.operators.text import chunk_documents
 from paralleltrianglecounting_spark.sources.edges import (
+    order_chain_digraph,
     order_chain_graph,
     part_graph,
     weighted_part_graph,
@@ -298,6 +302,12 @@ COLORING_UNROLL = 12
 # engines compare against the identical double.
 DENSEST_EPS = 0.1
 DENSEST_UNROLL = 12
+# document chunking: 32-token windows with 8-token overlap (stride 24)
+# — small enough that the ~80-token testdata docs emit multi-chunk
+# output with a short tail chunk (both the overlap and the tail
+# semantics are exercised by the gate, not just the n<=chunk_size case)
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -840,6 +850,23 @@ def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_subgraph(part_graph(spark, sf_dir), epsilon=DENSEST_EPS)
 
 
+def _q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return bipartite_motifs(li, "l_orderkey", "l_partkey")
+
+
+def _q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topological_levels(order_chain_digraph(spark, sf_dir))
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
 def _q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(
         weighted_part_graph(spark, sf_dir), SL_THRESHOLD
@@ -1271,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_greedy_coloring,
         "densest_subgraph": _q_densest_subgraph,
+        "butterfly_count": _q_butterfly_count,
+        "topo_levels": _q_topo_levels,
+        "doc_chunks": _q_doc_chunks,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -1457,6 +1487,24 @@ SELECT doc_id,
        round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
              / greatest(len(toks), 1), 6) AS avg_token_len_r
 FROM toks_t""",
+        # fixed-size token windows with overlap: starts 0, stride, …
+        # while strictly inside the doc; list_slice/range are 1-based-
+        # inclusive / end-exclusive exactly like the engine's
+        # slice(…, start+1, chunk_size) / sequence(0, n-1, stride)
+        "doc_chunks": f"""WITH {_TOKS_CTE},
+nz AS (SELECT doc_id, toks FROM toks_t WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {CHUNK_SIZE - CHUNK_OVERLAP})) AS start
+  FROM nz
+)
+SELECT doc_id,
+       (start // {CHUNK_SIZE - CHUNK_OVERLAP})::BIGINT AS chunk_id,
+       len(list_slice(toks, start + 1, start + {CHUNK_SIZE}))::BIGINT
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM st""",
         "subword_stats": f"""WITH sub AS (
   SELECT doc_id,
          regexp_extract_all(text, '{bpe_sql_pat}') AS sw,
@@ -2790,6 +2838,39 @@ FROM reach WHERE w != u GROUP BY u""",
         "maximal_independent_set": _mis_oracle_sql(),
         "greedy_coloring": _coloring_oracle_sql(),
         "densest_subgraph": _densest_oracle_sql(),
+        # wedge-aggregation exact butterfly counting: C(codeg,2) over the
+        # weighted projection + C(deg,2) per side — all BIGINT arithmetic
+        "butterfly_count": """WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS e FROM lineitem
+),
+wproj AS (
+  SELECT a.e AS s, b.e AS d, count(*)::BIGINT AS w
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.e < b.e
+  GROUP BY 1, 2
+),
+bf AS (SELECT sum(w * (w - 1) // 2)::BIGINT AS butterflies FROM wproj),
+cd AS (SELECT c, count(*)::BIGINT AS dg FROM pairs GROUP BY c),
+ed AS (SELECT e, count(*)::BIGINT AS dg FROM pairs GROUP BY e),
+lw AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS left_wedges,
+              count(*)::BIGINT AS containers FROM cd),
+rw AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS right_wedges,
+              count(*)::BIGINT AS entities FROM ed)
+SELECT butterflies, left_wedges, right_wedges, containers, entities
+FROM bf, lw, rw""",
+        # the order-chain digraph is a disjoint union of directed paths,
+        # so longest-path layering has the closed form level = position
+        # in the chain — an INDEPENDENT derivation of what the engine
+        # computes by synchronous Kahn rounds (the generic-DAG semantics
+        # are pinned by pytest twins on diamond/multi-pred fixtures)
+        "topo_levels": """WITH rn AS (
+  SELECT o_orderkey AS vertex,
+         (row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ) - 1)::BIGINT AS level,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT vertex, level FROM rn WHERE n >= 2""",
         "eigenvector_centrality": _eigenvector_oracle_sql(),
         "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest

@@ -1,0 +1,85 @@
+"""Bipartite motif counting — butterflies and wedges on the
+(container, entity) incidence the link graph is projected FROM.
+
+The production edge table (BASELINE.json input_hint) is a bipartite
+projection: repos linked because they share a path. Projections lose
+multiplicity structure; the standard motif that measures bipartite
+cohesion *before* projecting is the **butterfly** (the K_{2,2} — two
+containers sharing the same two entities), the bipartite analog of the
+triangle (Sanei-Mehri, Sariyüce, Tirthapura, "Butterfly Counting in
+Bipartite Networks", KDD 2018). Exact global counts via wedge
+aggregation:
+
+    butterflies  = Σ_{entity pairs (u,v)}  C(codeg(u,v), 2)
+    left_wedges  = Σ_{containers c}        C(deg(c), 2)   (entity pairs sharing c)
+    right_wedges = Σ_{entities e}          C(deg(e), 2)   (container pairs sharing e)
+
+where codeg(u,v) = number of shared containers — exactly the ``weight``
+column of the weighted projection, so the butterfly sum rides the same
+single co-occurrence join + count aggregate the engine already uses for
+``weighted_cooccurrence_edges``, followed by one global sum. The wedge
+sums are two degree aggregates. No new shuffle shapes.
+
+Scale: the wedge-aggregation plan is the exact-counting baseline of the
+KDD'18 paper; its cost is the weighted-projection size (Σ_c C(|c|,2)
+wedges, all map-side pre-aggregated by the count agg). Hub containers
+are the quadratic term — the same ``max_container_size`` cap used for
+the projection applies here, and dropped containers are an audited,
+not silent, exclusion (the cap is a caller decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bipartite_motifs"]
+
+
+def bipartite_motifs(
+    incidence: DataFrame,
+    container: str,
+    entity: str,
+    max_container_size: int | None = None,
+) -> DataFrame:
+    """One row: [butterflies, left_wedges, right_wedges, containers,
+    entities] — exact bipartite motif counts of the distinct
+    (container, entity) incidence.
+
+    ``left_wedges`` counts wedges centered on a container (pairs of
+    entities it links — the projection's edge multiset size before
+    dedup); ``right_wedges`` the mirror. ``butterflies`` counts
+    K_{2,2}s once each.
+    """
+    from paralleltrianglecounting_spark.sources.edges import (
+        weighted_cooccurrence_edges,
+    )
+
+    pairs = incidence.select(
+        F.col(container).alias("_c"), F.col(entity).cast("long").alias("_e")
+    ).distinct()
+    wproj = weighted_cooccurrence_edges(
+        incidence, container, entity, max_container_size
+    )
+    # C(w,2) per entity pair, summed — LONG arithmetic end to end
+    # (w·(w−1) is even, so `div 2` is exact; a double sum would silently
+    # lose integer exactness past 2^53 at corpus scale)
+    bf = wproj.agg(
+        F.sum(F.expr("weight * (weight - 1L) div 2")).alias("butterflies")
+    )
+    cdeg = pairs.groupBy("_c").agg(F.count("*").alias("d"))
+    edeg = pairs.groupBy("_e").agg(F.count("*").alias("d"))
+    lw = cdeg.agg(
+        F.sum(F.expr("d * (d - 1L) div 2")).alias("left_wedges"),
+        F.count("*").alias("containers"),
+    )
+    rw = edeg.agg(
+        F.sum(F.expr("d * (d - 1L) div 2")).alias("right_wedges"),
+        F.count("*").alias("entities"),
+    )
+    # three 1-row aggregates — scalar×scalar crossJoins, never data-sized
+    return (
+        bf.crossJoin(lw)
+        .crossJoin(rw)
+        .select("butterflies", "left_wedges", "right_wedges", "containers", "entities")
+    )

@@ -353,3 +353,56 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi_r"), "gram_x", "gram_y").limit(k)
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 32, overlap: int = 8
+) -> DataFrame:
+    """[doc_id, chunk_id, n_chunk_tokens, chunk_text] — fixed-size
+    token windows with overlap, the standard pre-training chunking step
+    (context-length packing happens downstream of this).
+
+    Chunks start at token offsets 0, stride, 2·stride, … while the
+    offset is strictly inside the document (stride = chunk_size −
+    overlap, required positive); the final chunk may be short — it is
+    emitted, not padded, and never dropped (a silent tail drop loses
+    corpus). Zero-token documents emit zero chunks. Tokenization is the
+    engine-wide :func:`tokens` whitespace split; ``chunk_text`` rejoins
+    with single spaces, so original inter-token whitespace is
+    normalized (chunking is a training-data transform, not a
+    round-trip codec).
+
+    Plan: per-row split + ``sequence`` over start offsets + one
+    posexplode + per-row ``slice``/``array_join`` — linear, no shuffle
+    at all (chunks stay co-partitioned with their documents), scan
+    pruned to (doc_id, text). At 100 TB this is the map-only stage
+    of the tokenize→chunk→pack pipeline.
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    toks = tokens(F.col("text"))
+    with_starts = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "_toks",
+        F.sequence(
+            F.lit(0), F.size("_toks") - F.lit(1), F.lit(stride)
+        ).alias("_starts"),
+    ).where(F.size("_toks") > 0)
+    chunk = F.slice(F.col("_toks"), F.col("_start") + F.lit(1), chunk_size)
+    return (
+        with_starts.select(
+            "doc_id", "_toks", F.explode("_starts").alias("_start")
+        )
+        .select(
+            "doc_id",
+            (F.col("_start") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "part_graph",
     "supplier_graph",
     "order_chain_graph",
+    "order_chain_digraph",
     "bidirected",
     "replicated",
 ]
@@ -166,6 +167,27 @@ def order_chain_graph(spark, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("b"),
     ).where(F.col("b").isNotNull())
     return canonicalize_edges(nxt, "a", "b")
+
+
+def order_chain_digraph(spark, sf_dir: str) -> DataFrame:
+    """DIRECTED twin of :func:`order_chain_graph`: src = earlier order,
+    dst = its customer's next order in (o_orderdate, o_orderkey)
+    succession — a disjoint union of directed paths, acyclic by
+    construction (time moves forward). The engine's canonical DAG for
+    layering/topological operators; same one-window plan shape."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderkey").cast("long").alias("src"),
+            F.lead("o_orderkey").over(w).cast("long").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
 
 
 def replicated(edges: DataFrame, copies: int, offset: int = 1 << 32) -> DataFrame:
