@@ -140,7 +140,8 @@ from paralleltrianglecounting_spark.operators.stats import (
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
 from paralleltrianglecounting_spark.operators.bipartite import bipartite_motifs
 from paralleltrianglecounting_spark.operators.dag import topological_levels
-from paralleltrianglecounting_spark.operators.text import chunk_documents
+from paralleltrianglecounting_spark.operators.pagerank import directed_pagerank
+from paralleltrianglecounting_spark.operators.text import bm25_search, chunk_documents
 from paralleltrianglecounting_spark.sources.edges import (
     order_chain_digraph,
     order_chain_graph,
@@ -308,6 +309,18 @@ DENSEST_UNROLL = 12
 # semantics are exercised by the gate, not just the n<=chunk_size case)
 CHUNK_SIZE = 32
 CHUNK_OVERLAP = 8
+# BM25 gate: fixed literal queries over the testdata vocabulary (terms
+# verified present at both tiers); k1/b are the Robertson defaults and
+# appear as repr'd literals in the oracle SQL
+BM25_QUERIES = ["fast hash join", "window agg stream", "slow table scan"]
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+# directed pagerank runs on the order-chain digraph: ~15% of vertices
+# are dangling (chain ends), so the dangling-mass term is load-bearing
+# in the gate, not a zero
+DPR_ITERS = 8
+DPR_DAMPING = 0.85
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -867,6 +880,21 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(
+        _docs(spark, sf_dir), BM25_QUERIES, k=BM25_K, k1=BM25_K1, b=BM25_B
+    )
+
+
+def _q_directed_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = directed_pagerank(
+        order_chain_digraph(spark, sf_dir),
+        damping=DPR_DAMPING,
+        iterations=DPR_ITERS,
+    )
+    return ranks.select("vertex", F.round("rank", ROUND).alias("rank_r"))
+
+
 def _q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(
         weighted_part_graph(spark, sf_dir), SL_THRESHOLD
@@ -1301,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_count": _q_butterfly_count,
         "topo_levels": _q_topo_levels,
         "doc_chunks": _q_doc_chunks,
+        "bm25_search": _q_bm25_search,
+        "directed_pagerank": _q_directed_pagerank,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -1597,6 +1627,7 @@ SELECT doc_id, term, tfidf_r,
                                ORDER BY tfidf_r DESC, term) AS INT) AS rank
 FROM scored
 QUALIFY rank <= 3""",
+        "bm25_search": _bm25_oracle_sql(),
         # PMI collocations: counts exact in both engines; the double
         # arithmetic (one multiply chain, one divide, one ln) is
         # written in the same association order as the Spark side so
@@ -2410,6 +2441,107 @@ WHERE (SELECT count(*) FROM live{R}) = 0"""
     )
 
 
+def _bm25_oracle_sql() -> str:
+    """Okapi BM25 with the same ONE association order as the engine:
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term score
+    (idf · tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)); avgdl is an
+    exact integer sum divided once. Query terms are tokenized at
+    SQL-build time (whitespace queries — same split both engines)."""
+    k1, b = BM25_K1, BM25_B
+    qvals = ",\n    ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(BM25_QUERIES)
+        for t in sorted(set(q.split()))
+    )
+    return f"""WITH toks_full AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_WS}'), t -> t != '') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks_full),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks_full),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl
+),
+qterms(query_id, term) AS (
+  VALUES {qvals}
+),
+matched AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r})
+           / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * d.dl
+                / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS sterm
+  FROM tf
+  JOIN qterms q ON q.term = tf.term
+  JOIN dfreq f ON f.term = tf.term
+  JOIN dl d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(sterm), 6) AS score_r
+  FROM matched GROUP BY query_id, doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_r DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_K}"""
+
+
+def _directed_pagerank_oracle_sql() -> str:
+    """Directed power iteration with dangling-mass redistribution,
+    unrolled to DPR_ITERS chained CTEs over the order-chain digraph.
+    Same association order as the engine: base + d·(inflow + dm/n)."""
+    d = DPR_DAMPING
+    ctes = [
+        """dnxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS b
+  FROM orders
+)""",
+        "dedges AS MATERIALIZED (SELECT DISTINCT a AS src, b AS dst FROM dnxt WHERE b IS NOT NULL)",
+        """dverts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges)
+)""",
+        "odeg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS odeg FROM dedges GROUP BY src)",
+        "dn AS (SELECT count(*) AS cnt FROM dverts)",
+        "dpr0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT cnt FROM dn) AS rank FROM dverts)",
+    ]
+    for i in range(1, DPR_ITERS + 1):
+        ctes.append(
+            f"""dang{i - 1} AS MATERIALIZED (
+  SELECT coalesce(sum(p.rank), 0.0) AS dm
+  FROM dpr{i - 1} p LEFT JOIN odeg o ON o.v = p.v
+  WHERE o.v IS NULL
+),
+dpr{i} AS MATERIALIZED (
+  SELECT dv.v,
+         (1.0 - {d}) / (SELECT cnt FROM dn)
+           + {d} * (coalesce(s.inflow, 0.0)
+                    + (SELECT dm FROM dang{i - 1}) / (SELECT cnt FROM dn)) AS rank
+  FROM dverts dv
+  LEFT JOIN (
+    SELECT e.dst AS v, sum(p.rank / o.odeg) AS inflow
+    FROM dedges e
+    JOIN dpr{i - 1} p ON e.src = p.v
+    JOIN odeg o ON o.v = p.v
+    GROUP BY e.dst
+  ) s ON s.v = dv.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM dpr{DPR_ITERS}"
+    )
+
+
 def _densest_oracle_sql() -> str:
     """Unrolled (1+ε) greedy peel: per round, the edge/vertex counts
     (density as a correctly-rounded DOUBLE division of the same
@@ -2838,6 +2970,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "maximal_independent_set": _mis_oracle_sql(),
         "greedy_coloring": _coloring_oracle_sql(),
         "densest_subgraph": _densest_oracle_sql(),
+        "directed_pagerank": _directed_pagerank_oracle_sql(),
         # wedge-aggregation exact butterfly counting: C(codeg,2) over the
         # weighted projection + C(deg,2) per side — all BIGINT arithmetic
         "butterfly_count": """WITH pairs AS (

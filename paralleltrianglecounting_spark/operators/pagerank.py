@@ -384,3 +384,96 @@ def weighted_pagerank(
     strength.unpersist()
     adj.unpersist()
     return result.state
+
+
+def directed_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex, rank] — PageRank with TRUE edge direction and
+    dangling-mass redistribution, the production web/link semantics
+    (`pagerank` above deliberately symmetrizes, matching the
+    reference's undirected model). Each iteration:
+
+        rank'(v) = (1-d)/n + d · ( Σ_{u→v} rank(u)/outdeg(u) + dm/n )
+
+    where ``dm`` = Σ rank(u) over DANGLING vertices (outdeg 0 — chain
+    ends, sink pages): their mass teleports uniformly, keeping
+    Σ rank = 1 every iteration (pytest-pinned). Dropping dangling mass
+    is the classic directed-PageRank bug — ranks silently shrink and
+    never sum to 1.
+
+    Plan per superstep: one equi-join of the |V|-row rank state against
+    the cached out-degree-annotated topology (pre-hash-partitioned on
+    src — the `message_topology` treatment, zero topology re-exchange)
+    + one inflow hash agg; the dangling mass is a 1-row aggregate over
+    state ⋉ dangling (left-semi) that rides a broadcast crossJoin —
+    scalar-sized, never a driver collect; then one left join onto the
+    cached vertex universe (vertices with no in-edges still receive
+    base + teleport mass — an inner join would silently drop them).
+    """
+    from paralleltrianglecounting_spark.operators.degrees import vertices
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    verts = vertices(e).persist()
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "vertex long, rank double")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    odeg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count("*").alias("odeg")
+    )
+    adj = (
+        e.join(odeg.withColumnRenamed("vertex", "src"), "src")
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    edge_count = adj.count()
+    dangling = verts.join(odeg, "vertex", "left_anti").persist()
+    dangling.count()
+
+    init = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        ranks_src = state.select(F.col("vertex").alias("src"), "rank")
+        inflow = (
+            adj.join(ranks_src, "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
+        )
+        dang = state.join(dangling, "vertex", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        new_rank = (
+            verts.join(inflow, "vertex", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        return new_rank, {"messages_sent": edge_count, "vertices": n}
+
+    runner = SuperstepRunner(
+        spark,
+        name="directed_pagerank",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=iterations,
+    )
+    result = runner.run(init, step, stop_when_stable=False, resume=resume)
+    verts.unpersist()
+    adj.unpersist()
+    dangling.unpersist()
+    return result.state

@@ -406,3 +406,86 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """[query_id, doc_id, score_r, rank] — Okapi BM25 retrieval: the
+    top-k documents per query (Robertson–Spärck Jones, with the
+    Lucene-style non-negative idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``).
+    The retrieval primitive of training-data curation (seed-query corpus
+    selection, eval-set mining) run as one batch job over the corpus.
+
+    score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Term matching is exact (case-sensitive, the engine-wide whitespace
+    tokenizer) — normalization is a corpus-prep concern, not a scoring
+    one. Scores are rounded to 6 dp and ranked by (score_r DESC, doc_id
+    ASC), the same cross-engine-total order as ``tfidf_top_terms``; the
+    per-(query, doc) float sum is over per-term values computed in ONE
+    association order shared with the oracle SQL. ``avgdl`` is an exact
+    integer sum divided once, so it is bit-identical in both engines.
+
+    Plan at 100 TB: one explode + two hash aggs (tf, df — both map-side
+    combinable) + a BROADCAST join against the tiny query-term set (the
+    corpus never shuffles on term for scoring; only matched (doc, term)
+    rows proceed), one (query, doc) hash agg, and a per-query top-k
+    window — partitioned by query_id, never single-partition.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "query_id long, qtext string"
+    )
+    qterms = qdf.select(
+        "query_id", F.explode(tokens(F.col("qtext"))).alias("term")
+    ).distinct()
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    dl = toks.select("doc_id", F.size("_toks").cast("long").alias("dl"))
+    tok = toks.select("doc_id", F.explode("_toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("sum_dl"))
+    )
+
+    matched = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # ONE association order, mirrored verbatim in the oracle SQL:
+    # idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+    # norm = k1 * (1 - b + b * dl / avgdl);  avgdl = sum_dl / N
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    per_term = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+    scored = (
+        matched.select("query_id", "doc_id", per_term.alias("_s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score_r"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_r", "rank")
+    )
