@@ -42,7 +42,7 @@ from paralleltrianglecounting_spark.operators.degrees import (
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits
-from paralleltrianglecounting_spark.operators.kcore import k_core
+from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
 from paralleltrianglecounting_spark.operators.linkpred import (
     link_prediction_topk,
     neighborhood_size,
@@ -321,6 +321,10 @@ BM25_B = 0.75
 # in the gate, not a zero
 DPR_ITERS = 8
 DPR_DAMPING = 0.85
+# h-index coreness: measured 19 rounds to fixpoint at sf0.01 (+ slack);
+# tools/correctness_sf.py retunes this from the engine's measured
+# iteration count at bigger tiers (38 at sf0.1), like KCORE_UNROLL
+CORENESS_UNROLL = 22
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -886,6 +890,10 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core_numbers(part_graph(spark, sf_dir))
+
+
 def _q_directed_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = directed_pagerank(
         order_chain_digraph(spark, sf_dir),
@@ -1331,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "bm25_search": _q_bm25_search,
         "directed_pagerank": _q_directed_pagerank,
+        "core_numbers": _q_core_numbers,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2542,6 +2551,40 @@ dpr{i} AS MATERIALIZED (
     )
 
 
+def _coreness_oracle_sql() -> str:
+    """Unrolled h-index fixpoint (init h = degree; per round the
+    H-index of each vertex's neighbor h values via one rank window +
+    one max(least(rank, h)) agg — all-integer), with the standard
+    loud fixpoint guard: zero rows if the last two tables differ."""
+    R = CORENESS_UNROLL
+    ctes = [
+        _EDGES_CTE,
+        "h0 AS MATERIALIZED (SELECT v, degree::BIGINT AS h FROM deg)",
+    ]
+    for i in range(1, R + 1):
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT v, max(least(rnk, h))::BIGINT AS h FROM (
+    SELECT b.v AS v, p.h AS h,
+           row_number() OVER (PARTITION BY b.v ORDER BY p.h DESC, b.u ASC) AS rnk
+    FROM bidir b JOIN h{i - 1} p ON p.v = b.u
+  ) GROUP BY v
+)"""
+        )
+    guard = (
+        f"chg AS (SELECT count(*) AS c FROM h{R} a "
+        f"JOIN h{R - 1} b ON a.v = b.v AND a.h != b.h)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+{guard}
+SELECT v AS vertex, h AS coreness FROM h{R}
+WHERE (SELECT c FROM chg) = 0"""
+    )
+
+
 def _densest_oracle_sql() -> str:
     """Unrolled (1+ε) greedy peel: per round, the edge/vertex counts
     (density as a correctly-rounded DOUBLE division of the same
@@ -2971,6 +3014,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "greedy_coloring": _coloring_oracle_sql(),
         "densest_subgraph": _densest_oracle_sql(),
         "directed_pagerank": _directed_pagerank_oracle_sql(),
+        "core_numbers": _coreness_oracle_sql(),
         # wedge-aggregation exact butterfly counting: C(codeg,2) over the
         # weighted projection + C(deg,2) per side — all BIGINT arithmetic
         "butterfly_count": """WITH pairs AS (

@@ -102,3 +102,103 @@ def k_core_run(
         converged=result.converged,
         metrics=result.metrics,
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 500,
+    resume: bool = True,
+) -> DataFrame:
+    """[vertex, coreness] — the FULL core decomposition in one job."""
+    return core_numbers_run(
+        edges, checkpoint_dir, max_iterations, resume
+    ).state
+
+
+def core_numbers_run(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 500,
+    resume: bool = True,
+) -> SuperstepResult:
+    """Per-vertex coreness by the h-index fixpoint iteration (Lü, Zhou,
+    Zhang, Stanley, "The H-index of a network node and its relation to
+    degree and coreness", PNAS 2016): init h = degree; each round
+
+        h'(v) = H-index of { h(u) : u ∈ N(v) }
+              = max over the desc-sorted neighbor values h_(1) ≥ h_(2) …
+                of min(i, h_(i))
+
+    The iterates decrease monotonically to the coreness, so running to
+    the exact fixpoint (the SuperstepRunner's state-fingerprint
+    stability check) yields the same answer as sequential min-degree
+    peeling — but in O(convergence depth) synchronous rounds instead of
+    O(Σ per-k peel rounds), with NO data-dependent control flow inside
+    a round: one plan shape, all-integer arithmetic, gateable
+    hash-exact against an unrolled SQL twin.
+
+    Plan per round: one equi-join of the |V|-row h state against the
+    cached pre-hash-partitioned bidirected topology (zero topology
+    re-exchange — the pagerank treatment) → per-vertex H-index via a
+    rank window partitioned by vertex (never single-partition) + one
+    max(least(rank, h)) hash agg. At 100 TB the window sorts each
+    vertex's neighbor values; lists are O(√E)-ish after the first
+    rounds because h caps at degree and shrinks monotonically.
+
+    vs k_core: the fixed-k peel answers "is v in the k-core" for ONE
+    k; this answers it for every k at once (coreness(v) ≥ k ⇔ v ∈
+    k-core — pytest-pinned cross-check).
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    base = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    topo = bidirected(base).repartition(n_parts, "src").persist()
+    topo.count()
+
+    init = (
+        topo.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("long").alias("coreness"))
+    )
+
+    w = Window.partitionBy("vertex").orderBy(
+        F.col("_h").desc(), F.col("_u").asc()
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        nbr = topo.join(
+            state.select(
+                F.col("vertex").alias("src"), F.col("coreness").alias("_h")
+            ),
+            "src",
+        ).select(F.col("dst").alias("vertex"), F.col("src").alias("_u"), "_h")
+        ranked = nbr.withColumn("_rank", F.row_number().over(w))
+        new_h = ranked.groupBy("vertex").agg(
+            F.max(F.least(F.col("_rank").cast("long"), F.col("_h"))).alias(
+                "coreness"
+            )
+        )
+        return new_h, {}
+
+    runner = SuperstepRunner(
+        spark,
+        name="core_numbers",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+    )
+    result = runner.run(init, step, stop_when_stable=True, resume=resume)
+    topo.unpersist()
+    if not result.converged:
+        raise RuntimeError(
+            f"core_numbers did not reach the h-index fixpoint in "
+            f"{max_iterations} rounds"
+        )
+    return result

@@ -115,7 +115,10 @@ def measured_unrolls(spark, sf_dir: str) -> dict[str, int]:
     """Engine-side peel depths at this tier -> the unroll each oracle
     needs (depth + 1 slack; the driver's sf0.01 constants stay in
     place for every other tier)."""
-    from paralleltrianglecounting_spark.operators.kcore import k_core_run
+    from paralleltrianglecounting_spark.operators.kcore import (
+        core_numbers_run,
+        k_core_run,
+    )
     from paralleltrianglecounting_spark.operators.ktruss import k_truss_run
     from paralleltrianglecounting_spark.sources.edges import part_graph
 
@@ -123,8 +126,13 @@ def measured_unrolls(spark, sf_dir: str) -> dict[str, int]:
     g.count()
     kc = k_core_run(g, k=entrymod.KCORE_K).iterations
     kt = k_truss_run(g, k=entrymod.KTRUSS_K).iterations
+    cn = core_numbers_run(g).iterations
     g.unpersist()
-    return {"KCORE_UNROLL": kc + 1, "KTRUSS_UNROLL": kt + 1}
+    return {
+        "KCORE_UNROLL": kc + 1,
+        "KTRUSS_UNROLL": kt + 1,
+        "CORENESS_UNROLL": cn + 1,
+    }
 
 
 def main() -> None:
