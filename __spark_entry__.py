@@ -33,6 +33,7 @@ from paralleltrianglecounting_spark.operators.bfs import (
     ego_net,
 )
 from paralleltrianglecounting_spark.operators.components import (
+    bipartite_components,
     component_sizes,
     connected_components,
 )
@@ -325,6 +326,12 @@ DPR_DAMPING = 0.85
 # tools/correctness_sf.py retunes this from the engine's measured
 # iteration count at bigger tiers (38 at sf0.1), like KCORE_UNROLL
 CORENESS_UNROLL = 22
+# bipartite CC: min-label rounds needed = bipartite eccentricity of
+# each component's min entity (~2x the projection's, which is ~2 on
+# the co-occurrence graphs) — 12 is generous, and the fixpoint guard
+# makes an insufficient unroll loud (0 rows), never wrong
+BIPARTITE_CC_UNROLL = 12
+BIPARTITE_OFFSET = 1 << 40
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -894,6 +901,15 @@ def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(part_graph(spark, sf_dir))
 
 
+def _q_bipartite_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return bipartite_components(
+        li, "l_orderkey", "l_partkey", container_offset=BIPARTITE_OFFSET
+    )
+
+
 def _q_directed_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = directed_pagerank(
         order_chain_digraph(spark, sf_dir),
@@ -1340,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "directed_pagerank": _q_directed_pagerank,
         "core_numbers": _q_core_numbers,
+        "bipartite_components": _q_bipartite_components,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2551,6 +2568,51 @@ dpr{i} AS MATERIALIZED (
     )
 
 
+def _bipartite_cc_oracle_sql() -> str:
+    """Unrolled min-label propagation DIRECTLY over the bipartite
+    (container, entity) incidence — an independent derivation that,
+    like the engine, never materializes the quadratic projection.
+    Standard loud fixpoint guard (0 rows if unconverged)."""
+    R = BIPARTITE_CC_UNROLL
+    off = BIPARTITE_OFFSET
+    ctes = [
+        f"""bpairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey + {off} AS c, l_partkey AS e FROM lineitem
+)""",
+        """bbidir AS MATERIALIZED (
+  SELECT e AS u, c AS v FROM bpairs
+  UNION ALL
+  SELECT c AS u, e AS v FROM bpairs
+)""",
+        "bverts AS MATERIALIZED (SELECT DISTINCT u AS v FROM bbidir)",
+        "bl0 AS MATERIALIZED (SELECT v, v AS l FROM bverts)",
+    ]
+    for i in range(1, R + 1):
+        ctes.append(
+            f"""bl{i} AS MATERIALIZED (
+  SELECT t.v AS v, least(t.l, coalesce(m.ml, t.l)) AS l
+  FROM bl{i - 1} t
+  LEFT JOIN (
+    SELECT b.v AS v, min(p.l) AS ml
+    FROM bbidir b JOIN bl{i - 1} p ON p.v = b.u
+    GROUP BY b.v
+  ) m ON m.v = t.v
+)"""
+        )
+    guard = (
+        f"bchg AS (SELECT count(*) AS c FROM bl{R} a "
+        f"JOIN bl{R - 1} b ON a.v = b.v AND a.l != b.l)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+{guard}
+SELECT v AS entity, l AS component FROM bl{R}
+WHERE v < {off} AND (SELECT c FROM bchg) = 0"""
+    )
+
+
 def _coreness_oracle_sql() -> str:
     """Unrolled h-index fixpoint (init h = degree; per round the
     H-index of each vertex's neighbor h values via one rank window +
@@ -3015,6 +3077,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "densest_subgraph": _densest_oracle_sql(),
         "directed_pagerank": _directed_pagerank_oracle_sql(),
         "core_numbers": _coreness_oracle_sql(),
+        "bipartite_components": _bipartite_cc_oracle_sql(),
         # wedge-aggregation exact butterfly counting: C(codeg,2) over the
         # weighted projection + C(deg,2) per side — all BIGINT arithmetic
         "butterfly_count": """WITH pairs AS (

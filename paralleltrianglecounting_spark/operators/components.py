@@ -180,3 +180,63 @@ def component_sizes(edges: DataFrame) -> DataFrame:
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
     )
+
+
+def bipartite_components(
+    incidence: DataFrame,
+    container: str,
+    entity: str,
+    container_offset: int = 1 << 40,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+    resume: bool = True,
+) -> DataFrame:
+    """[entity, component] — connected components of the link graph
+    computed DIRECTLY on the (container, entity) bipartite incidence,
+    WITHOUT materializing the co-occurrence projection.
+
+    Two entities share a projection component iff they are connected
+    through containers, so running large-/small-star on the bipartite
+    edge set (entities keep their ids; containers are shifted by
+    ``container_offset`` into a disjoint id range) and keeping the
+    entity rows yields the projection's component structure — including
+    entities whose only container holds them alone (a singleton
+    projection component the edge-derived projection CC cannot even
+    see). Component labels are min entity id (containers sit above the
+    offset, so the bipartite min is always an entity).
+
+    THIS is the 100 TB path for components: the projection join is
+    Σ_c |c|² rows (a single hub container can emit |repos|² pairs —
+    why `cooccurrence_edges` needs its cap), while the bipartite edge
+    set is the incidence itself, linear in the input, hub or not. The
+    price is ~2× the label-propagation diameter (paths alternate
+    entity→container→entity) — a constant number of extra
+    large-/small-star rounds, each linear.
+
+    Raises if any entity id reaches ``container_offset`` (id-range
+    collision would silently merge unrelated vertices).
+    """
+    from pyspark.sql import functions as F
+
+    pairs = incidence.select(
+        F.col(container).cast("long").alias("_c"),
+        F.col(entity).cast("long").alias("_e"),
+    ).distinct()
+    bad = pairs.where(
+        (F.col("_e") >= container_offset) | (F.col("_e") < 0) | (F.col("_c") < 0)
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"entity ids must lie in [0, {container_offset}); raise "
+            "container_offset (or hash ids) before running"
+        )
+    bedges = pairs.select(
+        F.col("_e").alias("src"),
+        (F.col("_c") + F.lit(container_offset)).alias("dst"),
+    )
+    labels = connected_components(
+        bedges, checkpoint_dir, max_iterations, resume
+    )
+    return labels.where(F.col("vertex") < container_offset).select(
+        F.col("vertex").alias("entity"), "component"
+    )
