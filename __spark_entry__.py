@@ -44,6 +44,12 @@ from paralleltrianglecounting_spark.operators.degrees import (
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits
 from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
+from paralleltrianglecounting_spark.operators.ktruss import truss_numbers
+from paralleltrianglecounting_spark.operators.scc import (
+    condensation,
+    reciprocity,
+    strongly_connected_components,
+)
 from paralleltrianglecounting_spark.operators.linkpred import (
     link_prediction_topk,
     neighborhood_size,
@@ -133,6 +139,7 @@ from paralleltrianglecounting_spark.operators.betweenness import (
 )
 from paralleltrianglecounting_spark.operators.sssp import sssp
 from paralleltrianglecounting_spark.operators.stats import (
+    event_transitions,
     group_quantiles,
     rollup_totals,
     sessionize,
@@ -145,6 +152,7 @@ from paralleltrianglecounting_spark.operators.pagerank import directed_pagerank
 from paralleltrianglecounting_spark.operators.text import bm25_search, chunk_documents
 from paralleltrianglecounting_spark.sources.edges import (
     order_chain_digraph,
+    order_cycle_digraph,
     order_chain_graph,
     part_graph,
     weighted_part_graph,
@@ -332,6 +340,15 @@ CORENESS_UNROLL = 22
 # makes an insufficient unroll loud (0 rows), never wrong
 BIPARTITE_CC_UNROLL = 12
 BIPARTITE_OFFSET = 1 << 40
+# truss decomposition: measured 24 h-index rounds to fixpoint at
+# sf0.01 (+ slack); tools/correctness_sf.py retunes from the engine's
+# measured iterations at bigger tiers, like CORENESS_UNROLL
+TRUSS_UNROLL = 27
+# SCC gate graph: customers with >= this many orders close into a
+# directed cycle (one nontrivial SCC each); shorter chains stay pure
+# paths (trim fodder). ~1/3 of customers are over the threshold at
+# every sf (order counts are scale-free per customer in TPC-H)
+SCC_MIN_CYCLE = 12
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -901,6 +918,16 @@ def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(part_graph(spark, sf_dir))
 
 
+def _q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return truss_numbers(part_graph(spark, sf_dir))
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strongly_connected_components(
+        order_cycle_digraph(spark, sf_dir, min_cycle=SCC_MIN_CYCLE)
+    )
+
+
 def _q_bipartite_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
@@ -1094,6 +1121,38 @@ def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return group_quantiles(ev, "event_type", "value")
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_part_sequence_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the part-succession digraph (consecutive parts within an order,
+    # in line-number sequence) — 45k distinct directed edges at sf0.01
+    # with reciprocity ~0.01: both counters do real work, unlike the
+    # 5-vertex event-type digraph whose reciprocity saturates at 1.0.
+    # l_linenumber is NOT unique per order in this synthetic tier, so
+    # the succession totals its order with (partkey, suppkey) —
+    # (l_orderkey, l_linenumber, l_partkey, l_suppkey) is verified
+    # duplicate-free at the gate tiers, making the count table
+    # engine-portable (window ties are engine-dependent otherwise)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = event_transitions(
+        li,
+        user_col="l_orderkey",
+        type_col="l_partkey",
+        ts_col="l_linenumber",
+        id_col="l_partkey",
+        tiebreak_cols=("l_suppkey",),
+    ).select(F.col("src_type").alias("src"), F.col("dst_type").alias("dst"))
+    return reciprocity(t)
+
+
+def _q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return condensation(
+        order_cycle_digraph(spark, sf_dir, min_cycle=SCC_MIN_CYCLE)
+    )
 
 
 def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,6 +1416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_pagerank": _q_directed_pagerank,
         "core_numbers": _q_core_numbers,
         "bipartite_components": _q_bipartite_components,
+        "truss_numbers": _q_truss_numbers,
+        "scc": _q_scc,
+        "condensation": _q_condensation,
+        "event_transitions": _q_event_transitions,
+        "part_sequence_reciprocity": _q_part_sequence_reciprocity,
         "eigenvector_centrality": _q_eigenvector,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
@@ -2568,6 +2632,62 @@ dpr{i} AS MATERIALIZED (
     )
 
 
+def _truss_numbers_oracle_sql() -> str:
+    """Unrolled local h-index support iteration (init θ = support; per
+    round the H-index over each edge's triangles of min(θ₁, θ₂) of the
+    triangle's other two edges), fixpoint-guarded. The triangle→edge
+    incidence is enumerated once (the same oriented join as _TRI_CTE)
+    and MATERIALIZED; trussness = θ + 2 at the fixpoint."""
+    R = TRUSS_UNROLL
+    ctes = [
+        _EDGES_CTE,
+        _TRI_CTE.replace("tri AS (", "tri AS MATERIALIZED ("),
+        """inc AS MATERIALIZED (
+  SELECT a AS su, b AS du, a AS s1, c AS d1, b AS s2, c AS d2 FROM tri
+  UNION ALL
+  SELECT a, c, a, b, b, c FROM tri
+  UNION ALL
+  SELECT b, c, a, b, a, c FROM tri
+)""",
+        """th0 AS MATERIALIZED (
+  SELECT e.src, e.dst, coalesce(s.n, 0)::BIGINT AS t
+  FROM edges e LEFT JOIN (
+    SELECT su, du, count(*)::BIGINT AS n FROM inc GROUP BY su, du
+  ) s ON s.su = e.src AND s.du = e.dst
+)""",
+    ]
+    for i in range(1, R + 1):
+        ctes.append(
+            f"""th{i} AS MATERIALIZED (
+  SELECT e.src, e.dst, coalesce(h.h, 0)::BIGINT AS t
+  FROM edges e LEFT JOIN (
+    SELECT su, du, max(least(rnk, val))::BIGINT AS h FROM (
+      SELECT inc.su, inc.du, least(p1.t, p2.t) AS val,
+             row_number() OVER (
+               PARTITION BY inc.su, inc.du
+               ORDER BY least(p1.t, p2.t) DESC, inc.s1, inc.d1
+             ) AS rnk
+      FROM inc
+      JOIN th{i - 1} p1 ON p1.src = inc.s1 AND p1.dst = inc.d1
+      JOIN th{i - 1} p2 ON p2.src = inc.s2 AND p2.dst = inc.d2
+    ) GROUP BY su, du
+  ) h ON h.su = e.src AND h.du = e.dst
+)"""
+        )
+    guard = (
+        f"tchg AS (SELECT count(*) AS c FROM th{R} a "
+        f"JOIN th{R - 1} b ON a.src = b.src AND a.dst = b.dst AND a.t != b.t)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+{guard}
+SELECT src, dst, t + 2 AS trussness FROM th{R}
+WHERE (SELECT c FROM tchg) = 0"""
+    )
+
+
 def _bipartite_cc_oracle_sql() -> str:
     """Unrolled min-label propagation DIRECTLY over the bipartite
     (container, entity) incidence — an independent derivation that,
@@ -3078,6 +3198,64 @@ FROM reach WHERE w != u GROUP BY u""",
         "directed_pagerank": _directed_pagerank_oracle_sql(),
         "core_numbers": _coreness_oracle_sql(),
         "bipartite_components": _bipartite_cc_oracle_sql(),
+        "truss_numbers": _truss_numbers_oracle_sql(),
+        # SCC on the order-cycle digraph has an INDEPENDENT closed form
+        # (sources/edges.py:order_cycle_digraph): a >= min_cycle chain
+        # closes into one cycle => SCC id = the customer's min orderkey;
+        # shorter chains are directed paths => every vertex a singleton.
+        # The engine runs the general FW-BW coloring decomposition
+        # (generic-digraph semantics pinned by the Tarjan-twin pytests);
+        # the oracle never replays the iteration
+        "scc": f"""WITH c AS (
+  SELECT o_custkey, count(*) AS n, min(o_orderkey) AS mn
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey::BIGINT AS vertex,
+       (CASE WHEN c.n >= {SCC_MIN_CYCLE} THEN c.mn
+             ELSE o.o_orderkey END)::BIGINT AS scc
+FROM orders o JOIN c ON c.o_custkey = o.o_custkey
+WHERE c.n >= 2""",
+        # condensation of the order-cycle digraph, closed form: cycle
+        # customers (n >= min_cycle) collapse to ONE quotient vertex
+        # whose internal edges all become dropped self-loops; path
+        # customers keep every chain edge (each vertex its own SCC)
+        "condensation": f"""WITH rn AS (
+  SELECT o_orderkey AS k,
+         lead(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS nk,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT k::BIGINT AS src_scc, nk::BIGINT AS dst_scc
+FROM rn WHERE nk IS NOT NULL AND n < {SCC_MIN_CYCLE}""",
+        "event_transitions": """WITH nxt AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, count(*)::BIGINT AS n
+FROM nxt WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type""",
+        "part_sequence_reciprocity": """WITH nxt AS (
+  SELECT l_partkey AS src_type,
+         lead(l_partkey) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey
+         ) AS dst_type
+  FROM lineitem
+),
+e AS (
+  SELECT DISTINCT src_type AS src, dst_type AS dst
+  FROM nxt WHERE dst_type IS NOT NULL AND src_type != dst_type
+)
+SELECT count(*)::BIGINT AS n_edges,
+       count(r.src)::BIGINT AS n_reciprocal,
+       round(count(r.src)::DOUBLE / nullif(count(*), 0), 6)
+         AS reciprocity_r
+FROM e AS l LEFT JOIN e AS r ON r.src = l.dst AND r.dst = l.src""",
         # wedge-aggregation exact butterfly counting: C(codeg,2) over the
         # weighted projection + C(deg,2) per side — all BIGINT arithmetic
         "butterfly_count": """WITH pairs AS (

@@ -27,11 +27,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "event_transitions",
     "group_quantiles",
     "rollup_totals",
     "sessionize",
     "sliding_window_counts",
 ]
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """[src_type, dst_type, n] — per-user consecutive event-type
+    transition counts: the empirical Markov transition multigraph of a
+    clickstream (funnel mining, next-action prediction features, bot
+    detection via improbable transitions). Successor order is
+    (ts, event_id, *tiebreak_cols) per user — the succession must be a
+    TOTAL order or the count table is engine-dependent (each engine
+    breaks window ties its own way), so callers whose (ts, id) pair
+    is not unique per user pass enough ``tiebreak_cols`` to finish the
+    order (the sessionize lesson; rows identical across ALL order
+    columns stay harmless — swapping identical rows produces the same
+    transition multiset).
+
+    Scale shape at 100 TB: one per-user window (shuffle on the user
+    key — skew follows user activity, the sessionization bound) + one
+    map-side-combinable hash agg down to |types|² rows. The output is
+    a weighted digraph ready for the digraph operators (reciprocity,
+    directed_pagerank over types, condensation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col, *tiebreak_cols)
+    nxt = events.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    return nxt.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 def sliding_window_counts(

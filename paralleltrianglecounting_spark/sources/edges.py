@@ -190,6 +190,60 @@ def order_chain_digraph(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def order_cycle_digraph(
+    spark, sf_dir: str, min_cycle: int = 12
+) -> DataFrame:
+    """:func:`order_chain_digraph` plus a cycle-closing back edge
+    (last order → first order, in the same (o_orderdate, o_orderkey)
+    succession) for every customer with at least ``min_cycle`` orders —
+    the engine's canonical digraph with NONTRIVIAL strongly connected
+    components. Structure by construction:
+
+    - customers with ≥ ``min_cycle`` orders: the whole chain closes
+      into one directed cycle → one SCC per such customer, id = the
+      customer's minimum order key (cycle length 12-25 at every sf, so
+      SCC coloring needs ~cycle-length directed hops);
+    - customers with 2..``min_cycle``-1 orders: pure directed paths →
+      every vertex its own singleton SCC (consumed by the trim phase,
+      up to ~min_cycle-1 trim hops);
+    - single-order customers contribute no edges (and no vertices).
+
+    That split (≈1/3 of customers over the threshold at the default 12)
+    gives every phase of the FW-BW coloring decomposition real work,
+    and the SCC answer has an INDEPENDENT closed form — per customer,
+    min(orderkey) if n ≥ min_cycle else the vertex itself — so the
+    DuckDB gate oracle never has to replay the iteration.
+
+    Plan shape: the chain window and the first/last aggregate both key
+    on o_custkey — one shuffle each over the orders scan, no self-join,
+    back-edge side is |customers| rows. Linear at 100 TB."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = o.select(
+        F.col("o_orderkey").cast("long").alias("src"),
+        F.lead("o_orderkey").over(w).cast("long").alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    pos = F.struct("o_orderdate", "o_orderkey")
+    back = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(pos).alias("first"),
+            F.max(pos).alias("last"),
+        )
+        .where(F.col("n") >= min_cycle)
+        .select(
+            F.col("last.o_orderkey").cast("long").alias("src"),
+            F.col("first.o_orderkey").cast("long").alias("dst"),
+        )
+    )
+    return chain.unionByName(back)
+
+
 def replicated(edges: DataFrame, copies: int, offset: int = 1 << 32) -> DataFrame:
     """Disjoint union of ``copies`` isomorphic copies of the graph,
     vertex ids shifted by ``k * offset`` per copy — the deterministic

@@ -111,28 +111,44 @@ def _cc_unrolled_sql(rounds: int, sizes: bool = False) -> str:
     return "WITH " + ",\n".join(ctes) + f",\n{guard}\n{final}"
 
 
-def measured_unrolls(spark, sf_dir: str) -> dict[str, int]:
+def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
     """Engine-side peel depths at this tier -> the unroll each oracle
     needs (depth + 1 slack; the driver's sf0.01 constants stay in
-    place for every other tier)."""
+    place for every other tier). With ``only`` set (a subset run),
+    measures just the depths those queries' oracles consume — the
+    full-decomposition probes are themselves multi-minute jobs."""
+    NEEDS = {
+        "KCORE_UNROLL": "k_core",
+        "KTRUSS_UNROLL": "k_truss",
+        "CORENESS_UNROLL": "core_numbers",
+        "TRUSS_UNROLL": "truss_numbers",
+    }
+    want = {c for c, q in NEEDS.items() if only is None or q in only}
+    if not want:
+        return {}
     from paralleltrianglecounting_spark.operators.kcore import (
         core_numbers_run,
         k_core_run,
     )
-    from paralleltrianglecounting_spark.operators.ktruss import k_truss_run
+    from paralleltrianglecounting_spark.operators.ktruss import (
+        k_truss_run,
+        truss_numbers_run,
+    )
     from paralleltrianglecounting_spark.sources.edges import part_graph
 
     g = part_graph(spark, sf_dir).persist()
     g.count()
-    kc = k_core_run(g, k=entrymod.KCORE_K).iterations
-    kt = k_truss_run(g, k=entrymod.KTRUSS_K).iterations
-    cn = core_numbers_run(g).iterations
+    out = {}
+    if "KCORE_UNROLL" in want:
+        out["KCORE_UNROLL"] = k_core_run(g, k=entrymod.KCORE_K).iterations + 1
+    if "KTRUSS_UNROLL" in want:
+        out["KTRUSS_UNROLL"] = k_truss_run(g, k=entrymod.KTRUSS_K).iterations + 1
+    if "CORENESS_UNROLL" in want:
+        out["CORENESS_UNROLL"] = core_numbers_run(g).iterations + 1
+    if "TRUSS_UNROLL" in want:
+        out["TRUSS_UNROLL"] = truss_numbers_run(g).iterations + 1
     g.unpersist()
-    return {
-        "KCORE_UNROLL": kc + 1,
-        "KTRUSS_UNROLL": kt + 1,
-        "CORENESS_UNROLL": cn + 1,
-    }
+    return out
 
 
 def main() -> None:
@@ -143,7 +159,7 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(cores=cores)
 
-    unrolls = measured_unrolls(spark, sf_dir)
+    unrolls = measured_unrolls(spark, sf_dir, only)
     retuned = {}
     for const, need in unrolls.items():
         have = getattr(entrymod, const)
