@@ -43,6 +43,7 @@ from paralleltrianglecounting_spark.operators.degrees import (
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits
+from paralleltrianglecounting_spark.operators.anf import neighborhood_bits
 from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
 from paralleltrianglecounting_spark.operators.ktruss import truss_numbers
 from paralleltrianglecounting_spark.operators.scc import (
@@ -340,6 +341,12 @@ CORENESS_UNROLL = 22
 # makes an insufficient unroll loud (0 rows), never wrong
 BIPARTITE_CC_UNROLL = 12
 BIPARTITE_OFFSET = 1 << 40
+# ANF sketch gate: 6 hops on the deep chain graph (median path ~10, so
+# the hop range is genuinely mid-propagation at every sf) × 16 FM
+# trials; every gated quantity is integer (bit positions), portable by
+# the shared md5-derived hash56 + bit_count identities
+ANF_HOPS = 6
+ANF_TRIALS = 16
 # truss decomposition: measured 24 h-index rounds to fixpoint at
 # sf0.01 (+ slack); tools/correctness_sf.py retunes from the engine's
 # measured iterations at bigger tiers, like CORENESS_UNROLL
@@ -914,6 +921,12 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anf_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighborhood_bits(
+        order_chain_graph(spark, sf_dir), max_hops=ANF_HOPS, n_trials=ANF_TRIALS
+    )
+
+
 def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(part_graph(spark, sf_dir))
 
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "directed_pagerank": _q_directed_pagerank,
         "core_numbers": _q_core_numbers,
+        "anf_bits": _q_anf_bits,
         "bipartite_components": _q_bipartite_components,
         "truss_numbers": _q_truss_numbers,
         "scc": _q_scc,
@@ -2632,6 +2646,59 @@ dpr{i} AS MATERIALIZED (
     )
 
 
+def _anf_bits_oracle_sql() -> str:
+    """Unrolled FM bitmask OR-propagation (operators/anf.py): init
+    m_r(v) = 1 << min(trailing_zeros(hash56(v || ':' || r)), 55), per
+    hop m_r(v) |= bit_or over neighbors; emit per (hop, trial) the
+    integer total Σ_v lowest_zero_bit(m_r(v)). Every expression —
+    hash56, trailing zeros via bit_count((x & -x) - 1), lowest zero
+    bit via bit_count(((~x) & (x + 1)) - 1) — reads identically in
+    Spark and DuckDB, so the gate is hash-exact with NO float."""
+    R, K = ANF_TRIALS, ANF_HOPS
+    h56 = (
+        "('0x' || substr(md5(CAST(vertex AS VARCHAR) || ':{r}'), 1, 14))"
+        "::BIGINT"
+    )
+    init_masks = ",\n    ".join(
+        f"(1::BIGINT << least(bit_count((({h56.format(r=r)}) & "
+        f"-({h56.format(r=r)})) - 1), 55))::BIGINT AS m{r}"
+        for r in range(R)
+    )
+    ctes = [
+        _CHAIN_CTES,
+        """averts AS (SELECT DISTINCT u AS vertex FROM cbidir)""",
+        f"""n0 AS MATERIALIZED (
+  SELECT vertex,
+    {init_masks}
+  FROM averts
+)""",
+    ]
+    ors = ", ".join(f"bit_or(s.m{r}) AS i{r}" for r in range(R))
+    merged = ",\n    ".join(
+        f"(v.m{r} | coalesce(i.i{r}, 0))::BIGINT AS m{r}" for r in range(R)
+    )
+    for k in range(1, K + 1):
+        ctes.append(
+            f"""n{k} AS MATERIALIZED (
+  SELECT v.vertex,
+    {merged}
+  FROM n{k - 1} v LEFT JOIN (
+    SELECT p.v AS vertex, {ors}
+    FROM cbidir p JOIN n{k - 1} s ON s.vertex = p.u
+    GROUP BY p.v
+  ) i ON i.vertex = v.vertex
+)"""
+        )
+    legs = [
+        f"SELECT {k} AS hop, {r} AS trial, "
+        f"sum(bit_count(((~m{r}) & (m{r} + 1)) - 1))::BIGINT AS total_bits "
+        f"FROM n{k}"
+        for k in range(K + 1)
+        for r in range(R)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
 def _truss_numbers_oracle_sql() -> str:
     """Unrolled local h-index support iteration (init θ = support; per
     round the H-index over each edge's triangles of min(θ₁, θ₂) of the
@@ -3199,6 +3266,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "core_numbers": _coreness_oracle_sql(),
         "bipartite_components": _bipartite_cc_oracle_sql(),
         "truss_numbers": _truss_numbers_oracle_sql(),
+        "anf_bits": _anf_bits_oracle_sql(),
         # SCC on the order-cycle digraph has an INDEPENDENT closed form
         # (sources/edges.py:order_cycle_digraph): a >= min_cycle chain
         # closes into one cycle => SCC id = the customer's min orderkey;
