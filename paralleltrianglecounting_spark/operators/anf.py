@@ -92,6 +92,7 @@ def _sketch_hops(
     full requested hop range keeps callers' row universes
     input-independent."""
     from paralleltrianglecounting_spark.operators.text import hash56
+    from paralleltrianglecounting_spark.plans.superstep import local_pin
 
     spark = edges.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -145,8 +146,8 @@ def _sketch_hops(
                 for r, m in enumerate(mcols)
             ],
         )
-        .localCheckpoint(eager=True)
     )
+    state = local_pin(state)
 
     mean_b = sum(
         (_lowest_zero_bit(F.col(m)).cast("double") for m in mcols), F.lit(0.0)
@@ -188,8 +189,8 @@ def _sketch_hops(
                     for m in mcols
                 ],
             )
-            .localCheckpoint(eager=True)
         )
+        state = local_pin(state)
         tb, nf, _ = totals(state)
         per_hop.append(tb)
         nf_by_hop.append(nf)

@@ -86,12 +86,17 @@ _STATE_SCHEMA = "a long, b long, tag int"
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """Materialize + cache + CUT LINEAGE (eager localCheckpoint) — the
+    """Materialize + cache + CUT LINEAGE + reset plan stats — the
     per-hop state treatment of every inner fixpoint here. persist()
     alone is not enough: it caches rows but keeps the full logical
     plan, and these loops reference their state multiple times per hop
-    (trim: 5×), so the plan TREE grows exponentially in hops."""
-    return df.localCheckpoint(eager=True)
+    (trim: 5×), so the plan TREE grows exponentially in hops; and a
+    bare localCheckpoint carries the round's estimated sizeInBytes
+    into the new leaf, compounding it hop over hop (see
+    plans/superstep.py local_pin for the measured blowup)."""
+    from paralleltrianglecounting_spark.plans.superstep import local_pin
+
+    return local_pin(df)
 
 
 def strongly_connected_components(

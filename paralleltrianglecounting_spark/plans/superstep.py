@@ -37,6 +37,81 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def local_pin(df: DataFrame) -> DataFrame:
+    """Materialize + cache + cut lineage + REPLACE PLAN STATISTICS with
+    the measured size — the in-memory superstep truncation primitive.
+
+    ``localCheckpoint`` alone is not enough: Spark's
+    ``LogicalRDD.fromDataset`` carries the ORIGIN plan's ESTIMATED
+    ``sizeInBytes`` into the checkpointed leaf, and the basic
+    size-only join estimator MULTIPLIES the two sides' byte sizes. An
+    iterative step that references its state twice (k-truss's two
+    partner-θ joins) therefore SQUARES the leaf statistic every round
+    — the digit count of the BigInteger doubles per round, and by
+    round ~20 Catalyst spends minutes per round multiplying
+    million-digit numbers inside plan estimation (measured on k-truss
+    at sf0.01: 1 s → 358 s/round on a CONSTANT 1.2 M-row per-round
+    plan, 482 s total; jstack shows the driver pinned in
+    ``BigInteger.multiplyToomCook3``; 55 s total after this fix).
+
+    Because the checkpoint is EAGER, the truth is available: the
+    materialized blocks' byte size from the block manager. The leaf is
+    rebuilt with that MEASURED ``sizeInBytes`` — every round starts
+    from ground truth, so within-round estimates stay sane, genuinely
+    small states keep auto-broadcasting (the CC/LPA fixture plans pin
+    BroadcastHashJoin shapes that a stats-strip would degrade to
+    SortMergeJoin), and nothing compounds across rounds. If any of the
+    reflective surface is missing, falls back to the plain checkpoint
+    (correct, just stats-poisoned) rather than failing the run.
+    """
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        jvm = spark._jvm
+        plan = ck._jdf.queryExecution().analyzed()
+        rid = plan.rdd().id()
+        size = 0
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                size = int(info.memSize()) + int(info.diskSize())
+        if size <= 0:
+            # blocks not visible (evicted/raced): conservative default
+            stats_opt = jvm.scala.Option.empty()
+        else:
+            # py4j auto-converts any scala.math.BigInt crossing the
+            # bridge into a Python int, so Statistics(sizeInBytes=...)
+            # can never be constructed from Python directly (the ctor
+            # then sees java.lang.Integer and py4j finds no overload).
+            # Instead BORROW a genuine Statistics from a plan-only
+            # Range(ceil(size/8)) node, whose computeStats is exactly
+            # sizeInBytes = 8 * numElements — within 7 bytes of the
+            # measured truth. Its rowCount=Some(size/8) is approximate
+            # but inert: the default size-only estimator
+            # (spark.sql.cbo.enabled=false) reads sizeInBytes alone.
+            k = (size + 7) // 8
+            stats = (
+                spark.range(k)._jdf.queryExecution().optimizedPlan().stats()
+            )
+            stats_opt = jvm.scala.Option.apply(stats)
+        fresh = plan.copy(
+            plan.output(),
+            plan.rdd(),
+            plan.outputPartitioning(),
+            plan.outputOrdering(),
+            plan.isStreaming(),
+            plan.stream(),
+            spark._jsparkSession,
+            stats_opt,
+            jvm.scala.Option.empty(),
+        )
+        new_jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, fresh
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return ck
+
+
 @dataclass
 class SuperstepResult:
     state: DataFrame
@@ -172,7 +247,12 @@ class SuperstepRunner:
             # regime that models production data-per-core. Two cheap
             # jobs that each do one thing beat one job that computes,
             # caches, and aggregates in the same task.
-            return df.localCheckpoint(eager=True)
+            #
+            # local_pin, not bare localCheckpoint: the checkpointed
+            # leaf must not inherit the round's estimated sizeInBytes
+            # or multi-reference steps square it every round (see
+            # local_pin's docstring for the measured blowup).
+            return local_pin(df)
         it_dir = self._iter_dir(i)
         state_dir = os.path.join(it_dir, "state")
         tmp = state_dir + ".tmp"
