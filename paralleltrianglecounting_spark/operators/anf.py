@@ -48,6 +48,7 @@ __all__ = [
     "neighborhood_bits",
     "neighborhood_function",
     "effective_diameter",
+    "sketch_state",
     "ANF_PHI",
 ]
 
@@ -81,23 +82,13 @@ def _mask_cols(n_trials: int) -> list[str]:
     return [f"m{r}" for r in range(n_trials)]
 
 
-def _sketch_hops(
-    edges: DataFrame, max_hops: int, n_trials: int, directed: bool
-) -> tuple[list[list[int]], list[float], int]:
-    """Run the OR propagation, returning (per-hop per-trial integer
-    totals Σ_v b_r(v), per-hop float NF estimates Σ_v 2^{mean_r b}/φ,
-    |V|) for hops 0..max_hops. Stops early at the OR fixpoint (integer
-    totals can only grow, so equal consecutive totals certify it) and
-    extends the stable tail — NF is constant past the diameter, and a
-    full requested hop range keeps callers' row universes
-    input-independent."""
-    from paralleltrianglecounting_spark.operators.text import hash56
-    from paralleltrianglecounting_spark.plans.superstep import local_pin
-
+def _edge_setup(
+    edges: DataFrame, directed: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(propagation pairs hash-partitioned on from_v — NOT yet
+    persisted — , distinct vertex table) for the OR iteration."""
     spark = edges.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    mcols = _mask_cols(n_trials)
-
     e = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -108,46 +99,118 @@ def _sketch_hops(
     )
     if directed:
         # out-reachability: v collects its out-neighbors' sketches
-        prop = e.select(F.col("dst").alias("from_v"), F.col("src").alias("to_v"))
+        prop = e.select(
+            F.col("dst").alias("from_v"), F.col("src").alias("to_v")
+        )
     else:
         prop = e.select(
             F.col("src").alias("from_v"), F.col("dst").alias("to_v")
         ).unionAll(
             e.select(F.col("dst").alias("from_v"), F.col("src").alias("to_v"))
         )
-    prop = prop.repartition(n_parts, "from_v").persist()
-    prop.count()
-
+    prop = prop.repartition(n_parts, "from_v")
     verts = (
         e.select(F.col("src").alias("vertex"))
         .unionAll(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
+    return prop, verts
+
+
+def _init_state(verts: DataFrame, mcols: list[str]) -> DataFrame:
+    """Per-vertex FM init masks m_r(v) = 1 << min(ρ(hash56(v:r)), 55),
+    one LONG column per trial (unpinned)."""
+    from paralleltrianglecounting_spark.operators.text import hash56
+
     # NB the SQL shiftleft accepts a column shift amount; the Python
     # wrapper F.shiftleft insists on an int literal — go through the
     # rho columns + F.expr
-    state = (
-        verts.select(
-            "vertex",
-            *[
-                F.least(
-                    _tz(
-                        hash56(F.concat_ws(":", F.col("vertex"), F.lit(str(r))))
-                    ),
-                    F.lit(_MAX_RHO),
-                ).alias(f"_rho{r}")
-                for r in range(n_trials)
-            ],
-        )
-        .select(
-            "vertex",
-            *[
-                F.expr(f"shiftleft(1L, _rho{r})").cast("long").alias(m)
-                for r, m in enumerate(mcols)
-            ],
-        )
+    return verts.select(
+        "vertex",
+        *[
+            F.least(
+                _tz(hash56(F.concat_ws(":", F.col("vertex"), F.lit(str(r))))),
+                F.lit(_MAX_RHO),
+            ).alias(f"_rho{r}")
+            for r in range(len(mcols))
+        ],
+    ).select(
+        "vertex",
+        *[
+            F.expr(f"shiftleft(1L, _rho{r})").cast("long").alias(m)
+            for r, m in enumerate(mcols)
+        ],
     )
-    state = local_pin(state)
+
+
+def _hop_update(
+    prop: DataFrame, state: DataFrame, mcols: list[str]
+) -> DataFrame:
+    """One OR-propagation hop (unpinned): fold neighbors' masks with
+    R ``bit_or`` exprs in ONE codegen hash agg (one row per pair
+    crosses the shuffle, map-side-combined — OR is a perfect partial
+    aggregate), then left-merge into the state."""
+    incoming = (
+        prop.join(
+            state.select(F.col("vertex").alias("from_v"), *mcols), "from_v"
+        )
+        .groupBy(F.col("to_v").alias("vertex"))
+        .agg(*[F.bit_or(F.col(m)).alias(f"_i{m}") for m in mcols])
+    )
+    return state.join(incoming, "vertex", "left").select(
+        "vertex",
+        *[
+            F.col(m)
+            .bitwiseOR(F.coalesce(F.col(f"_i{m}"), F.lit(0)))
+            .alias(m)
+            for m in mcols
+        ],
+    )
+
+
+def sketch_state(
+    edges: DataFrame,
+    hops: int = 1,
+    n_trials: int = 16,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-vertex FM reachability sketch after ``hops`` hops:
+    [vertex, m0..m{R-1}] — m_r(v) is the OR of the init bits of every
+    vertex within distance ``hops`` of v. The building block for
+    downstream per-vertex ball-size estimation (and the plan-audit
+    face of the hop update: intermediate hops are pinned, the FINAL
+    hop is returned unpinned so its physical plan — the propagation
+    join + one R-expr bit_or hash agg — is inspectable)."""
+    from paralleltrianglecounting_spark.plans.superstep import local_pin
+
+    if hops < 1:
+        raise ValueError("sketch_state: hops must be >= 1")
+    prop, verts = _edge_setup(edges, directed)
+    prop = prop.persist()
+    mcols = _mask_cols(n_trials)
+    state = local_pin(_init_state(verts, mcols))
+    for _ in range(hops - 1):
+        state = local_pin(_hop_update(prop, state, mcols))
+    return _hop_update(prop, state, mcols)
+
+
+def _sketch_hops(
+    edges: DataFrame, max_hops: int, n_trials: int, directed: bool
+) -> tuple[list[list[int]], list[float], int]:
+    """Run the OR propagation, returning (per-hop per-trial integer
+    totals Σ_v b_r(v), per-hop float NF estimates Σ_v 2^{mean_r b}/φ,
+    |V|) for hops 0..max_hops. Stops early at the OR fixpoint (integer
+    totals can only grow, so equal consecutive totals certify it) and
+    extends the stable tail — NF is constant past the diameter, and a
+    full requested hop range keeps callers' row universes
+    input-independent."""
+    from paralleltrianglecounting_spark.plans.superstep import local_pin
+
+    mcols = _mask_cols(n_trials)
+    prop, verts = _edge_setup(edges, directed)
+    prop = prop.persist()
+    prop.count()
+    state = local_pin(_init_state(verts, mcols))
 
     mean_b = sum(
         (_lowest_zero_bit(F.col(m)).cast("double") for m in mcols), F.lit(0.0)
@@ -171,26 +234,7 @@ def _sketch_hops(
     tb, nf, n_v = totals(state)
     per_hop, nf_by_hop = [tb], [nf]
     for _ in range(max_hops):
-        incoming = (
-            prop.join(
-                state.select(F.col("vertex").alias("from_v"), *mcols), "from_v"
-            )
-            .groupBy(F.col("to_v").alias("vertex"))
-            .agg(*[F.bit_or(F.col(m)).alias(f"_i{m}") for m in mcols])
-        )
-        state = (
-            state.join(incoming, "vertex", "left")
-            .select(
-                "vertex",
-                *[
-                    F.col(m)
-                    .bitwiseOR(F.coalesce(F.col(f"_i{m}"), F.lit(0)))
-                    .alias(m)
-                    for m in mcols
-                ],
-            )
-        )
-        state = local_pin(state)
+        state = local_pin(_hop_update(prop, state, mcols))
         tb, nf, _ = totals(state)
         per_hop.append(tb)
         nf_by_hop.append(nf)

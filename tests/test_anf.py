@@ -160,3 +160,26 @@ def test_anf_duplicate_edges_and_self_loops_ignored(spark):
     a = _collect_bits(neighborhood_bits(_df(spark, base), max_hops=3, n_trials=8))
     b = _collect_bits(neighborhood_bits(_df(spark, noisy), max_hops=3, n_trials=8))
     assert a == b
+
+
+def test_sketch_state_consistent_with_bits(spark):
+    """sketch_state's per-vertex masks at hop k total to exactly the
+    neighborhood_bits row for hop k (same FM iteration, per-vertex
+    face), and the masks only ever gain bits hop over hop."""
+    from paralleltrianglecounting_spark.operators.anf import sketch_state
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(50)]
+    bits = _collect_bits(neighborhood_bits(_df(spark, pairs), max_hops=2, n_trials=4))
+    s1 = {r["vertex"]: [r[f"m{t}"] for t in range(4)]
+          for r in sketch_state(_df(spark, pairs), hops=1, n_trials=4).collect()}
+    s2 = {r["vertex"]: [r[f"m{t}"] for t in range(4)]
+          for r in sketch_state(_df(spark, pairs), hops=2, n_trials=4).collect()}
+    assert set(s1) == set(s2)
+    for t in range(4):
+        assert sum(lzb(m[t]) for m in s1.values()) == bits[(1, t)]
+        assert sum(lzb(m[t]) for m in s2.values()) == bits[(2, t)]
+    for v in s1:
+        for t in range(4):
+            # OR-monotone: hop-1 bits are a subset of hop-2 bits
+            assert s1[v][t] & s2[v][t] == s1[v][t]
