@@ -82,7 +82,10 @@ from paralleltrianglecounting_spark.operators.msf import (
 from paralleltrianglecounting_spark.operators.mis import maximal_independent_set
 from paralleltrianglecounting_spark.operators.coloring import greedy_coloring
 from paralleltrianglecounting_spark.operators.densest import densest_subgraph
-from paralleltrianglecounting_spark.operators.eigenvector import eigenvector_centrality
+from paralleltrianglecounting_spark.operators.eigenvector import (
+    eigenvector_centrality,
+    katz_centrality,
+)
 from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
@@ -292,6 +295,12 @@ MSF_JUMPS = 8
 # double in BOTH engines and the gate is bit-identical, not
 # tolerance-matched. The operator raises loudly past the bound.
 EV_ITERS = 5
+# katz: 4 attenuated hops — walk counts stay an iteration under the
+# eigenvector 2^53 ceiling; α^k factors are Python double literals
+# shared verbatim with the oracle, accumulated in one fixed
+# association order (see operators/eigenvector.py:katz_centrality)
+KATZ_ALPHA = 0.05
+KATZ_ITERS = 4
 RICH_CLUB_KS = [8, 16, 32, 64, 128]
 # Luby MIS: measured 8 real rounds + 1 no-op fixpoint round at both
 # gate tiers; rounds are idempotent once live is empty, and the loud
@@ -969,6 +978,12 @@ def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eigenvector_centrality(part_graph(spark, sf_dir), iterations=EV_ITERS)
 
 
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return katz_centrality(
+        part_graph(spark, sf_dir), alpha=KATZ_ALPHA, iterations=KATZ_ITERS
+    )
+
+
 def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich_club(part_graph(spark, sf_dir), RICH_CLUB_KS)
 
@@ -1436,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "part_sequence_reciprocity": _q_part_sequence_reciprocity,
         "eigenvector_centrality": _q_eigenvector,
+        "katz_centrality": _q_katz,
         "rich_club": _q_rich_club,
         "triangle_delta": _q_triangle_delta,
         "link_prediction": _q_link_prediction,
@@ -2984,6 +3000,43 @@ FROM x{EV_ITERS}"""
     )
 
 
+def _katz_oracle_sql() -> str:
+    """Unrolled K-step attenuated walk sum (operators/eigenvector.py:
+    katz_centrality): integer walk iterates below 2^53, α^k as the
+    engine's own Python double literals, and the score chain written
+    left-to-right — ``x1*a1 + x2*a2 + …`` parses with exactly the
+    engine's acc_k = acc_{k-1} + x_k·α^k association — so the doubles
+    are bit-identical before the 6-dp round."""
+    ctes = [
+        _EDGES_CTE,
+        "k0 AS (SELECT v, CAST(1 AS DOUBLE) AS x FROM verts)",
+    ]
+    for k in range(1, KATZ_ITERS + 1):
+        ctes.append(
+            f"""k{k} AS (
+  SELECT b.v AS v, sum(p.x) AS x FROM bidir b JOIN k{k - 1} p ON b.u = p.v
+  GROUP BY b.v
+)"""
+        )
+    chain = " + ".join(
+        f"k{k}.x * {alpha_lit!r}"
+        for k, alpha_lit in (
+            (k, KATZ_ALPHA**k) for k in range(1, KATZ_ITERS + 1)
+        )
+    )
+    joins = " ".join(
+        f"JOIN k{k} ON k{k}.v = k1.v" for k in range(2, KATZ_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT k1.v AS vertex, k{KATZ_ITERS}.x AS walks,
+       round({chain}, {ROUND}) AS score_r
+FROM k1 {joins}"""
+    )
+
+
 def _rich_club_oracle_sql() -> str:
     """Suffix sums over the vertex-degree and per-edge-min-degree
     histograms; φ(k) NULL below |R_k| = 2, exactly as the engine."""
@@ -3358,6 +3411,7 @@ FROM bf, lw, rw""",
 )
 SELECT vertex, level FROM rn WHERE n >= 2""",
         "eigenvector_centrality": _eigenvector_oracle_sql(),
+        "katz_centrality": _katz_oracle_sql(),
         "rich_club": _rich_club_oracle_sql(),
         # incremental triangle maintenance: the oracle is the honest
         # full-recount difference (two id-ordered triangle joins); the

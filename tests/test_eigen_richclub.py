@@ -98,3 +98,84 @@ def test_rich_club_empty_threshold_is_null(spark):
     # k=1: only vertex 1 has degree 2 > 1 -> n_rich=1, phi NULL
     assert (rows[1].n_rich, rows[1].e_rich, rows[1].phi_r) == (1, 0, None)
     assert (rows[99].n_rich, rows[99].e_rich, rows[99].phi_r) == (0, 0, None)
+
+
+def _py_katz(pairs, alpha, iterations):
+    """Twin of katz_centrality: exact integer walks, float acc in the
+    engine's association order (acc_k = acc_{k-1} + x_k * alpha**k)."""
+    arr, n = relabel(pairs)
+    A = np.zeros((n, n), dtype=object)
+    A[arr[:, 0], arr[:, 1]] = 1
+    A[arr[:, 1], arr[:, 0]] = 1
+    x = np.ones(n, dtype=object)
+    acc = [0.0] * n
+    for k in range(1, iterations + 1):
+        x = A @ x
+        a_k = alpha**k
+        for i in range(n):
+            acc[i] = acc[i] + float(x[i]) * a_k
+    return x, acc
+
+
+def test_katz_matches_python_twin(spark):
+    from paralleltrianglecounting_spark.operators.eigenvector import (
+        katz_centrality,
+    )
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    ids = sorted({v for e in pairs for v in e})
+    x, acc = _py_katz(pairs, 0.05, 4)
+    got = {r.vertex: (r.walks, r.score_r) for r in
+           katz_centrality(edges, alpha=0.05, iterations=4).collect()}
+    assert set(got) == set(ids)
+    import math
+
+    def half_up(val, dp=6):  # Spark/DuckDB round() is HALF_UP, not banker's
+        s = -1.0 if val < 0 else 1.0
+        return s * math.floor(abs(val) * 10**dp + 0.5) / 10**dp
+
+    for i, v in enumerate(ids):
+        assert got[v][0] == float(x[i])
+        # the engine rounds the bit-identical double at 6 dp
+        assert got[v][1] == half_up(acc[i])
+
+
+def test_katz_one_hop_is_scaled_degree(spark):
+    from paralleltrianglecounting_spark.operators.eigenvector import (
+        katz_centrality,
+    )
+
+    # path 0-1-2: walks_1 = degree, so K=1 katz = alpha * degree
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.vertex: (r.walks, r.score_r) for r in
+           katz_centrality(edges, alpha=0.1, iterations=1).collect()}
+    assert got == {0: (1.0, 0.1), 1: (2.0, 0.2), 2: (1.0, 0.1)}
+
+
+def test_katz_overflow_guard_and_validation(spark):
+    from paralleltrianglecounting_spark.operators.eigenvector import (
+        katz_centrality,
+    )
+
+    pairs = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with pytest.raises(RuntimeError, match="2\\^53"):
+        katz_centrality(edges, alpha=0.05, iterations=20)
+    with pytest.raises(ValueError, match="alpha"):
+        katz_centrality(edges, alpha=1.5)
+    with pytest.raises(ValueError, match="iterations"):
+        katz_centrality(edges, iterations=0)
+
+
+def test_katz_deterministic_across_parallelism(spark):
+    from paralleltrianglecounting_spark.operators.eigenvector import (
+        katz_centrality,
+    )
+
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    one = {(r.vertex, r.walks, r.score_r) for r in
+           katz_centrality(edges.coalesce(1), iterations=3).collect()}
+    many = {(r.vertex, r.walks, r.score_r) for r in
+            katz_centrality(edges.repartition(16), iterations=3).collect()}
+    assert one == many
