@@ -150,7 +150,10 @@ from paralleltrianglecounting_spark.operators.stats import (
     sliding_window_counts,
 )
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
-from paralleltrianglecounting_spark.operators.bipartite import bipartite_motifs
+from paralleltrianglecounting_spark.operators.bipartite import (
+    bipartite_motifs,
+    projection_cost,
+)
 from paralleltrianglecounting_spark.operators.dag import topological_levels
 from paralleltrianglecounting_spark.operators.pagerank import directed_pagerank
 from paralleltrianglecounting_spark.operators.text import bm25_search, chunk_documents
@@ -914,6 +917,13 @@ def _q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_motifs(li, "l_orderkey", "l_partkey")
 
 
+def _q_projection_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return projection_cost(li, "l_orderkey", "l_partkey")
+
+
 def _q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topological_levels(order_chain_digraph(spark, sf_dir))
 
@@ -1438,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": _q_greedy_coloring,
         "densest_subgraph": _q_densest_subgraph,
         "butterfly_count": _q_butterfly_count,
+        "projection_cost": _q_projection_cost,
         "topo_levels": _q_topo_levels,
         "doc_chunks": _q_doc_chunks,
         "bm25_search": _q_bm25_search,
@@ -3396,6 +3407,18 @@ rw AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS right_wedges,
               count(*)::BIGINT AS entities FROM ed)
 SELECT butterflies, left_wedges, right_wedges, containers, entities
 FROM bf, lw, rw""",
+        # projection-cost audit: floor(log2 d) via length(bin(d)) - 1 —
+        # integer/string ops only (a float log2 at an exact power of
+        # two is an engine lottery); all sums BIGINT-exact
+        "projection_cost": """WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS e FROM lineitem
+),
+cdeg AS (SELECT c, count(*)::BIGINT AS d FROM pairs GROUP BY c)
+SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS bucket,
+       count(*)::BIGINT AS containers,
+       sum(d)::BIGINT AS incidences,
+       sum(d * (d - 1) // 2)::BIGINT AS proj_pairs
+FROM cdeg GROUP BY 1""",
         # the order-chain digraph is a disjoint union of directed paths,
         # so longest-path layering has the closed form level = position
         # in the chain — an INDEPENDENT derivation of what the engine

@@ -33,7 +33,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bipartite_motifs"]
+__all__ = ["bipartite_motifs", "projection_cost"]
+
+
+def projection_cost(
+    incidence: DataFrame, container: str, entity: str
+) -> DataFrame:
+    """Projection-cost audit: per log2 container-size bucket,
+    [bucket, containers, incidences, proj_pairs] — the query a 100 TB
+    pipeline runs BEFORE deciding projection vs projection-free
+    (bipartite_components) and before picking ``max_container_size``:
+    ``proj_pairs = Σ C(d, 2)`` per bucket is exactly the number of
+    co-occurrence pairs that bucket's containers would emit, so the
+    quadratic hub tail is visible (and cap-able) ahead of time instead
+    of discovered as a dead executor.
+
+    Engine-portability: bucket = floor(log2(d)) computed as
+    ``length(bin(d)) - 1`` — integer/string ops only, identical in
+    Spark and DuckDB (a float log2 at an exact power of two is an
+    engine lottery). All other columns are LONG arithmetic
+    (``d*(d-1) div 2`` is exact where a double sum silently degrades
+    past 2^53). Cost: one distinct + one count agg + one 2-level
+    reaggregate — linear, two shuffles, no joins."""
+    pairs = incidence.select(
+        F.col(container).alias("_c"), F.col(entity).alias("_e")
+    ).distinct()
+    cdeg = pairs.groupBy("_c").agg(F.count("*").alias("d"))
+    return (
+        cdeg.select(
+            (F.length(F.bin(F.col("d"))) - F.lit(1))
+            .cast("int")
+            .alias("bucket"),
+            "d",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("containers"),
+            F.sum("d").alias("incidences"),
+            F.sum(F.expr("d * (d - 1L) div 2")).alias("proj_pairs"),
+        )
+    )
 
 
 def bipartite_motifs(

@@ -235,3 +235,73 @@ def test_chunks_param_validation(spark):
         chunk_documents(docs, chunk_size=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+# ---------------------------------------------------------------- projection_cost
+
+
+def _brute_projection_cost(inc):
+    from collections import defaultdict
+
+    cdeg = defaultdict(int)
+    for c, e in set(inc):
+        cdeg[c] += 1
+    buckets = defaultdict(lambda: [0, 0, 0])
+    for d in cdeg.values():
+        b = d.bit_length() - 1  # floor(log2 d)
+        buckets[b][0] += 1
+        buckets[b][1] += d
+        buckets[b][2] += d * (d - 1) // 2
+    return {b: tuple(v) for b, v in buckets.items()}
+
+
+def test_projection_cost_matches_brute(spark):
+    import random
+
+    from paralleltrianglecounting_spark.operators.bipartite import (
+        projection_cost,
+    )
+
+    rng = random.Random(11)
+    inc = [(rng.randrange(25), rng.randrange(60)) for _ in range(300)]
+    got = {
+        r.bucket: (r.containers, r.incidences, r.proj_pairs)
+        for r in projection_cost(_inc_df(spark, inc), "c", "e").collect()
+    }
+    assert got == _brute_projection_cost(inc)
+
+
+def test_projection_cost_totals_match_motifs(spark):
+    """Σ proj_pairs over buckets == left_wedges from bipartite_motifs
+    (both count the projection's pre-dedup pair emissions), and
+    Σ containers/incidences match the motif scalars."""
+    import random
+
+    from paralleltrianglecounting_spark.operators.bipartite import (
+        projection_cost,
+    )
+
+    rng = random.Random(3)
+    inc = [(rng.randrange(15), rng.randrange(40)) for _ in range(200)]
+    pc = projection_cost(_inc_df(spark, inc), "c", "e").collect()
+    m = bipartite_motifs(_inc_df(spark, inc), "c", "e").collect()[0]
+    assert sum(r.proj_pairs for r in pc) == m.left_wedges
+    assert sum(r.containers for r in pc) == m.containers
+    # duplicate rows in the raw incidence are ignored (distinct first)
+    dup = projection_cost(_inc_df(spark, inc + inc), "c", "e").collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, pc))
+
+
+def test_projection_cost_hub_bucket_visible(spark):
+    """A single hub container lands alone in the top bucket with its
+    quadratic pair count — the signal the audit exists to surface."""
+    from paralleltrianglecounting_spark.operators.bipartite import (
+        projection_cost,
+    )
+
+    inc = [("hub", e) for e in range(64)] + [("tiny", 0), ("tiny", 1)]
+    got = {
+        r.bucket: (r.containers, r.incidences, r.proj_pairs)
+        for r in projection_cost(_inc_df(spark, inc), "c", "e").collect()
+    }
+    assert got == {6: (1, 64, 64 * 63 // 2), 1: (1, 2, 1)}
