@@ -157,7 +157,9 @@ from paralleltrianglecounting_spark.operators.bipartite import (
 from paralleltrianglecounting_spark.operators.dag import topological_levels
 from paralleltrianglecounting_spark.operators.pagerank import directed_pagerank
 from paralleltrianglecounting_spark.operators.text import bm25_search, chunk_documents
+from paralleltrianglecounting_spark.operators.bowtie import bowtie_structure
 from paralleltrianglecounting_spark.sources.edges import (
+    order_bowtie_digraph,
     order_chain_digraph,
     order_cycle_digraph,
     order_chain_graph,
@@ -368,6 +370,11 @@ TRUSS_UNROLL = 27
 # paths (trim fodder). ~1/3 of customers are over the threshold at
 # every sf (order counts are scale-free per customer in TPC-H)
 SCC_MIN_CYCLE = 12
+# bowtie: cycle over chain positions (HEAD+1 .. n-TAIL) so the census
+# has nonempty IN/OUT sides and a closed-form oracle (see
+# sources/edges.py:order_bowtie_digraph)
+BOWTIE_HEAD = 3
+BOWTIE_TAIL = 3
 # single-linkage cut at the weakest tie strength: weight 1 = "shared
 # exactly one order" — the noisiest co-occurrence links, so the cut
 # yields a non-trivial dendrogram level (neither all-singletons nor
@@ -960,6 +967,18 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bowtie_structure(
+        order_bowtie_digraph(
+            spark,
+            sf_dir,
+            min_cycle=SCC_MIN_CYCLE,
+            head=BOWTIE_HEAD,
+            tail=BOWTIE_TAIL,
+        )
+    )
+
+
 def _q_bipartite_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
@@ -1456,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "anf_bits": _q_anf_bits,
         "bipartite_components": _q_bipartite_components,
+        "bowtie_structure": _q_bowtie,
         "truss_numbers": _q_truss_numbers,
         "scc": _q_scc,
         "condensation": _q_condensation,
@@ -3011,6 +3031,41 @@ FROM x{EV_ITERS}"""
     )
 
 
+def _bowtie_oracle_sql() -> str:
+    """INDEPENDENT closed form of the Broder census on the bowtie gate
+    graph (sources/edges.py:order_bowtie_digraph): per cycle customer
+    the chain positions head+1..n-tail are the SCC, 1..head the IN
+    path, n-tail+1..n the OUT path; the largest such cycle (ties to
+    the smallest member orderkey — the engine's (size, min-id) SCC
+    tie-break) is the CORE; every other chain is its own weak
+    component, hence DISCONNECTED. Row_number + count windows only —
+    the oracle never replays any iteration."""
+    mc, h, t = SCC_MIN_CYCLE, BOWTIE_HEAD, BOWTIE_TAIL
+    return f"""WITH rn AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS v, o_custkey AS c,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS p,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+),
+verts AS (SELECT * FROM rn WHERE n >= 2),
+core_members AS (
+  SELECT c, v FROM verts WHERE n >= {mc} AND p > {h} AND p <= n - {t}
+),
+giant AS (
+  SELECT c FROM core_members GROUP BY c
+  ORDER BY count(*) DESC, min(v) ASC LIMIT 1
+)
+SELECT e.v AS vertex,
+  CASE WHEN e.c IN (SELECT c FROM giant) THEN
+     CASE WHEN e.p <= {h} THEN 'IN'
+          WHEN e.p > e.n - {t} THEN 'OUT'
+          ELSE 'CORE' END
+  ELSE 'DISCONNECTED' END AS region
+FROM verts e"""
+
+
 def _katz_oracle_sql() -> str:
     """Unrolled K-step attenuated walk sum (operators/eigenvector.py:
     katz_centrality): integer walk iterates below 2^53, α^k as the
@@ -3329,6 +3384,7 @@ FROM reach WHERE w != u GROUP BY u""",
         "directed_pagerank": _directed_pagerank_oracle_sql(),
         "core_numbers": _coreness_oracle_sql(),
         "bipartite_components": _bipartite_cc_oracle_sql(),
+        "bowtie_structure": _bowtie_oracle_sql(),
         "truss_numbers": _truss_numbers_oracle_sql(),
         "anf_bits": _anf_bits_oracle_sql(),
         # SCC on the order-cycle digraph has an INDEPENDENT closed form

@@ -53,6 +53,7 @@ def bfs_distances(
     max_hops: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    directed: bool = False,
 ) -> DataFrame:
     """[vertex, dist] — min hops from any seed, for every vertex within
     ``max_hops`` of the seed set (seeds themselves at dist 0).
@@ -60,9 +61,11 @@ def bfs_distances(
     ``seeds``: a list of vertex ids or a DataFrame with a ``vertex``
     column. Seed ids not present in the edge table still appear at
     dist 0 (a seed is trivially reachable from itself) but expand to
-    nothing.
-    """
-    return bfs_run(edges, seeds, max_hops, checkpoint_dir, resume).state
+    nothing. ``directed=True`` follows edges src→dst only (forward
+    reachability; pass reversed edges for backward)."""
+    return bfs_run(
+        edges, seeds, max_hops, checkpoint_dir, resume, directed
+    ).state
 
 
 def bfs_run(
@@ -71,6 +74,7 @@ def bfs_run(
     max_hops: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    directed: bool = False,
 ) -> SuperstepResult:
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
@@ -83,9 +87,16 @@ def bfs_run(
         ).distinct()
 
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        ).distinct()
+        if directed
+        else bidirected(edges)
+    )
     topo = (
-        bidirected(edges)
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        base.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .repartition(n_parts, "u")
         .persist()
     )
@@ -116,6 +127,7 @@ def bfs_run(
             table_identity(edges.select("src", "dst"), "src", "dst", tag="edges")
             + "|"
             + table_identity(seed_df, "vertex", tag="seeds")
+            + ("|directed" if directed else "")
         )
         # max_hops is deliberately NOT part of the identity: resuming
         # with a larger cap from a capped run's checkpoints is the

@@ -244,6 +244,60 @@ def order_cycle_digraph(
     return chain.unionByName(back)
 
 
+def order_bowtie_digraph(
+    spark, sf_dir: str, min_cycle: int = 12, head: int = 3, tail: int = 3
+) -> DataFrame:
+    """:func:`order_chain_digraph` plus a back edge closing only the
+    MIDDLE of the chain — position ``n - tail`` → position
+    ``head + 1`` (same (o_orderdate, o_orderkey) succession) for every
+    customer with at least ``min_cycle`` orders — the bowtie gate
+    graph. Structure by construction, per cycle customer:
+
+    - positions ``head+1 .. n-tail`` form one directed cycle (the SCC,
+      length ``n - head - tail`` ≥ ``min_cycle - head - tail``);
+    - positions ``1 .. head`` are a path INTO the cycle (IN side);
+    - positions ``n-tail+1 .. n`` are a path OUT of it (OUT side);
+    - path customers (2..min_cycle-1 orders) stay pure chains.
+
+    So the Broder census relative to the LARGEST such cycle has an
+    INDEPENDENT closed form — row_number + count windows, no iteration
+    — which is what the ``bowtie_structure`` gate oracle uses."""
+    from pyspark.sql.window import Window
+
+    if head < 1 or tail < 1 or min_cycle <= head + tail + 1:
+        raise ValueError(
+            "order_bowtie_digraph: need head, tail >= 1 and "
+            "min_cycle > head + tail + 1"
+        )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pos = o.select(
+        F.col("o_orderkey").cast("long").alias("v"),
+        F.col("o_custkey").alias("c"),
+        F.row_number().over(w).alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+    chain = o.select(
+        F.col("o_orderkey").cast("long").alias("src"),
+        F.lead("o_orderkey").over(w).cast("long").alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    cyc = pos.where(F.col("n") >= min_cycle)
+    back = (
+        cyc.where(F.col("p") == F.col("n") - F.lit(tail))
+        .select("c", F.col("v").alias("src"))
+        .join(
+            cyc.where(F.col("p") == F.lit(head + 1)).select(
+                "c", F.col("v").alias("dst")
+            ),
+            "c",
+        )
+        .select("src", "dst")
+    )
+    return chain.unionByName(back)
+
+
 def replicated(edges: DataFrame, copies: int, offset: int = 1 << 32) -> DataFrame:
     """Disjoint union of ``copies`` isomorphic copies of the graph,
     vertex ids shifted by ``k * offset`` per copy — the deterministic
