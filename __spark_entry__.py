@@ -65,6 +65,7 @@ from paralleltrianglecounting_spark.operators.labelprop import (
 from paralleltrianglecounting_spark.operators.pagerank import (
     pagerank,
     personalized_pagerank,
+    spam_mass,
     weighted_pagerank,
 )
 from paralleltrianglecounting_spark.operators.cliques import k4_count
@@ -402,11 +403,11 @@ N2V_BASE = 4
 SPLIT_WEIGHTS = (80, 10, 10)
 
 
-def _pagerank_oracle_sql() -> str:
-    """Power iteration unrolled to PAGERANK_ITERS chained CTEs."""
+def _pr_chain_ctes() -> list[str]:
+    """The unrolled plain-PageRank CTE chain (pr0..prN), shared by the
+    pagerank and spam_mass oracles."""
     d = PAGERANK_DAMPING
     ctes = [
-        _EDGES_CTE,
         "n AS (SELECT count(*) AS cnt FROM verts)",
         "pr0 AS (SELECT v, 1.0 / (SELECT cnt FROM n) AS rank FROM verts)",
     ]
@@ -421,9 +422,14 @@ def _pagerank_oracle_sql() -> str:
   GROUP BY b.v
 )"""
         )
+    return ctes
+
+
+def _pagerank_oracle_sql() -> str:
+    """Power iteration unrolled to PAGERANK_ITERS chained CTEs."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join([_EDGES_CTE] + _pr_chain_ctes())
         + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM pr{PAGERANK_ITERS}"
     )
 
@@ -547,12 +553,11 @@ FROM h{n} h JOIN a{n} a ON a.v = h.v"""
     )
 
 
-def _ppr_oracle_sql() -> str:
-    """Personalized power iteration unrolled to PAGERANK_ITERS CTEs;
-    reset mass 1/PPR_SEEDS on the PPR_SEEDS smallest vertex ids."""
+def _ppr_chain_ctes() -> list[str]:
+    """The unrolled personalized-PageRank CTE chain (seeds, reset,
+    ppr0..pprN), shared by the PPR and spam_mass oracles."""
     d = PAGERANK_DAMPING
     ctes = [
-        _EDGES_CTE,
         f"seeds AS (SELECT v FROM verts ORDER BY v LIMIT {PPR_SEEDS})",
         f"""reset AS (
   SELECT verts.v AS v,
@@ -574,10 +579,34 @@ def _ppr_oracle_sql() -> str:
   ) m JOIN reset r0 ON r0.v = m.v
 )"""
         )
+    return ctes
+
+
+def _ppr_oracle_sql() -> str:
+    """Personalized power iteration unrolled to PAGERANK_ITERS CTEs;
+    reset mass 1/PPR_SEEDS on the PPR_SEEDS smallest vertex ids."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join([_EDGES_CTE] + _ppr_chain_ctes())
         + f"\nSELECT v AS vertex, round(rank, {ROUND}) AS rank_r FROM ppr{PAGERANK_ITERS}"
+    )
+
+
+def _spam_mass_oracle_sql() -> str:
+    """TrustRank residual: both unrolled rank chains over the shared
+    edge CTEs, joined once; the mass expression reads exactly as the
+    engine's ``(rank - trusted)/rank`` — both operands engine-exact
+    doubles (their own gates prove it), one fixed association order."""
+    n = PAGERANK_ITERS
+    return (
+        "WITH "
+        + ",\n".join([_EDGES_CTE] + _pr_chain_ctes() + _ppr_chain_ctes())
+        + f"""
+SELECT p.v AS vertex,
+       round(p.rank, {ROUND}) AS rank_r,
+       round(t.rank, {ROUND}) AS trusted_r,
+       round((p.rank - t.rank) / p.rank, {ROUND}) AS mass_r
+FROM pr{n} p JOIN ppr{n} t ON t.v = p.v"""
     )
 
 
@@ -811,6 +840,22 @@ def _q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seeded_label_propagation(
         edges, seeds, iterations=SEEDED_LPA_ITERS, detect_stability=False
+    )
+
+
+def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = part_graph(spark, sf_dir)
+    seeds = (
+        _degrees(edges).select("vertex").orderBy("vertex").limit(PPR_SEEDS)
+    )
+    sm = spam_mass(
+        edges, seeds, damping=PAGERANK_DAMPING, iterations=PAGERANK_ITERS
+    )
+    return sm.select(
+        "vertex",
+        F.round("rank", ROUND).alias("rank_r"),
+        F.round("trusted_rank", ROUND).alias("trusted_r"),
+        F.round("mass", ROUND).alias("mass_r"),
     )
 
 
@@ -1446,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_net": _q_ego_net,
         "pagerank_salted": _q_pagerank_salted,
         "personalized_pagerank": _q_personalized_pagerank,
+        "spam_mass": _q_spam_mass,
         "personalized_pagerank_salted": _q_personalized_pagerank_salted,
         "k_core": _q_k_core,
         "k_truss": _q_k_truss,
@@ -3239,6 +3285,7 @@ WHERE EXISTS (SELECT 1 FROM ball WHERE ball.vertex = e.src)
   AND EXISTS (SELECT 1 FROM ball WHERE ball.vertex = e.dst)""",
         "pagerank_salted": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
+        "spam_mass": _spam_mass_oracle_sql(),
         "personalized_pagerank_salted": _ppr_oracle_sql(),
         "k_core": _kcore_oracle_sql(),
         "k_truss": _ktruss_oracle_sql(),

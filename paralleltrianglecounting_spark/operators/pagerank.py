@@ -202,6 +202,45 @@ def personalized_pagerank(
     ).state
 
 
+def spam_mass(
+    edges: DataFrame,
+    seeds,
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> DataFrame:
+    """[vertex, rank, trusted_rank, mass] — relative spam mass:
+    ``(pagerank − trustrank) / pagerank``, where trustrank is PageRank
+    personalized to a trusted seed set (Gyöngyi–Garcia-Molina–Pedersen,
+    "Combating web spam with TrustRank", VLDB 2004; the residual mass
+    form of Gyöngyi et al., "Link spam detection based on mass
+    estimation", VLDB 2006). Mass near 1 = the vertex's rank arrives
+    almost entirely through paths that bypass every trusted page — the
+    classic link-spam signal.
+
+    Pure composition of :func:`pagerank` and
+    :func:`personalized_pagerank` (two independent superstep runs over
+    the same cached topology) plus one |V|-row join and one arithmetic
+    expression — the expression is written in a single fixed
+    association order, so with both rank vectors engine-exact the mass
+    is too. Off-graph seeds (which PPR keeps at their teleport share)
+    have no PageRank and are excluded; pagerank ≥ (1−d)/|V| > 0, so
+    the division is total."""
+    pr = pagerank(edges, damping=damping, iterations=iterations)
+    tr = personalized_pagerank(
+        edges, seeds, damping=damping, iterations=iterations
+    )
+    return pr.join(
+        tr.select("vertex", F.col("rank").alias("trusted_rank")), "vertex"
+    ).select(
+        "vertex",
+        "rank",
+        "trusted_rank",
+        (
+            (F.col("rank") - F.col("trusted_rank")) / F.col("rank")
+        ).alias("mass"),
+    )
+
+
 def personalized_pagerank_run(
     edges: DataFrame,
     seeds,

@@ -690,3 +690,33 @@ def test_seeded_lpa_clamps_and_waves(spark):
     # (2<-100, 3<-200), iter3 re-votes 2 and 3 with both neighbors
     # labeled -> each ties 1-1 and takes the smaller label, 100
     assert three == {0: 100, 1: 100, 2: 100, 3: 100, 4: 200, 5: 200}
+
+
+def test_spam_mass_matches_twin_and_semantics(spark):
+    from paralleltrianglecounting_spark.operators.pagerank import spam_mass
+    from tests.oracles import (
+        pagerank_oracle,
+        personalized_pagerank_oracle,
+    )
+
+    edges = planted_triangles(spark, num_nodes=120, num_triangles=60, seed=31).cache()
+    local = _local_edges(edges)
+    seeds = sorted({v for e in local for v in e})[:6]
+    pr = pagerank_oracle(local, damping=0.85, iterations=10)
+    tr = personalized_pagerank_oracle(local, seeds, damping=0.85, iterations=10)
+    got = {
+        r.vertex: (r.rank, r.trusted_rank, r.mass)
+        for r in spam_mass(edges, seeds, iterations=10).collect()
+    }
+    assert set(got) == set(pr)
+    for v in pr:
+        rank, trusted, mass = got[v]
+        assert rank == pytest.approx(pr[v], abs=1e-9)
+        assert trusted == pytest.approx(tr[v], abs=1e-9)
+        assert mass == pytest.approx((pr[v] - tr[v]) / pr[v], abs=1e-9)
+    # trusted seeds get negative/low mass; the vertex FARTHEST from the
+    # trust (max mass) must be a non-seed
+    worst = max(got, key=lambda v: got[v][2])
+    assert worst not in seeds
+    # mass is bounded above by 1 (trustrank is non-negative)
+    assert all(m <= 1.0 + 1e-12 for _, _, m in got.values())
