@@ -144,11 +144,17 @@ from paralleltrianglecounting_spark.operators.betweenness import (
 )
 from paralleltrianglecounting_spark.operators.sssp import sssp
 from paralleltrianglecounting_spark.operators.stats import (
+    event_funnel,
     event_transitions,
     group_quantiles,
     rollup_totals,
     sessionize,
     sliding_window_counts,
+)
+from paralleltrianglecounting_spark.operators.bpe import bpe_pair_counts
+from paralleltrianglecounting_spark.operators.text import (
+    inverted_index,
+    skipgram_pairs,
 )
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
 from paralleltrianglecounting_spark.operators.bipartite import (
@@ -386,6 +392,16 @@ SEEDED_LPA_K = 8
 SEEDED_LPA_ITERS = 3
 PMI_K = 20
 PMI_MIN_COUNT = 5
+# blocked postings: small block so the blocking machinery does real
+# work at the gate tiers (df up to |docs| -> hundreds of blocks/term)
+INVIDX_BLOCK = 16
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_K = 100
+# view -> click -> purchase within a day: the 86400 s conversion window
+# discriminates at every tier (15/6/3 at sf0.001, 150/60/25 at sf0.01,
+# 1500/536/217 at sf0.1) — without it every long-lived user converts
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WITHIN_S = 86_400
 BC_SOURCES = 4
 BC_MAX_DEPTH = 3
 # deterministic random-walk corpus: one walk per seed (id % mod == 0),
@@ -1179,6 +1195,28 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(_docs(spark, sf_dir), block_size=INVIDX_BLOCK)
+
+
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skipgram_pairs(
+        _docs(spark, sf_dir), window=SKIPGRAM_WINDOW, k=SKIPGRAM_K
+    )
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_funnel(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        steps=FUNNEL_STEPS,
+        within_seconds=FUNNEL_WITHIN_S,
+    )
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_docs(spark, sf_dir), k=PMI_K, min_count=PMI_MIN_COUNT)
 
@@ -1548,6 +1586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pmi_collocations": _q_pmi_collocations,
         "repetition_scores": _q_repetition_scores,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "inverted_index": _q_inverted_index,
+        "skipgram_pairs": _q_skipgram_pairs,
+        "event_funnel": _q_event_funnel,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -1856,6 +1898,70 @@ JOIN cx dy ON dy.term = cxy.y
 CROSS JOIN totals
 ORDER BY pmi_r DESC, gram_x, gram_y
 LIMIT {PMI_K}""",
+        # BPE round 0: char symbols + end marker via sequence/substr
+        # (splitting on the empty pattern is not engine-portable), pair
+        # explode weighted by exact word frequency
+        "bpe_pair_counts": f"""WITH {_TOKS_CTE},
+wf AS (
+  SELECT word, count(*)::BIGINT AS wcount
+  FROM (SELECT unnest(toks) AS word FROM toks_t)
+  GROUP BY word
+),
+sym AS (
+  SELECT list_append(
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+           '</w>'
+         ) AS syms, wcount
+  FROM wf
+),
+pr AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, wcount
+  FROM (SELECT syms, wcount, unnest(range(1, len(syms))) AS i FROM sym)
+)
+SELECT l AS "left", r AS "right", sum(wcount)::BIGINT AS pair_cnt
+FROM pr GROUP BY l, r""",
+        # blocked postings: row_number over the per-term doc order cut
+        # into {INVIDX_BLOCK}-id blocks, df joined back on the term
+        "inverted_index": f"""WITH {_TOKS_CTE},
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks_t),
+blk AS (
+  SELECT term, doc_id,
+         ((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+            // {INVIDX_BLOCK})::BIGINT AS block_id
+  FROM tok
+),
+posting AS (
+  SELECT term, block_id, count(*)::BIGINT AS block_len,
+         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+  FROM blk GROUP BY term, block_id
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term)
+SELECT p.term, d.df, p.block_id, p.block_len, p.doc_ids
+FROM posting p JOIN dfreq d USING (term)""",
+        # word2vec pair extraction: per-position +-window contexts,
+        # exact counts, total (cnt DESC, center, context) top-k order
+        "skipgram_pairs": f"""WITH {_TOKS_CTE},
+pos AS (
+  SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+  FROM toks_t WHERE len(toks) >= 2
+),
+pairs AS (
+  SELECT toks[i] AS center, toks[j] AS context
+  FROM (
+    SELECT toks, i,
+           unnest(range(greatest(i - {SKIPGRAM_WINDOW}, 1),
+                        least(i + {SKIPGRAM_WINDOW}, len(toks)) + 1)) AS j
+    FROM pos
+  )
+  WHERE j != i
+),
+counted AS (
+  SELECT center, context, count(*)::BIGINT AS pair_cnt
+  FROM pairs GROUP BY center, context
+)
+SELECT center, context, pair_cnt
+FROM counted ORDER BY pair_cnt DESC, center, context
+LIMIT {SKIPGRAM_K}""",
         # Gopher-style repetition signals; bigram list via 1-based list
         # indexing (generate_series(1, 0) is empty in DuckDB — the
         # engine side guards Spark's descending sequence(1, 0) instead)
@@ -3474,6 +3580,29 @@ FROM rn WHERE nk IS NOT NULL AND n < {SCC_MIN_CYCLE}""",
 SELECT src_type, dst_type, count(*)::BIGINT AS n
 FROM nxt WHERE dst_type IS NOT NULL
 GROUP BY src_type, dst_type""",
+        # earliest-completion ordered funnel with a conversion window:
+        # step k counts users whose earliest step-(k-1) completion is
+        # followed by steps[k] strictly later and within the window
+        "event_funnel": f"""WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s0.t
+    AND epoch(e.ts) - epoch(s0.t) <= {FUNNEL_WITHIN_S}
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s1.t
+    AND epoch(e.ts) - epoch(s1.t) <= {FUNNEL_WITHIN_S}
+  GROUP BY e.user_id
+)
+SELECT 0::INT AS step_idx, '{FUNNEL_STEPS[0]}' AS step_type,
+       count(*)::BIGINT AS users_reached FROM s0
+UNION ALL SELECT 1::INT, '{FUNNEL_STEPS[1]}', count(*)::BIGINT FROM s1
+UNION ALL SELECT 2::INT, '{FUNNEL_STEPS[2]}', count(*)::BIGINT FROM s2""",
         "part_sequence_reciprocity": """WITH nxt AS (
   SELECT l_partkey AS src_type,
          lead(l_partkey) OVER (

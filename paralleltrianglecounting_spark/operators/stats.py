@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "event_funnel",
     "event_transitions",
     "group_quantiles",
     "rollup_totals",
@@ -202,3 +203,64 @@ def rollup_totals(
             F.round(dec.cast("double"), 2).alias("total_r"),
         )
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """[step_idx, step_type, users_reached] — the ordered funnel: a
+    user reaches step k iff they performed steps[k] STRICTLY AFTER the
+    earliest time they reached step k-1 (earliest-completion semantics
+    — the standard product-analytics funnel; strictly-after means a
+    same-timestamp pair never counts as ordered, identical in both
+    engines), and, when ``within_seconds`` is set, within that many
+    seconds of it (the conversion-window form — without it a
+    long-lived user eventually "converts" by accident and the funnel
+    degenerates to activity counting). users_reached is monotonically
+    non-increasing by construction.
+
+    Plan shape at 100 TB: step 0 is one type-filtered min(ts) hash agg
+    (the type predicate pushes to the scan); each later step is one
+    type-filtered scan joined to the previous step's per-user frontier
+    on the user key — k passes over the events source, each pruned to
+    one event type, with per-user state of exactly one timestamp. The
+    k single-row counts union into one k-row result; no windows, no
+    per-user event sorting."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    levels = [cur]
+    for s in steps[1:]:
+        ordered = F.col(ts_col) > F.col("_t")
+        if within_seconds is not None:
+            ordered = ordered & (
+                F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_t"))
+                <= F.lit(int(within_seconds))
+            )
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .join(cur, user_col)
+            .where(ordered)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        levels.append(nxt)
+        cur = nxt
+    out = None
+    for idx, (s, lv) in enumerate(zip(steps, levels)):
+        row = lv.agg(
+            F.lit(idx).cast("int").alias("step_idx"),
+            F.lit(s).alias("step_type"),
+            F.count(F.lit(1)).alias("users_reached"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

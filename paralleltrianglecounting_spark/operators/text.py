@@ -489,3 +489,104 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_r", "rank")
     )
+
+
+def inverted_index(docs: DataFrame, block_size: int = 128) -> DataFrame:
+    """[term, df, block_id, block_len, doc_ids] — the blocked postings
+    index: for every distinct term, the sorted list of doc_ids
+    containing it, cut into fixed-size blocks (block_id is 0-based over
+    the doc_id order) with the term's total document frequency on every
+    block row. ``doc_ids`` is the comma-joined sorted block — a string
+    so the gate hashes it portably.
+
+    Blocking is the load-bearing scale decision: a 100 TB corpus's
+    stopword posting list is billions of ids — one
+    ``collect_list`` per term would gather a monster list into a
+    single aggregation buffer. Blocks bound every output row to
+    ``block_size`` ids (the on-disk postings-block shape real indexes
+    use), and downstream intersection/skip reads stream block rows
+    instead of materializing whole lists.
+
+    Plan shape at 100 TB: one explode over distinct (doc, term) + one
+    per-term window (row_number over doc_id — THE postings sort; the
+    shuffle key is the term, so skew follows term frequency exactly as
+    in every production indexer) + one (term, block) hash agg; df joins
+    back on the same term key so the exchange is reusable. No Python,
+    no unblocked collect."""
+    from pyspark.sql import Window
+
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    blocked = tok.withColumn(
+        "block_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long"),
+    )
+    posting = blocked.groupBy("term", "block_id").agg(
+        F.count(F.lit(1)).alias("block_len"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("doc_id"))), ","
+        ).alias("doc_ids"),
+    )
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return posting.join(dfreq, "term").select(
+        "term", "df", "block_id", "block_len", "doc_ids"
+    )
+
+
+def skipgram_pairs(docs: DataFrame, window: int = 2, k: int = 100) -> DataFrame:
+    """[center, context, pair_cnt] — the corpus's top-k
+    (center, context) co-occurrence pairs within a ±``window`` token
+    window: the word2vec/GloVe training-pair extraction step
+    (Mikolov et al. 2013). Counts are exact with multiplicity; ordering
+    is (pair_cnt DESC, center ASC, context ASC) — total, so the top-k
+    is deterministic and engine-portable.
+
+    Plan shape at 100 TB: pair generation is a PER-ROW nested
+    transform/flatten (each position emits at most 2·window structs) —
+    never a positional self-join, whose pre-filter blowup is quadratic
+    in document length — followed by ONE map-side-combinable hash agg
+    and a TakeOrderedAndProject top-k (per-partition heads, no global
+    sort). Output is vocabulary², further cut to k."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    # Materialize the token array ONCE per row in its own projection
+    # before any element_at touches it: inlined into the pair
+    # expression, the split re-runs per element access (~2·window·n
+    # splits per doc — measured 8x slower at sf0.1). CollapseProject
+    # keeps the projections separate because the alias is referenced
+    # many times by a non-cheap expression. Pair structs are built
+    # BEFORE the explode, so the row that crosses the Generate is one
+    # pair, never the token array.
+    toked = docs.select(tokens(F.col("text")).alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    per_center = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.filter(
+                F.sequence(
+                    F.greatest(i - window, F.lit(1)),
+                    F.least(i + window, n),
+                ),
+                lambda j: j != i,
+            ),
+            lambda j: F.struct(
+                F.element_at(toks, i).alias("center"),
+                F.element_at(toks, j).alias("context"),
+            ),
+        ),
+    )
+    pairs = toked.select(F.explode(F.flatten(per_center)).alias("p"))
+    counted = pairs.groupBy(
+        F.col("p.center").alias("center"), F.col("p.context").alias("context")
+    ).agg(F.count(F.lit(1)).alias("pair_cnt"))
+    return counted.orderBy(
+        F.col("pair_cnt").desc(), F.col("center").asc(), F.col("context").asc()
+    ).limit(k)
