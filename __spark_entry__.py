@@ -52,6 +52,7 @@ from paralleltrianglecounting_spark.operators.scc import (
     strongly_connected_components,
 )
 from paralleltrianglecounting_spark.operators.linkpred import (
+    link_prediction_jaccard,
     link_prediction_topk,
     neighborhood_size,
     square_count,
@@ -154,6 +155,7 @@ from paralleltrianglecounting_spark.operators.stats import (
 from paralleltrianglecounting_spark.operators.bpe import bpe_pair_counts
 from paralleltrianglecounting_spark.operators.text import (
     inverted_index,
+    ngram_topk,
     skipgram_pairs,
 )
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
@@ -402,6 +404,9 @@ SKIPGRAM_K = 100
 # 1500/536/217 at sf0.1) — without it every long-lived user converts
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 86_400
+NGRAM_N = 3
+NGRAM_K = 50
+NGRAM_MIN_COUNT = 2
 BC_SOURCES = 4
 BC_MAX_DEPTH = 3
 # deterministic random-walk corpus: one walk per seed (id % mod == 0),
@@ -1209,6 +1214,16 @@ def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_topk(
+        _docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K, min_count=NGRAM_MIN_COUNT
+    )
+
+
+def _q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_prediction_jaccard(part_graph(spark, sf_dir), k=LINKPRED_K)
+
+
 def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(
         spark.read.parquet(f"{sf_dir}/events.parquet"),
@@ -1590,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "skipgram_pairs": _q_skipgram_pairs,
         "event_funnel": _q_event_funnel,
+        "ngram_topk": _q_ngram_topk,
+        "link_prediction_jaccard": _q_link_prediction_jaccard,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -1962,6 +1979,22 @@ counted AS (
 SELECT center, context, pair_cnt
 FROM counted ORDER BY pair_cnt DESC, center, context
 LIMIT {SKIPGRAM_K}""",
+        # top-k n-gram frequencies: list_slice is 1-based inclusive both
+        # ends, matching Spark's slice(toks, i, n); range end-exclusive
+        "ngram_topk": f"""WITH {_TOKS_CTE},
+g AS (
+  SELECT array_to_string(
+           list_slice(toks, i, i + {NGRAM_N} - 1), ' '
+         ) AS gram
+  FROM (
+    SELECT toks, unnest(range(1, len(toks) - {NGRAM_N} + 2)) AS i
+    FROM toks_t WHERE len(toks) >= {NGRAM_N}
+  )
+)
+SELECT gram, count(*)::BIGINT AS gram_cnt
+FROM g GROUP BY gram HAVING count(*) >= {NGRAM_MIN_COUNT}
+ORDER BY gram_cnt DESC, gram
+LIMIT {NGRAM_K}""",
         # Gopher-style repetition signals; bigram list via 1-based list
         # indexing (generate_series(1, 0) is empty in DuckDB — the
         # engine side guards Spark's descending sequence(1, 0) instead)
@@ -3508,6 +3541,25 @@ SELECT ne.u, ne.v,
        CAST(du.degree * dv.degree AS BIGINT) AS pref_attach
 FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
 ORDER BY adamic_adar_r DESC, ne.u, ne.v
+LIMIT {LINKPRED_K}""",
+        # Jaccard variant: same wedge-pair candidates; for a NON-edge
+        # the union is deg(u)+deg(v)-cn exactly (no -2 self-correction)
+        "link_prediction_jaccard": f"""WITH {_EDGES_CTE},
+wp AS (
+  SELECT b1.v AS u, b2.v AS v, count(*) AS cn
+  FROM bidir b1
+  JOIN bidir b2 ON b1.u = b2.u AND b1.v < b2.v
+  GROUP BY b1.v, b2.v
+),
+ne AS (
+  SELECT * FROM wp
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wp.u AND e.dst = wp.v)
+)
+SELECT ne.u, ne.v,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       round(cn / (du.degree + dv.degree - cn), {ROUND}) AS jaccard_r
+FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
+ORDER BY jaccard_r DESC, ne.u, ne.v
 LIMIT {LINKPRED_K}""",
         "hits": _hits_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},

@@ -211,3 +211,50 @@ def neighborhood_size(
     return reach.groupBy(F.col("u").alias("vertex")).agg(
         counter.cast("long").alias("ball")
     )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    k: int = 100,
+    max_apex_degree: int | None = None,
+) -> DataFrame:
+    """[u, v, common_neighbors, jaccard_r] — the k non-adjacent pairs
+    with the highest neighborhood Jaccard |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    (Liben-Nowell & Kleinberg's third classical score, complementing
+    the Adamic–Adar ranking of ``link_prediction_topk``; the two
+    rankings genuinely differ — Jaccard punishes high-degree endpoints
+    that AA rewards through many low-information shared hubs). For a
+    NON-edge, u ∉ N(v) and v ∉ N(u), so the union is exactly
+    deg(u) + deg(v) − λ with no self-correction (unlike
+    ``edge_jaccard``'s −2). λ ≥ 1 on every candidate, so the
+    denominator is positive.
+
+    Ordering runs on the 6-dp ROUNDED score with (u, v) tie-break —
+    the deterministic engine-portable frontier — executed as
+    TakeOrderedAndProject. Plan: the shared wedge-pair aggregate +
+    one left-anti join against the edge table + two broadcast-able
+    degree lookups; identical scale shape to the AA variant."""
+    wp = wedge_pair_counts(edges, max_apex_degree)
+    non_edges = wp.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    deg = degrees(edges)
+    du = deg.select(F.col("vertex").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("vertex").alias("v"), F.col("degree").alias("_dv"))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("codeg").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("codeg") / (F.col("_du") + F.col("_dv") - F.col("codeg")),
+                6,
+            ).alias("jaccard_r"),
+        )
+        .orderBy(F.desc("jaccard_r"), "u", "v")
+        .limit(k)
+    )

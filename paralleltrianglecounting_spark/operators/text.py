@@ -590,3 +590,40 @@ def skipgram_pairs(docs: DataFrame, window: int = 2, k: int = 100) -> DataFrame:
     return counted.orderBy(
         F.col("pair_cnt").desc(), F.col("center").asc(), F.col("context").asc()
     ).limit(k)
+
+
+def ngram_topk(
+    docs: DataFrame, n: int = 3, k: int = 50, min_count: int = 2
+) -> DataFrame:
+    """[gram, gram_cnt] — the corpus's k most frequent n-token grams
+    (space-joined), exact counts with multiplicity, grams below
+    ``min_count`` dropped, ordered (gram_cnt DESC, gram ASC) — a total
+    order, so the top-k frontier is deterministic and engine-portable.
+    The language-model-data primitive behind memorization audits,
+    boilerplate detection, and n-gram LM estimation (the PMI operator
+    ranks by association; this one ranks by raw frequency at any n).
+
+    Plan shape at 100 TB: gram generation is one per-row
+    transform/slice expression over the token array (materialized once
+    per row — the skipgram lesson), one explode, one
+    map-side-combinable hash agg, TakeOrderedAndProject top-k. No
+    joins, no windows, no Python."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = docs.select(tokens(F.col("text")).alias("_toks")).where(
+        F.size("_toks") >= n
+    )
+    toks = F.col("_toks")
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        toked.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_cnt"))
+        .where(F.col("gram_cnt") >= min_count)
+        .orderBy(F.col("gram_cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -293,3 +293,68 @@ def test_event_funnel_monotone_and_no_window(spark, sf_tiny):
     assert got == sorted(got, reverse=True)
     with pytest.raises(ValueError):
         event_funnel(ev, steps=())
+
+
+def test_ngram_topk_hand_and_twin(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.text import ngram_topk
+
+    got = {
+        (r["gram"], r["gram_cnt"])
+        for r in ngram_topk(
+            _docs(spark, ["a b c a b c", "a b"]), n=2, k=10, min_count=2
+        ).collect()
+    }
+    # bigrams: "a b" x3 (two in doc1, one in doc2), "b c" x2, "c a" x1 (cut)
+    assert got == {("a b", 3), ("b c", 2)}
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    twin: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - 2):
+            twin[" ".join(toks[i : i + 3])] += 1
+    want = sorted(
+        ((c, g) for g, c in twin.items() if c >= 2),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = [
+        (r["gram_cnt"], r["gram"])
+        for r in ngram_topk(docs, n=3, k=25, min_count=2).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[0], t[1])) == want
+    with pytest.raises(ValueError):
+        ngram_topk(docs, n=0)
+
+
+def test_link_prediction_jaccard_twin(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.linkpred import (
+        link_prediction_jaccard,
+    )
+    from paralleltrianglecounting_spark.sources.edges import part_graph
+
+    edges = part_graph(spark, sf_tiny)
+    erows = [(r.src, r.dst) for r in edges.collect()]
+    adj: dict[int, set[int]] = {}
+    for u, v in erows:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    eset = {(u, v) for u, v in erows}
+    cand: Counter = Counter()
+    for z, ns in adj.items():
+        nl = sorted(ns)
+        for i in range(len(nl)):
+            for j in range(i + 1, len(nl)):
+                cand[(nl[i], nl[j])] += 1
+    want = []
+    for (u, v), cn in cand.items():
+        if (u, v) in eset:
+            continue
+        jac = round(cn / (len(adj[u]) + len(adj[v]) - cn), 6)
+        want.append((u, v, cn, jac))
+    want.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = want[:30]
+    got = [tuple(r) for r in link_prediction_jaccard(edges, k=30).collect()]
+    assert got == want
+    # jaccard is a probability: every score in (0, 1]
+    assert all(0 < j <= 1 for _, _, _, j in got)
