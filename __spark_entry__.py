@@ -42,7 +42,7 @@ from paralleltrianglecounting_spark.operators.degrees import (
     degree_histogram,
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
-from paralleltrianglecounting_spark.operators.hits import hits
+from paralleltrianglecounting_spark.operators.hits import hits, salsa
 from paralleltrianglecounting_spark.operators.anf import neighborhood_bits
 from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
 from paralleltrianglecounting_spark.operators.ktruss import truss_numbers
@@ -407,6 +407,7 @@ FUNNEL_WITHIN_S = 86_400
 NGRAM_N = 3
 NGRAM_K = 50
 NGRAM_MIN_COUNT = 2
+SALSA_ITERS = 5
 BC_SOURCES = 4
 BC_MAX_DEPTH = 3
 # deterministic random-walk corpus: one walk per seed (id % mod == 0),
@@ -571,6 +572,70 @@ def _hits_oracle_sql() -> str:
 SELECT h.v AS vertex, round(h.hub, {ROUND}) AS hub_r,
        round(a.auth, {ROUND}) AS auth_r
 FROM h{n} h JOIN a{n} a ON a.v = h.v"""
+    )
+
+
+def _salsa_oracle_sql() -> str:
+    """SALSA unrolled: 2 MATERIALIZED CTEs per iteration (hub from
+    auth/indeg, auth from hub/outdeg) over the distinct part-succession
+    digraph; mass-conserving, so no normalization CTEs at all. The
+    returned hub is the hub view of the SETTLED auth vector (one extra
+    half-step), matching the engine's output contract."""
+    ctes = [
+        """nxt AS (
+  SELECT l_partkey AS s,
+         lead(l_partkey) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey
+         ) AS d
+  FROM lineitem
+)""",
+        """de AS MATERIALIZED (
+  SELECT DISTINCT s AS src, d AS dst FROM nxt
+  WHERE d IS NOT NULL AND s != d
+)""",
+        "odeg AS (SELECT src, count(*) AS od FROM de GROUP BY src)",
+        "ideg AS (SELECT dst, count(*) AS ideg_n FROM de GROUP BY dst)",
+        """sa0 AS (
+  SELECT dst AS v, 1.0 / (SELECT count(*) FROM ideg) AS auth FROM ideg
+)""",
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        ctes.append(
+            f"""sh{i} AS MATERIALIZED (
+  SELECT de.src AS v, sum(a.auth / g.ideg_n) AS hub
+  FROM de JOIN sa{i - 1} a ON de.dst = a.v JOIN ideg g ON g.dst = de.dst
+  GROUP BY de.src
+)"""
+        )
+        ctes.append(
+            f"""sa{i} AS MATERIALIZED (
+  SELECT de.dst AS v, sum(h.hub / g.od) AS auth
+  FROM de JOIN sh{i} h ON de.src = h.v JOIN odeg g ON g.src = de.src
+  GROUP BY de.dst
+)"""
+        )
+    n = SALSA_ITERS
+    ctes.append(
+        f"""shf AS MATERIALIZED (
+  SELECT de.src AS v, sum(a.auth / g.ideg_n) AS hub
+  FROM de JOIN sa{n} a ON de.dst = a.v JOIN ideg g ON g.dst = de.dst
+  GROUP BY de.src
+)"""
+    )
+    ctes.append(
+        "sverts AS (SELECT src AS v FROM de UNION SELECT dst FROM de)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT sverts.v AS vertex,
+       round(coalesce(h.hub, 0), {ROUND}) AS hub_r,
+       round(coalesce(a.auth, 0), {ROUND}) AS auth_r
+FROM sverts
+LEFT JOIN shf h ON h.v = sverts.v
+LEFT JOIN sa{n} a ON a.v = sverts.v"""
     )
 
 
@@ -1224,6 +1289,37 @@ def _q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_jaccard(part_graph(spark, sf_dir), k=LINKPRED_K)
 
 
+def _part_sequence_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part-succession directed edges, self-loops dropped —
+    the reciprocity gate's substrate as a reusable digraph (45k edges
+    at sf0.01 with real in/out-degree spread)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = event_transitions(
+        li,
+        user_col="l_orderkey",
+        type_col="l_partkey",
+        ts_col="l_linenumber",
+        id_col="l_partkey",
+        tiebreak_cols=("l_suppkey",),
+    )
+    return (
+        t.where(F.col("src_type") != F.col("dst_type"))
+        .select(
+            F.col("src_type").alias("src"), F.col("dst_type").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = salsa(_part_sequence_digraph(spark, sf_dir), iterations=SALSA_ITERS)
+    return out.select(
+        "vertex",
+        F.round("hub", ROUND).alias("hub_r"),
+        F.round("auth", ROUND).alias("auth_r"),
+    )
+
+
 def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(
         spark.read.parquet(f"{sf_dir}/events.parquet"),
@@ -1607,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "ngram_topk": _q_ngram_topk,
         "link_prediction_jaccard": _q_link_prediction_jaccard,
+        "salsa": _q_salsa,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3562,6 +3659,7 @@ FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
 ORDER BY jaccard_r DESC, ne.u, ne.v
 LIMIT {LINKPRED_K}""",
         "hits": _hits_oracle_sql(),
+        "salsa": _salsa_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w
