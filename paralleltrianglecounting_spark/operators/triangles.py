@@ -634,11 +634,15 @@ def _wedge_counts(edges: DataFrame, complete: bool = True) -> DataFrame:
     table twice and runs the inequality as a post-join filter, where
     the adjacency route shuffles |E| rows once and emits each wedge
     exactly once from the sorted array (rank order = array order).
-    Measured 2.0× at sf0.1 (14.6 s → 7.3 s), same 1,884,488 count; the
-    wedge volume itself (Σ C(|N⁺|, 2) ≤ E by orientation) is identical
-    either way and still crosses the semi-join shuffle — that part is
-    the strategy's honest cost and the reason 'auto' prefers it only
-    on wedge-sparse shapes.
+    Honest measurement (interleaved A/B, JIT-warmed, best-of-4 at
+    sf0.1): 6.78 s → 6.33 s (~7%) — the semi-join probe over the wedge
+    volume dominates either way, so halving the generation shuffle
+    moves the total modestly; cold-JIT first runs showed 2× because
+    the self-join plan pays more codegen. The wedge volume itself
+    (Σ C(|N⁺|, 2) ≤ E by orientation) is identical either way and
+    still crosses the semi-join shuffle — that part is the strategy's
+    honest cost and the reason 'auto' prefers it only on wedge-sparse
+    shapes.
 
     ``complete=True`` (the per-edge contract) left-joins the counts back
     onto the full oriented edge set so triangle-free edges report 0 —
