@@ -52,6 +52,7 @@ from paralleltrianglecounting_spark.operators.scc import (
     strongly_connected_components,
 )
 from paralleltrianglecounting_spark.operators.linkpred import (
+    co_citation_topk,
     link_prediction_jaccard,
     link_prediction_topk,
     neighborhood_size,
@@ -408,6 +409,7 @@ NGRAM_N = 3
 NGRAM_K = 50
 NGRAM_MIN_COUNT = 2
 SALSA_ITERS = 5
+COCIT_K = 100
 BC_SOURCES = 4
 BC_MAX_DEPTH = 3
 # deterministic random-walk corpus: one walk per seed (id % mod == 0),
@@ -573,6 +575,29 @@ SELECT h.v AS vertex, round(h.hub, {ROUND}) AS hub_r,
        round(a.auth, {ROUND}) AS auth_r
 FROM h{n} h JOIN a{n} a ON a.v = h.v"""
     )
+
+
+_PART_SEQ_DE = """nxt AS (
+  SELECT l_partkey AS s,
+         lead(l_partkey) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey
+         ) AS d
+  FROM lineitem
+),
+de AS MATERIALIZED (
+  SELECT DISTINCT s AS src, d AS dst FROM nxt
+  WHERE d IS NOT NULL AND s != d
+)"""
+
+
+def _cocitation_oracle_sql(apex: str, end: str) -> str:
+    return f"""WITH {_PART_SEQ_DE}
+SELECT a.{end} AS u, b.{end} AS v, count(*)::BIGINT AS strength
+FROM de a JOIN de b ON a.{apex} = b.{apex} AND a.{end} < b.{end}
+GROUP BY a.{end}, b.{end}
+ORDER BY strength DESC, u, v
+LIMIT {COCIT_K}"""
 
 
 def _salsa_oracle_sql() -> str:
@@ -1320,6 +1345,18 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return co_citation_topk(
+        _part_sequence_digraph(spark, sf_dir), k=COCIT_K, mode="cocitation"
+    )
+
+
+def _q_bibliographic_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return co_citation_topk(
+        _part_sequence_digraph(spark, sf_dir), k=COCIT_K, mode="coupling"
+    )
+
+
 def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(
         spark.read.parquet(f"{sf_dir}/events.parquet"),
@@ -1704,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _q_ngram_topk,
         "link_prediction_jaccard": _q_link_prediction_jaccard,
         "salsa": _q_salsa,
+        "co_citation": _q_co_citation,
+        "bibliographic_coupling": _q_bibliographic_coupling,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3660,6 +3699,8 @@ ORDER BY jaccard_r DESC, ne.u, ne.v
 LIMIT {LINKPRED_K}""",
         "hits": _hits_oracle_sql(),
         "salsa": _salsa_oracle_sql(),
+        "co_citation": _cocitation_oracle_sql("src", "dst"),
+        "bibliographic_coupling": _cocitation_oracle_sql("dst", "src"),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

@@ -258,3 +258,39 @@ def link_prediction_jaccard(
         .orderBy(F.desc("jaccard_r"), "u", "v")
         .limit(k)
     )
+
+
+def co_citation_topk(
+    dedges: DataFrame, k: int = 100, mode: str = "cocitation"
+) -> DataFrame:
+    """[u, v, strength] — the k strongest vertex pairs by co-citation
+    (number of shared IN-neighbors: pages that cite both — Small 1973)
+    or bibliographic coupling (shared OUT-neighbors: pages both cite —
+    Kessler 1963), the two classical directed-graph similarity signals
+    SALSA/HITS build on. ``u < v``; ordering (strength DESC, u, v) is
+    total, so the top-k frontier is deterministic.
+
+    Plan shape at 100 TB: one self-join of the directed edge table on
+    the shared endpoint (the apex) + one map-side-combinable hash agg
+    + TakeOrderedAndProject. The apex fan-out is the co-occurrence
+    projection's quadratic hub tail — on a web corpus the apex is a
+    page's out-link list (bounded by page size) for co-citation, so
+    the blowup is the benign direction; for coupling over hub
+    authorities cap the apex first (the projection_cost audit makes
+    the tail visible ahead of time)."""
+    if mode == "cocitation":
+        apex, end = "src", "dst"
+    elif mode == "coupling":
+        apex, end = "dst", "src"
+    else:
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    a = dedges.select(F.col(apex).alias("z"), F.col(end).alias("n"))
+    w1 = a.alias("w1")
+    w2 = a.alias("w2")
+    return (
+        w1.join(w2, (F.col("w1.z") == F.col("w2.z")) & (F.col("w1.n") < F.col("w2.n")))
+        .groupBy(F.col("w1.n").alias("u"), F.col("w2.n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .orderBy(F.col("strength").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(k)
+    )

@@ -168,9 +168,21 @@ def main() -> None:
             retuned[const] = {"sf001_constant": have, "this_tier": need}
 
     con = duckdb.connect()
+    absent_tables = []
     for t in TABLES:
+        # generated tiers (tools/gen_sf.py) materialize only the tables
+        # the selected queries read; a view over a missing parquet is
+        # skipped LOUDLY (recorded in the artifact) instead of failing
+        # the whole run — any query that does need it errors visibly.
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            absent_tables.append(t)
+            continue
+        # Spark writes a directory of part files; the driver tiers are
+        # single files — glob the directory form for DuckDB
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
     qs = entrymod.queries()
     oracles = dict(entrymod.oracle_sql())
@@ -191,6 +203,7 @@ def main() -> None:
         "cores": cores,
         "oracle_budget_sec": budget_s,
         "retuned_unrolls": retuned,
+        "absent_tables": absent_tables,
         "results": {},
     }
     n_ok = n_fail = n_timeout = 0
