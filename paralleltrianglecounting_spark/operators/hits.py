@@ -144,8 +144,8 @@ def salsa(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = vertices(edges).persist()
     if verts.count() == 0:
-        empty = spark.createDataFrame([], "vertex long, hub double, auth double")
-        return empty
+        verts.unpersist()
+        return spark.createDataFrame([], "vertex long, hub double, auth double")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
     topo = (
