@@ -43,6 +43,7 @@ from paralleltrianglecounting_spark.operators.degrees import (
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits, salsa
+from paralleltrianglecounting_spark.operators.motifs import triad_census
 from paralleltrianglecounting_spark.operators.anf import neighborhood_bits
 from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
 from paralleltrianglecounting_spark.operators.ktruss import truss_numbers
@@ -1357,6 +1358,55 @@ def _q_bibliographic_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triad_census(_part_sequence_digraph(spark, sf_dir))
+
+
+def _triad_census_oracle_sql() -> str:
+    """Closed-triad census over the part-succession digraph: fold each
+    arc pair into a 2-bit code on the canonical (lo, hi) support edge,
+    enumerate undirected triangles with the textbook 3-way self-join
+    (independent of the engine's rank-oriented kernel), classify with
+    the SAME code CASE the engine uses (the classification is the
+    shared contract; the enumeration strategy is not)."""
+    return f"""WITH {_PART_SEQ_DE},
+ce AS MATERIALIZED (
+  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+  FROM de GROUP BY 1, 2
+),
+tri AS (
+  SELECT ab.code AS a, bc.code AS b, ac.code AS c
+  FROM ce ab
+  JOIN ce bc ON bc.lo = ab.hi
+  JOIN ce ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+cls AS (
+  SELECT CASE
+    WHEN (a = 3)::INT + (b = 3)::INT + (c = 3)::INT = 3 THEN '300'
+    WHEN (a = 3)::INT + (b = 3)::INT + (c = 3)::INT = 2 THEN '210'
+    WHEN a = 3 THEN CASE (b = 2)::INT + (c = 2)::INT
+                    WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+    WHEN b = 3 THEN CASE (a = 1)::INT + (c = 1)::INT
+                    WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+    WHEN c = 3 THEN CASE (a = 2)::INT + (b = 1)::INT
+                    WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+    WHEN (a = 1 AND b = 1 AND c = 2) OR (a = 2 AND b = 2 AND c = 1)
+      THEN '030C'
+    ELSE '030T' END AS triad_class
+  FROM tri
+),
+uni(triad_class) AS (
+  VALUES ('030C'), ('030T'), ('120C'), ('120D'), ('120U'), ('210'), ('300')
+)
+SELECT u.triad_class, coalesce(s.cnt, 0)::BIGINT AS triads
+FROM uni u LEFT JOIN (
+  SELECT triad_class, count(*) AS cnt FROM cls GROUP BY 1
+) s USING (triad_class)
+ORDER BY u.triad_class"""
+
+
 def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(
         spark.read.parquet(f"{sf_dir}/events.parquet"),
@@ -1743,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": _q_salsa,
         "co_citation": _q_co_citation,
         "bibliographic_coupling": _q_bibliographic_coupling,
+        "triad_census": _q_triad_census,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3701,6 +3752,7 @@ LIMIT {LINKPRED_K}""",
         "salsa": _salsa_oracle_sql(),
         "co_citation": _cocitation_oracle_sql("src", "dst"),
         "bibliographic_coupling": _cocitation_oracle_sql("dst", "src"),
+        "triad_census": _triad_census_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w
