@@ -156,9 +156,11 @@ from paralleltrianglecounting_spark.operators.stats import (
 )
 from paralleltrianglecounting_spark.operators.bpe import bpe_pair_counts
 from paralleltrianglecounting_spark.operators.text import (
+    WINNOW_POS_BITS,
     inverted_index,
     ngram_topk,
     skipgram_pairs,
+    winnow_fingerprints,
 )
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
 from paralleltrianglecounting_spark.operators.bipartite import (
@@ -409,6 +411,8 @@ FUNNEL_WITHIN_S = 86_400
 NGRAM_N = 3
 NGRAM_K = 50
 NGRAM_MIN_COUNT = 2
+WINNOW_K = 4
+WINNOW_W = 5
 SALSA_ITERS = 5
 COCIT_K = 100
 BC_SOURCES = 4
@@ -1311,6 +1315,43 @@ def _q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W)
+
+
+def _winnow_oracle_sql() -> str:
+    """Winnowing (MOSS): same packed-key trick as the engine —
+    min(h32 * 2^24 + (2^24 - 1 - pos)) over the trailing-w window IS
+    rightmost-min-on-ties; full windows only, short docs contribute the
+    single winner of their whole sequence."""
+    m = 1 << WINNOW_POS_BITS
+    return f"""WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id, i::BIGINT AS pos,
+         (('0x' || substr(md5(array_to_string(
+              list_slice(toks, i, i + {WINNOW_K} - 1), ' ')), 1, 14)
+          )::BIGINT >> {WINNOW_POS_BITS}) AS h,
+         (len(toks) - {WINNOW_K} + 1)::BIGINT AS n_grams
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {WINNOW_K} + 2)) AS i
+        FROM toks_t WHERE len(toks) >= {WINNOW_K})
+),
+w AS (
+  SELECT doc_id, pos, n_grams,
+         min(h * {m} + ({m} - 1 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wk
+  FROM g
+),
+sel AS (
+  SELECT doc_id, wk FROM w
+  WHERE pos >= {WINNOW_W}
+     OR (n_grams < {WINNOW_W} AND pos = n_grams)
+)
+SELECT DISTINCT doc_id, ({m} - 1 - (wk % {m}))::BIGINT AS pos,
+       (wk // {m})::BIGINT AS fingerprint
+FROM sel"""
+
+
 def _q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_jaccard(part_graph(spark, sf_dir), k=LINKPRED_K)
 
@@ -1794,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_citation": _q_co_citation,
         "bibliographic_coupling": _q_bibliographic_coupling,
         "triad_census": _q_triad_census,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3753,6 +3795,7 @@ LIMIT {LINKPRED_K}""",
         "co_citation": _cocitation_oracle_sql("src", "dst"),
         "bibliographic_coupling": _cocitation_oracle_sql("dst", "src"),
         "triad_census": _triad_census_oracle_sql(),
+        "winnow_fingerprints": _winnow_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

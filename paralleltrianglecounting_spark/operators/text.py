@@ -627,3 +627,83 @@ def ngram_topk(
         .orderBy(F.col("gram_cnt").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+# winnowing: position field width inside the packed window key. 24 bits
+# caps a document at 2^24 - 1 = 16.7 M k-grams (far beyond any real
+# document); the fingerprint keeps the top 32 bits of hash56, so the
+# packed key h32 * 2^24 + (2^24 - 1 - pos) stays under 2^56 < int64.
+WINNOW_POS_BITS = 24
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """[doc_id, pos, fingerprint] — winnowing document fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm):
+    hash every k-token shingle, then in every window of ``w``
+    consecutive hashes select the minimum, rightmost on ties; the
+    distinct selected (position, hash) pairs are the fingerprint set.
+    Guarantees: any token run long enough to span a full window shares
+    at least one fingerprint between copies (the detection guarantee),
+    and density is ~2/(w+1) of grams. Documents with fewer than ``w``
+    grams contribute the single winner of their whole hash sequence;
+    documents with fewer than ``k`` tokens have no grams and vanish.
+
+    Rightmost-min-with-ties is engine-portable via ONE packed key:
+    ``h32 * 2^24 + (2^24 - 1 - pos)`` — minimizing the key minimizes
+    (hash, -pos) lexicographically, so plain ``min`` over the window
+    frame is the whole selection rule; no struct-valued arg-min needed
+    (DuckDB's min_by cannot order by a struct).
+
+    Plan shape at 100 TB: gram hashes are per-row array expressions
+    (one explode), selection is ONE window aggregate partitioned by
+    doc_id (partitions bounded by document length — never global),
+    then one distinct. Linear, two shuffles (window + distinct), no
+    joins, no Python."""
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    pos_mod = 1 << WINNOW_POS_BITS
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    toks = F.col("_toks")
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - k + 1),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    g = toked.select(
+        "doc_id",
+        (m - k + 1).cast("long").alias("n_grams"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.shiftright(hash56(F.col("gram")), WINNOW_POS_BITS).alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    key = F.col("h") * pos_mod + (F.lit(pos_mod - 1) - F.col("pos"))
+    sel = (
+        g.select(
+            "doc_id", "pos", "n_grams", F.min(key).over(frame).alias("wk")
+        )
+        .where(
+            (F.col("pos") >= w)
+            | ((F.col("n_grams") < w) & (F.col("pos") == F.col("n_grams")))
+        )
+        .select(
+            "doc_id",
+            # decode with bit ops: `/` would go through double (53-bit
+            # mantissa) and corrupt keys near 2^56
+            (F.lit(pos_mod - 1) - F.col("wk").bitwiseAND(pos_mod - 1)).alias("pos"),
+            F.shiftright(F.col("wk"), WINNOW_POS_BITS).alias("fingerprint"),
+        )
+        .distinct()
+    )
+    return sel
