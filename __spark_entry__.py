@@ -165,6 +165,7 @@ from paralleltrianglecounting_spark.operators.text import (
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
 from paralleltrianglecounting_spark.operators.bipartite import (
     bipartite_motifs,
+    item_cosine_topk,
     projection_cost,
 )
 from paralleltrianglecounting_spark.operators.dag import topological_levels
@@ -1315,6 +1316,30 @@ def _q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return item_cosine_topk(li, "l_orderkey", "l_partkey", k=COCIT_K)
+
+
+def _item_cosine_oracle_sql() -> str:
+    return f"""WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS e FROM lineitem
+),
+edeg AS (SELECT e, count(*) AS d FROM pairs GROUP BY e),
+joint AS (
+  SELECT a.e AS u, b.e AS v, count(*)::BIGINT AS strength
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.e < b.e
+  GROUP BY a.e, b.e
+)
+SELECT j.u, j.v, j.strength,
+       round(j.strength / sqrt(du.d * dv.d), {ROUND}) AS cosine_r
+FROM joint j JOIN edeg du ON du.e = j.u JOIN edeg dv ON dv.e = j.v
+ORDER BY cosine_r DESC, j.u, j.v
+LIMIT {COCIT_K}"""
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W)
 
@@ -1836,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibliographic_coupling": _q_bibliographic_coupling,
         "triad_census": _q_triad_census,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "item_cosine": _q_item_cosine,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3796,6 +3822,7 @@ LIMIT {LINKPRED_K}""",
         "bibliographic_coupling": _cocitation_oracle_sql("dst", "src"),
         "triad_census": _triad_census_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
+        "item_cosine": _item_cosine_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

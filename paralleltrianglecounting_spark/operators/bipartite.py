@@ -122,3 +122,66 @@ def bipartite_motifs(
         .crossJoin(rw)
         .select("butterflies", "left_wedges", "right_wedges", "containers", "entities")
     )
+
+
+def item_cosine_topk(
+    incidence: DataFrame,
+    container: str,
+    entity: str,
+    k: int = 100,
+    max_container_size: int | None = None,
+) -> DataFrame:
+    """[u, v, strength, cosine_r] — the k most cosine-similar entity
+    pairs over the bipartite incidence: cosine(u, v) =
+    |C(u) ∩ C(v)| / sqrt(|C(u)| · |C(v)|) where C(x) is x's container
+    set — the classical item–item similarity of collaborative
+    filtering (Sarwar et al., WWW 2001) and the degree-normalized
+    refinement of raw co-occurrence strength (a hub entity no longer
+    dominates just by being everywhere). ``u < v``; ordering
+    (cosine_r DESC, u, v) is total, so the top-k frontier is
+    deterministic and engine-portable.
+
+    Float portability: strength and both degrees are exact-in-double
+    integers; sqrt and division are IEEE correctly-rounded, so the
+    double is bit-identical across engines before the 6-dp round.
+
+    Plan shape at 100 TB: one distinct + one entity-degree hash agg +
+    the container-apex self-join + one pair hash agg + one degree
+    re-join + TakeOrderedAndProject. The apex fan-out is the same
+    quadratic hub tail every projection pays — ``max_container_size``
+    caps it BEFORE the join (audit the tail first with
+    ``projection_cost``)."""
+    pairs = incidence.select(
+        F.col(container).alias("_c"), F.col(entity).cast("long").alias("_e")
+    ).distinct()
+    if max_container_size is not None:
+        sizes = pairs.groupBy("_c").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= max_container_size).select("_c")
+        pairs = pairs.join(keep, "_c", "left_semi")
+    deg = pairs.groupBy("_e").agg(F.count(F.lit(1)).alias("_d"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    joint = (
+        a.join(
+            b,
+            (F.col("a._c") == F.col("b._c")) & (F.col("a._e") < F.col("b._e")),
+        )
+        .groupBy(F.col("a._e").alias("u"), F.col("b._e").alias("v"))
+        .agg(F.count(F.lit(1)).alias("strength"))
+    )
+    du = deg.select(F.col("_e").alias("u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_e").alias("v"), F.col("_d").alias("_dv"))
+    return (
+        joint.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "strength",
+            F.round(
+                F.col("strength") / F.sqrt(F.col("_du") * F.col("_dv")), 6
+            ).alias("cosine_r"),
+        )
+        .orderBy(F.col("cosine_r").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(k)
+    )
