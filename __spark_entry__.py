@@ -157,8 +157,10 @@ from paralleltrianglecounting_spark.operators.stats import (
 from paralleltrianglecounting_spark.operators.bpe import bpe_pair_counts
 from paralleltrianglecounting_spark.operators.text import (
     WINNOW_POS_BITS,
+    bigram_lm_scores,
     inverted_index,
     ngram_topk,
+    oov_rate,
     skipgram_pairs,
     winnow_fingerprints,
 )
@@ -414,6 +416,8 @@ NGRAM_K = 50
 NGRAM_MIN_COUNT = 2
 WINNOW_K = 4
 WINNOW_W = 5
+OOV_VOCAB = 64
+LM_ADD_K = 0.5
 SALSA_ITERS = 5
 COCIT_K = 100
 BC_SOURCES = 4
@@ -1377,6 +1381,52 @@ SELECT DISTINCT doc_id, ({m} - 1 - (wk % {m}))::BIGINT AS pos,
 FROM sel"""
 
 
+def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_rate(_docs(spark, sf_dir), vocab_size=OOV_VOCAB)
+
+
+def _oov_oracle_sql() -> str:
+    return f"""WITH {_TOKS_CTE},
+stream AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks_t
+),
+vocab AS (
+  SELECT tok FROM stream GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT {OOV_VOCAB}
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(t.toks) > 0 THEN
+         (SELECT count(*) FROM unnest(t.toks) AS u(tok)
+          WHERE tok NOT IN (SELECT tok FROM vocab))::DOUBLE / len(t.toks)
+       ELSE 0.0 END, {ROUND}) AS oov_frac_r
+FROM toks_t t"""
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(_docs(spark, sf_dir), add_k=LM_ADD_K)
+
+
+def _bigram_lm_oracle_sql() -> str:
+    return f"""WITH {_TOKS_CTE},
+bstream AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM toks_t WHERE len(toks) >= 2)
+),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bstream GROUP BY w1, w2),
+cu AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM cb GROUP BY w1),
+voc AS (SELECT count(DISTINCT tok)::BIGINT AS v
+        FROM (SELECT unnest(toks) AS tok FROM toks_t))
+SELECT s.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((cb.c2 + {LM_ADD_K}) / (cu.c1 + {LM_ADD_K} * voc.v))),
+             {ROUND}) AS avg_logp_r
+FROM bstream s
+JOIN cb ON cb.w1 = s.w1 AND cb.w2 = s.w2
+JOIN cu ON cu.w1 = s.w1
+CROSS JOIN voc
+GROUP BY s.doc_id"""
+
+
 def _q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_jaccard(part_graph(spark, sf_dir), k=LINKPRED_K)
 
@@ -1862,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": _q_triad_census,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "item_cosine": _q_item_cosine,
+        "oov_rate": _q_oov_rate,
+        "bigram_lm_scores": _q_bigram_lm,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3823,6 +3875,8 @@ LIMIT {LINKPRED_K}""",
         "triad_census": _triad_census_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
         "item_cosine": _item_cosine_oracle_sql(),
+        "oov_rate": _oov_oracle_sql(),
+        "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

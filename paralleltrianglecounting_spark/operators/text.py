@@ -707,3 +707,105 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
         .distinct()
     )
     return sel
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
+    """[doc_id, n_tokens, oov_frac_r] — fraction of a document's token
+    OCCURRENCES that fall outside the corpus's ``vocab_size`` most
+    frequent token types (ties on count broken by token text, so the
+    vocabulary frontier is total and engine-portable). The
+    vocabulary-gap quality signal: a document whose mass is mostly
+    out-of-vocabulary is boilerplate, a language the corpus doesn't
+    cover, or junk — the cheap precursor to LM-perplexity filtering
+    (CCNet, Wenzek et al. 2020). Empty documents score 0.0.
+
+    Plan shape at 100 TB: one token hash agg + TakeOrderedAndProject
+    for the vocabulary (tiny — explicitly broadcast), one broadcast
+    left join over the exploded token stream, one per-doc hash agg.
+    Linear; the token stream is never shuffled on the token key for
+    the scoring pass."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    stream = toked.select("doc_id", F.explode_outer("_toks").alias("tok"))
+    vocab = (
+        stream.where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    joined = stream.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.col("tok")).alias("n_tokens"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("tok").isNotNull() & F.col("_in_vocab").isNull(), 1.0
+                    ).otherwise(0.0)
+                )
+                / F.nullif(F.count(F.col("tok")), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("oov_frac_r"),
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, add_k: float = 0.5) -> DataFrame:
+    """[doc_id, n_bigrams, avg_logp_r] — per-document mean natural-log
+    probability under an add-k-smoothed bigram language model trained
+    on the corpus itself: P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+    with V = corpus vocabulary size (distinct token types). The
+    standard perplexity-proxy quality filter (CCNet trains KenLM; the
+    count-based bigram model is its exact-arithmetic little sibling —
+    same join/agg plan a 5-gram model would need). Documents with
+    fewer than two tokens have no bigrams and are excluded.
+
+    Float portability: each term is one IEEE-exact ratio of
+    integer-plus-k values passed through ln; only the per-doc mean
+    accumulates in engine order, and its reassociation error (~1e-14
+    over document-sized sums) is absorbed by the 6-dp round.
+
+    Plan shape at 100 TB: one bigram hash agg (the model), one
+    predecessor re-agg of the model (context counts — aggregating the
+    MODEL, never the corpus twice), one 1-row vocabulary scalar, two
+    hash joins of the per-doc bigram stream against model and
+    contexts, one per-doc agg. Model tables are vocabulary-sized —
+    broadcastable long before the corpus stops fitting anywhere."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    toks = F.col("_toks")
+    prs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    stream = toked.select("doc_id", F.explode(prs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    cu = cb.groupBy("w1").agg(F.sum("_cb").alias("_cu"))
+    vocab_n = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("_v"))
+    )
+    scored = (
+        stream.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("_cb") + F.lit(add_k))
+                / (F.col("_cu") + F.lit(add_k) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logp_r"),
+    )
