@@ -150,6 +150,7 @@ from paralleltrianglecounting_spark.operators.stats import (
     event_funnel,
     event_transitions,
     group_quantiles,
+    retention_cohorts,
     rollup_totals,
     sessionize,
     sliding_window_counts,
@@ -418,6 +419,8 @@ WINNOW_K = 4
 WINNOW_W = 5
 OOV_VOCAB = 64
 LM_ADD_K = 0.5
+RETENTION_EPOCH = "2024-01-01"
+RETENTION_BUCKET_DAYS = 3
 SALSA_ITERS = 5
 COCIT_K = 100
 BC_SOURCES = 4
@@ -1381,6 +1384,41 @@ SELECT DISTINCT doc_id, ({m} - 1 - (wk % {m}))::BIGINT AS pos,
 FROM sel"""
 
 
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted on purchase activity at 3-day buckets: the full stream
+    puts every user in cohort 0 (the fixture is dense), so the gate
+    cohorts on the sparsest event type, where first-activity genuinely
+    spreads (11 daily first-purchase cohorts at sf0.01)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    return retention_cohorts(
+        ev, epoch=RETENTION_EPOCH, bucket_days=RETENTION_BUCKET_DAYS
+    )
+
+
+def _retention_oracle_sql() -> str:
+    return f"""WITH ub AS (
+  SELECT DISTINCT user_id AS u,
+         (date_diff('day', DATE '{RETENTION_EPOCH}', ts::DATE)::BIGINT
+          // {RETENTION_BUCKET_DAYS}) AS b
+  FROM events WHERE event_type = 'purchase'
+),
+firsts AS (SELECT u, min(b) AS cohort FROM ub GROUP BY u),
+sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+          FROM firsts GROUP BY cohort),
+tri AS (
+  SELECT f.cohort, ub.b - f.cohort AS "offset",
+         count(*)::BIGINT AS active_users
+  FROM ub JOIN firsts f ON f.u = ub.u
+  GROUP BY f.cohort, ub.b - f.cohort
+)
+SELECT t.cohort, t."offset", t.active_users, s.cohort_size,
+       round(t.active_users / s.cohort_size, {ROUND}) AS retention_r
+FROM tri t JOIN sizes s ON s.cohort = t.cohort
+ORDER BY t.cohort, t."offset\""""
+
+
 def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(_docs(spark, sf_dir), vocab_size=OOV_VOCAB)
 
@@ -1914,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cosine": _q_item_cosine,
         "oov_rate": _q_oov_rate,
         "bigram_lm_scores": _q_bigram_lm,
+        "retention_cohorts": _q_retention_cohorts,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3877,6 +3916,7 @@ LIMIT {LINKPRED_K}""",
         "item_cosine": _item_cosine_oracle_sql(),
         "oov_rate": _oov_oracle_sql(),
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
+        "retention_cohorts": _retention_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

@@ -264,3 +264,69 @@ def event_funnel(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """[cohort, offset, active_users, cohort_size, retention_r] — the
+    classic retention triangle: users are cohorted by the bucket of
+    their FIRST event and counted distinct in every bucket they
+    reappear in; ``retention_r = active_users / cohort_size`` (offset
+    0 is 1.0 by construction — the sanity row). Product analytics'
+    one non-negotiable query; the growth-accounting primitive for any
+    engagement dataset.
+
+    Engine portability: buckets are pure integer arithmetic —
+    ``datediff(event_day, epoch) div bucket_days`` — never
+    ``date_trunc('week')``, whose week-start convention is an engine
+    lottery. ``epoch`` pins the bucket grid explicitly and must not
+    postdate the data (integer div truncates toward zero, so negative
+    day indexes would fold buckets −(b−1)..b−1 together).
+
+    Plan shape at 100 TB: the raw stream collapses to distinct
+    (user, bucket) FIRST — one hash agg, the only pass over raw
+    events — then a per-user min-bucket agg over that collapsed
+    table, one equi-join on user_id (both sides user-bucket sized,
+    not event-stream sized), and a final (cohort, offset) hash agg.
+    Skew follows user activity but a monster user is already one row
+    per bucket before any join."""
+    ub = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.expr(
+                f"CAST(datediff(to_date({ts_col}), DATE '{epoch}') AS BIGINT)"
+                f" div {bucket_days}"
+            ).alias("_b"),
+        )
+        .distinct()
+    )
+    firsts = ub.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    sizes = firsts.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    tri = (
+        ub.join(firsts, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort"),
+            (F.col("_b") - F.col("_cohort")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        tri.join(sizes.withColumnRenamed("_cohort", "cohort"), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention_r"
+            ),
+        )
+        .orderBy("cohort", "offset")
+    )
