@@ -43,7 +43,10 @@ from paralleltrianglecounting_spark.operators.degrees import (
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits, salsa
-from paralleltrianglecounting_spark.operators.motifs import triad_census
+from paralleltrianglecounting_spark.operators.motifs import (
+    triad_census,
+    weighted_triangle_intensity,
+)
 from paralleltrianglecounting_spark.operators.anf import neighborhood_bits
 from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
 from paralleltrianglecounting_spark.operators.ktruss import truss_numbers
@@ -1561,6 +1564,26 @@ FROM uni u LEFT JOIN (
 ORDER BY u.triad_class"""
 
 
+def _q_weighted_triangle_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_triangle_intensity(weighted_part_graph(spark, sf_dir))
+
+
+def _weighted_intensity_oracle_sql() -> str:
+    return """WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS e FROM lineitem
+),
+we AS MATERIALIZED (
+  SELECT a.e AS src, b.e AS dst, count(*)::BIGINT AS w
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.e < b.e
+  GROUP BY a.e, b.e
+)
+SELECT count(*)::BIGINT AS triangles,
+       coalesce(sum(ab.w * bc.w * ac.w), 0)::BIGINT AS intensity
+FROM we ab
+JOIN we bc ON bc.src = ab.dst
+JOIN we ac ON ac.src = ab.src AND ac.dst = bc.dst"""
+
+
 def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(
         spark.read.parquet(f"{sf_dir}/events.parquet"),
@@ -1953,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "bigram_lm_scores": _q_bigram_lm,
         "retention_cohorts": _q_retention_cohorts,
+        "weighted_triangle_intensity": _q_weighted_triangle_intensity,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3917,6 +3941,7 @@ LIMIT {LINKPRED_K}""",
         "oov_rate": _oov_oracle_sql(),
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "retention_cohorts": _retention_oracle_sql(),
+        "weighted_triangle_intensity": _weighted_intensity_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

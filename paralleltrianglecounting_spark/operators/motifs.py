@@ -126,3 +126,43 @@ def triad_census(dedges: DataFrame, strategy: str = "auto") -> DataFrame:
         )
         .orderBy("triad_class")
     )
+
+
+def weighted_triangle_intensity(wedges: DataFrame) -> DataFrame:
+    """One row [triangles, intensity] over a canonical weighted edge
+    table [src, dst, weight] (src < dst, integer weights):
+    ``intensity = Σ_triangles w(a,b) · w(b,c) · w(a,c)`` — the exact
+    integer product form underlying Onnela et al.'s weighted clustering
+    (Phys. Rev. E 71, 065103: their per-triangle term is the cube root
+    of this product over normalized weights; the raw product sum keeps
+    the metric in exact int64 arithmetic, so the gate needs no float
+    epsilon). A pair sharing many containers contributes
+    multiplicatively — triangles between strongly-tied pairs dominate,
+    which is the point of weighting.
+
+    Overflow contract: per-triangle product and the running sum must
+    fit int64 — Σ w1·w2·w3 ≤ |T| · max_w³, so max_w ≤ 10^4 is safe up
+    to 10^6 triangles and max_w ≤ 10² up to 10^12; co-occurrence
+    weights (shared-container counts) sit far below either. Callers
+    with heavy-tailed weights should bucket or cap first.
+
+    Plan shape at 100 TB: identical to :func:`triad_census` — the
+    engine's rank-oriented enumeration + three hash joins attaching
+    side weights + one scalar agg. Nothing new shuffles."""
+    we = wedges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+    und = we.select("src", "dst")
+    t3 = triangle_triples(und)
+    srt = F.array_sort(F.array("a", "b", "c"))
+    tri = t3.select(
+        srt.getItem(0).alias("u"), srt.getItem(1).alias("v"), srt.getItem(2).alias("w3")
+    )
+    uv = we.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("w").alias("wuv"))
+    vw = we.select(F.col("src").alias("v"), F.col("dst").alias("w3"), F.col("w").alias("wvw"))
+    uw = we.select(F.col("src").alias("u"), F.col("dst").alias("w3"), F.col("w").alias("wuw"))
+    coded = tri.join(uv, ["u", "v"]).join(vw, ["v", "w3"]).join(uw, ["u", "w3"])
+    return coded.agg(
+        F.count(F.lit(1)).alias("triangles"),
+        F.coalesce(
+            F.sum(F.col("wuv") * F.col("wvw") * F.col("wuw")), F.lit(0)
+        ).alias("intensity"),
+    )

@@ -126,3 +126,53 @@ def test_empty_digraph_keeps_universe(spark):
     rows = triad_census(de).collect()
     assert {r["triad_class"] for r in rows} == set(TRIAD_CLASSES)
     assert all(r["triads"] == 0 for r in rows)
+
+
+def test_weighted_intensity_matches_brute(spark):
+    import itertools as it
+
+    from paralleltrianglecounting_spark.operators.motifs import (
+        weighted_triangle_intensity,
+    )
+
+    rng = random.Random(0x77)
+    verts = list(range(1, 14))
+    wedges = {}
+    for u, v in it.combinations(verts, 2):
+        if rng.random() < 0.4:
+            wedges[(u, v)] = rng.randint(1, 9)
+    tri_n = 0
+    inten = 0
+    for u, v, w in it.combinations(verts, 3):
+        if (u, v) in wedges and (v, w) in wedges and (u, w) in wedges:
+            tri_n += 1
+            inten += wedges[(u, v)] * wedges[(v, w)] * wedges[(u, w)]
+    df = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in wedges.items()],
+        "src long, dst long, weight long",
+    )
+    row = weighted_triangle_intensity(df).collect()[0]
+    assert (row["triangles"], row["intensity"]) == (tri_n, inten)
+
+
+def test_weighted_intensity_unit_weights_equal_count(spark):
+    from paralleltrianglecounting_spark.operators.motifs import (
+        weighted_triangle_intensity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1)],
+        "src long, dst long, weight long",
+    )
+    row = weighted_triangle_intensity(df).collect()[0]
+    assert (row["triangles"], row["intensity"]) == (1, 1)
+
+
+def test_weighted_intensity_empty(spark):
+    from paralleltrianglecounting_spark.operators.motifs import (
+        weighted_triangle_intensity,
+    )
+
+    df = spark.createDataFrame([], "src long, dst long, weight long")
+    row = weighted_triangle_intensity(df).collect()[0]
+    assert (row["triangles"], row["intensity"]) == (0, 0)
