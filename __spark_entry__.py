@@ -33,6 +33,7 @@ from paralleltrianglecounting_spark.operators.bfs import (
     ego_net,
 )
 from paralleltrianglecounting_spark.operators.components import (
+    backbone_profile,
     bipartite_components,
     component_sizes,
     connected_components,
@@ -166,6 +167,7 @@ from paralleltrianglecounting_spark.operators.text import (
     ngram_topk,
     oov_rate,
     skipgram_pairs,
+    winnow_dup_clusters,
     winnow_fingerprints,
 )
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
@@ -422,6 +424,8 @@ WINNOW_K = 4
 WINNOW_W = 5
 OOV_VOCAB = 64
 LM_ADD_K = 0.5
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_POSTINGS = 200
 RETENTION_EPOCH = "2024-01-01"
 RETENTION_BUCKET_DAYS = 3
 SALSA_ITERS = 5
@@ -1354,13 +1358,25 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W)
 
 
-def _winnow_oracle_sql() -> str:
-    """Winnowing (MOSS): same packed-key trick as the engine —
+def _q_winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_dup_clusters(
+        _docs(spark, sf_dir),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_postings=WINNOW_MAX_POSTINGS,
+    )
+
+
+def _winnow_ctes() -> str:
+    """Shared winnowing CTE block ending in ``wfp(doc_id, pos,
+    fingerprint)`` — used by the fingerprint gate and the duplicate-
+    cluster gate. Same packed-key trick as the engine:
     min(h32 * 2^24 + (2^24 - 1 - pos)) over the trailing-w window IS
     rightmost-min-on-ties; full windows only, short docs contribute the
     single winner of their whole sequence."""
     m = 1 << WINNOW_POS_BITS
-    return f"""WITH {_TOKS_CTE},
+    return f"""{_TOKS_CTE},
 g AS (
   SELECT doc_id, i::BIGINT AS pos,
          (('0x' || substr(md5(array_to_string(
@@ -1381,10 +1397,59 @@ sel AS (
   SELECT doc_id, wk FROM w
   WHERE pos >= {WINNOW_W}
      OR (n_grams < {WINNOW_W} AND pos = n_grams)
-)
-SELECT DISTINCT doc_id, ({m} - 1 - (wk % {m}))::BIGINT AS pos,
-       (wk // {m})::BIGINT AS fingerprint
-FROM sel"""
+),
+wfp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ({m} - 1 - (wk % {m}))::BIGINT AS pos,
+         (wk // {m})::BIGINT AS fingerprint
+  FROM sel
+)"""
+
+
+def _winnow_oracle_sql() -> str:
+    return f"""WITH {_winnow_ctes()}
+SELECT doc_id, pos, fingerprint FROM wfp"""
+
+
+def _winnow_clusters_oracle_sql() -> str:
+    """MOSS clustering: invert the fingerprint index (postings cap),
+    pair docs sharing >= min_shared fingerprints, recursive min-label
+    CC over the pair graph, label every document."""
+    return f"""WITH RECURSIVE {_winnow_ctes()},
+dfp AS MATERIALIZED (SELECT DISTINCT doc_id, fingerprint FROM wfp),
+posts AS (
+  SELECT fingerprint FROM dfp GROUP BY fingerprint
+  HAVING count(*) <= {WINNOW_MAX_POSTINGS}
+),
+kept AS MATERIALIZED (
+  SELECT d.doc_id, d.fingerprint FROM dfp d
+  JOIN posts p ON p.fingerprint = d.fingerprint
+),
+prs AS MATERIALIZED (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM kept a JOIN kept b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+),
+pbidir AS MATERIALIZED (
+  SELECT u, v FROM prs UNION ALL SELECT v AS u, u AS v FROM prs
+),
+pv AS (SELECT DISTINCT u AS vtx FROM pbidir),
+pcc(vtx, l) AS (
+  SELECT vtx, vtx FROM pv
+  UNION
+  SELECT b.v, pcc.l FROM pcc JOIN pbidir b ON b.u = pcc.vtx
+  WHERE pcc.l < b.v
+),
+plbl AS (SELECT vtx, min(l) AS component FROM pcc GROUP BY vtx),
+labeled AS (
+  SELECT d.doc_id, coalesce(p.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN plbl p ON p.vtx = d.doc_id
+),
+csz AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+        FROM labeled GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, c.n_members
+FROM labeled l JOIN csz c ON c.cluster_id = l.cluster_id"""
 
 
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,6 +1627,55 @@ FROM uni u LEFT JOIN (
   SELECT triad_class, count(*) AS cnt FROM cls GROUP BY 1
 ) s USING (triad_class)
 ORDER BY u.triad_class"""
+
+
+BACKBONE_THRESHOLDS = (1, 2, 3)
+
+
+def _q_backbone_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return backbone_profile(
+        weighted_part_graph(spark, sf_dir), thresholds=BACKBONE_THRESHOLDS
+    )
+
+
+def _backbone_oracle_sql() -> str:
+    """One recursive min-label CC per threshold level over the
+    weight-filtered bidirected view, then per-level stats; UNION ALL of
+    the levels."""
+    blocks = []
+    selects = []
+    for t in BACKBONE_THRESHOLDS:
+        blocks.append(
+            f"""wb{t} AS MATERIALIZED (
+  SELECT u, v FROM wbidir WHERE weight >= {t}
+),
+v{t} AS MATERIALIZED (
+  SELECT DISTINCT u AS v FROM wb{t}
+),
+cc{t}(v, l) AS (
+  SELECT v, v FROM v{t}
+  UNION
+  SELECT b.v, cc{t}.l FROM cc{t}
+  JOIN wb{t} b ON b.u = cc{t}.v
+  WHERE cc{t}.l < b.v
+),
+lbl{t} AS (SELECT v, min(l) AS component FROM cc{t} GROUP BY v),
+sz{t} AS (SELECT component, count(*)::BIGINT AS n FROM lbl{t} GROUP BY component)"""
+        )
+        selects.append(
+            f"""SELECT {t}::BIGINT AS threshold,
+       (SELECT count(*)::BIGINT FROM wedges WHERE weight >= {t}) AS kept_edges,
+       coalesce((SELECT sum(n) FROM sz{t}), 0)::BIGINT AS n_vertices,
+       (SELECT count(*)::BIGINT FROM sz{t}) AS components,
+       coalesce((SELECT max(n) FROM sz{t}), 0)::BIGINT AS largest_cc"""
+        )
+    return (
+        f"WITH RECURSIVE {_WEDGES_CTE},\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY threshold"
+    )
 
 
 def _q_weighted_triangle_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1972,11 +2086,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibliographic_coupling": _q_bibliographic_coupling,
         "triad_census": _q_triad_census,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_clusters": _q_winnow_dup_clusters,
         "item_cosine": _q_item_cosine,
         "oov_rate": _q_oov_rate,
         "bigram_lm_scores": _q_bigram_lm,
         "retention_cohorts": _q_retention_cohorts,
         "weighted_triangle_intensity": _q_weighted_triangle_intensity,
+        "backbone_profile": _q_backbone_profile,
         "dataset_split": _q_dataset_split,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
@@ -3937,11 +4053,13 @@ LIMIT {LINKPRED_K}""",
         "bibliographic_coupling": _cocitation_oracle_sql("dst", "src"),
         "triad_census": _triad_census_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
+        "winnow_dup_clusters": _winnow_clusters_oracle_sql(),
         "item_cosine": _item_cosine_oracle_sql(),
         "oov_rate": _oov_oracle_sql(),
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "retention_cohorts": _retention_oracle_sql(),
         "weighted_triangle_intensity": _weighted_intensity_oracle_sql(),
+        "backbone_profile": _backbone_oracle_sql(),
         "neighborhood_2hop": f"""WITH {_EDGES_CTE},
 reach AS (
   SELECT b1.u AS u, b2.v AS w

@@ -240,3 +240,50 @@ def bipartite_components(
     return labels.where(F.col("vertex") < container_offset).select(
         F.col("vertex").alias("entity"), "component"
     )
+
+
+def backbone_profile(
+    wedges: DataFrame, thresholds: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """[threshold, kept_edges, n_vertices, components, largest_cc] —
+    the weight-threshold percolation profile of a weighted graph: for
+    each threshold t, keep only edges with weight ≥ t and measure what
+    survives (edge count, vertex count, component count, giant-component
+    size). The standard backbone/robustness question for co-occurrence
+    graphs — weight-1 pairs are mostly incidental, and the profile
+    shows exactly when the giant component dissolves as the evidence
+    bar rises (disparity-filter backbones and bond percolation ask the
+    same question; the integer-weight threshold form is exact).
+
+    ``thresholds`` is a small, explicit list: each level runs one
+    filtered large-/small-star CC — a driver loop over O(few) levels,
+    each level's edge set a strict subset of the last (higher levels
+    converge in fewer supersteps on far less data). Not a per-row
+    knob: at 100 TB each level is a full CC run and the caller should
+    pick 3-5 levels, not a sweep of 100."""
+    out = None
+    for t in thresholds:
+        sub = (
+            wedges.where(F.col("weight") >= int(t))
+            .select("src", "dst")
+        )
+        lbl = connected_components(sub)
+        sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
+        stats = sizes.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_vertices"),
+            F.count(F.lit(1)).cast("long").alias("components"),
+            F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias("largest_cc"),
+        )
+        row = (
+            sub.agg(F.count(F.lit(1)).cast("long").alias("kept_edges"))
+            .crossJoin(stats)  # scalar x scalar
+            .select(
+                F.lit(int(t)).cast("long").alias("threshold"),
+                "kept_edges",
+                "n_vertices",
+                "components",
+                "largest_cc",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold")

@@ -809,3 +809,74 @@ def bigram_lm_scores(docs: DataFrame, add_k: float = 0.5) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("avg_logp_r"),
     )
+
+
+def winnow_dup_clusters(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_postings: int = 200,
+) -> DataFrame:
+    """[doc_id, cluster_id, n_members] — transitive near-duplicate
+    clusters over the winnowing fingerprint index: docs sharing at
+    least ``min_shared`` distinct fingerprints are linked, connected
+    components label the link graph (the MOSS workflow end-to-end:
+    fingerprint → invert → pair → cluster). Every document is labeled;
+    singletons get cluster_id = own id; cluster_id = min doc_id, so
+    keep-first dedup is ``where(doc_id == cluster_id)``.
+
+    ``max_postings`` is the boilerplate guard: a fingerprint shared by
+    more than this many documents (a ubiquitous phrase) is dropped
+    from pair generation — the same cap-before-the-quadratic-join
+    contract as ``NGRAM_MAX_BLOCK``/``SIMHASH_MAX_BUCKET``; what the
+    cap can drop is countable from the posting list it filters.
+
+    100 TB shape: fingerprinting is linear (see
+    :func:`winnow_fingerprints`); the inverted index is one distinct +
+    one posting-size agg; pair generation is a bucketed self-join with
+    Σ postings² bounded by the cap; the CC supersteps run on the tiny
+    near-dup pair graph; final labeling is one left join + one size
+    agg — the dedup_clusters shape with a winnowing front end."""
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    sizes = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_n"))
+    keep = sizes.where(F.col("_n") <= max_postings).select("fingerprint")
+    fps = fps.join(keep, "fingerprint", "left_semi")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= min_shared)
+        .select("src", "dst")
+    )
+    cc = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    csizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(csizes, "cluster_id").select(
+        "doc_id", "cluster_id", "n_members"
+    )

@@ -79,3 +79,89 @@ def test_density_and_positions_valid(spark):
     # between 1/w (periodic minimum) and 1 of the gram count
     assert all(1 <= p <= n_grams for p, _ in got)
     assert n_grams // W <= len(got) <= n_grams
+
+
+def _clusters_py(texts, min_shared=2, max_postings=200):
+    from collections import Counter, defaultdict
+
+    fps = {i: {f for _, f in _winnow_py(t)} for i, t in enumerate(texts)}
+    post = Counter(f for s in fps.values() for f in s)
+    kept = {f for f, n in post.items() if n <= max_postings}
+    parent = {i: i for i in fps}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j and len(fps[i] & fps[j] & kept) >= min_shared:
+                parent[find(i)] = find(j)
+    comp = defaultdict(list)
+    for i in ids:
+        comp[find(i)].append(i)
+    out = {}
+    for members in comp.values():
+        cid = min(members)
+        for m in members:
+            out[m] = (cid, len(members))
+    return out
+
+
+def test_dup_clusters_match_twin(spark):
+    import random
+
+    from paralleltrianglecounting_spark.operators.text import (
+        winnow_dup_clusters,
+    )
+
+    rng = random.Random(0xD0)
+    vocab = [f"v{j}" for j in range(30)]
+    base = " ".join(rng.choice(vocab) for _ in range(30))
+    texts = [
+        base,  # 0, 1, 2: near-identical family
+        base + " tail one",
+        "head bit " + base,
+        " ".join(rng.choice(vocab) for _ in range(25)),  # 3: unrelated
+        " ".join(rng.choice(vocab) for _ in range(25)),  # 4: unrelated
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_members"])
+        for r in winnow_dup_clusters(docs, k=K, w=W).collect()
+    }
+    assert got == _clusters_py(texts)
+    # the copy family actually clusters together
+    assert got[0] == got[1] == got[2] == (0, 3)
+
+
+def test_dup_clusters_postings_cap_engages(spark):
+    from paralleltrianglecounting_spark.operators.text import (
+        winnow_dup_clusters,
+    )
+
+    # one boilerplate sentence shared by everyone; cap = 2 kills its
+    # fingerprints so nothing links
+    boiler = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau"
+    )  # long enough for 5 distinct fingerprints (min_shared=2 can bind)
+    texts = [boiler, boiler, boiler, boiler]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    capped = {
+        r["doc_id"]: r["n_members"]
+        for r in winnow_dup_clusters(docs, k=K, w=W, max_postings=2).collect()
+    }
+    assert all(n == 1 for n in capped.values())
+    uncapped = {
+        r["doc_id"]: r["n_members"]
+        for r in winnow_dup_clusters(docs, k=K, w=W).collect()
+    }
+    assert all(n == 4 for n in uncapped.values())
