@@ -111,6 +111,67 @@ def _cc_unrolled_sql(rounds: int, sizes: bool = False) -> str:
     return "WITH " + ",\n".join(ctes) + f",\n{guard}\n{final}"
 
 
+def _backbone_unrolled_sql(rounds: int) -> str:
+    """Big-tier ``backbone_profile`` oracle: the driver's per-level
+    recursive min-label CTE exceeds any budget on the 1.2 M-edge
+    weighted graph (same pathology as connected_components, measured
+    >480 s for the first level alone); replace each level's CC with
+    the unrolled fixpoint-guarded min-label propagation. If ANY
+    level's last two label tables differ the final select returns
+    zero rows — loud, never wrong."""
+    thresholds = entrymod.BACKBONE_THRESHOLDS
+    ctes = [entrymod._WEDGES_CTE]
+    guards = []
+    selects = []
+    for t in thresholds:
+        ctes.append(
+            f"""wb{t} AS MATERIALIZED (
+  SELECT u, v FROM wbidir WHERE weight >= {t}
+)"""
+        )
+        ctes.append(
+            f"bl{t}_0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS l FROM wb{t})"
+        )
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"""bl{t}_{i} AS MATERIALIZED (
+  SELECT s.v AS v, least(s.l, coalesce(m.ml, s.l)) AS l
+  FROM bl{t}_{i - 1} s
+  LEFT JOIN (
+    SELECT b.v AS v, min(p.l) AS ml
+    FROM wb{t} b JOIN bl{t}_{i - 1} p ON p.v = b.u
+    GROUP BY b.v
+  ) m ON m.v = s.v
+)"""
+            )
+        guards.append(
+            f"SELECT count(*) FROM bl{t}_{rounds} a "
+            f"JOIN bl{t}_{rounds - 1} b ON a.v = b.v AND a.l != b.l"
+        )
+        ctes.append(
+            f"""sz{t} AS (
+  SELECT l AS component, count(*)::BIGINT AS n
+  FROM bl{t}_{rounds} GROUP BY l
+)"""
+        )
+        selects.append(
+            f"""SELECT {t}::BIGINT AS threshold,
+       (SELECT count(*)::BIGINT FROM wedges WHERE weight >= {t}) AS kept_edges,
+       coalesce((SELECT sum(n) FROM sz{t}), 0)::BIGINT AS n_vertices,
+       (SELECT count(*)::BIGINT FROM sz{t}) AS components,
+       coalesce((SELECT max(n) FROM sz{t}), 0)::BIGINT AS largest_cc"""
+        )
+    guard = "chg AS (SELECT (" + ") + (".join(guards) + ") AS c)"
+    ctes.append(guard)
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({body})\nWHERE (SELECT c FROM chg) = 0"
+        + "\nORDER BY threshold"
+    )
+
+
 def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
     """Engine-side peel depths at this tier -> the unroll each oracle
     needs (depth + 1 slack; the driver's sf0.01 constants stay in
@@ -193,11 +254,19 @@ def main() -> None:
     )
     oracles["connected_components"] = _cc_unrolled_sql(24)
     oracles["component_sizes"] = _cc_unrolled_sql(24, sizes=True)
+    backbone_note = (
+        "per-level unrolled min-label propagation (24 rounds each, "
+        "fixpoint-guarded: 0 rows if any level unconverged) — the "
+        "driver's per-level recursive CTE measured >480s for the "
+        "first level alone at sf0.1"
+    )
+    oracles["backbone_profile"] = _backbone_unrolled_sql(24)
 
     out: dict = {
         "oracle_overrides": {
             "connected_components": cc_note,
             "component_sizes": cc_note,
+            "backbone_profile": backbone_note,
         },
         "sf_dir": sf_dir,
         "cores": cores,
