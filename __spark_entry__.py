@@ -97,11 +97,14 @@ from paralleltrianglecounting_spark.operators.eigenvector import (
 from paralleltrianglecounting_spark.operators.degrees import rich_club
 from paralleltrianglecounting_spark.operators.triangles import (
     clustering_coefficient,
+    local_bridges,
+    transitivity,
     triangle_count,
     triangle_count_resumable,
     triangle_triples,
     triangles_per_vertex,
 )
+from paralleltrianglecounting_spark.operators.percolation import clique_percolation
 from paralleltrianglecounting_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_PARAMS,
@@ -131,6 +134,7 @@ from paralleltrianglecounting_spark.operators.similarity import (
 from paralleltrianglecounting_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
+    dup_ngram_spans,
     fingerprints,
     lang_id,
     pmi_collocations,
@@ -229,6 +233,77 @@ tri AS (
   JOIN edges e2 ON e1.dst = e2.src
   JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
 )
+""".strip()
+
+# CPM (clique_percolation) substrate: the part graph with containers
+# capped at 3 members. The full co-occurrence graph is so dense its
+# triangle overlay percolates into one blob (no gate power — the same
+# degenerate-fixture lesson as the co_citation audit); the cap keeps a
+# real overlapping-community structure (sf0.01: 3 180 triangles, 2 634
+# communities, 1 865 vertices in >1 community, max 12 memberships).
+CPM_MAX_CONTAINER = 3
+
+_CPM_EDGES_CTE = f"""
+pairs0 AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS e FROM lineitem
+),
+ckeep AS (
+  SELECT c FROM pairs0 GROUP BY c HAVING count(*) <= {CPM_MAX_CONTAINER}
+),
+pairs AS (
+  SELECT p.c, p.e FROM pairs0 p JOIN ckeep USING (c)
+),
+edges AS (
+  SELECT DISTINCT a.e AS src, b.e AS dst
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.e < b.e
+)
+""".strip()
+
+# CPM oracle building blocks, shared with the
+# big-tier unrolled override in tools/correctness_sf.py: the triangle
+# overlay with portable hash56 node ids, star-reduced to (triangle,
+# min-tid-of-edge-group) links — linear rows, connectivity-identical
+# to the quadratic edge-sharing relation (percolation.py docstring).
+_CPM_OVERLAY_CTE = """
+trid AS MATERIALIZED (
+  SELECT a AS x, b AS y, c AS z,
+         ('0x' || substr(md5(a || ':' || b || ':' || c), 1, 14))::BIGINT AS tid
+  FROM tri
+),
+tedge AS (
+  SELECT x AS eu, y AS ev, tid FROM trid
+  UNION ALL SELECT x, z, tid FROM trid
+  UNION ALL SELECT y, z, tid FROM trid
+),
+troots AS (SELECT eu, ev, min(tid) AS root FROM tedge GROUP BY eu, ev),
+cpairs AS (
+  SELECT DISTINCT t.tid AS pu, r.root AS pv
+  FROM tedge t JOIN troots r ON r.eu = t.eu AND r.ev = t.ev
+  WHERE t.tid <> r.root
+),
+cbidir AS MATERIALIZED (
+  SELECT pu AS u, pv AS v FROM cpairs
+  UNION ALL
+  SELECT pv AS u, pu AS v FROM cpairs
+),
+cnodes AS (SELECT DISTINCT tid AS v FROM trid)
+""".strip()
+
+# final membership/size projection over clbl [tid, community]
+# (isolated triangles are their own community via the (v, v) seed)
+_CPM_MEMB_SQL = """
+memb AS (
+  SELECT DISTINCT vertex, community FROM (
+    SELECT t.x AS vertex, c.community FROM trid t JOIN clbl c USING (tid)
+    UNION ALL
+    SELECT t.y AS vertex, c.community FROM trid t JOIN clbl c USING (tid)
+    UNION ALL
+    SELECT t.z AS vertex, c.community FROM trid t JOIN clbl c USING (tid)
+  )
+),
+csizes AS (SELECT community, count(*)::BIGINT AS n_members FROM memb GROUP BY community)
+SELECT m.vertex, m.community, s.n_members
+FROM memb m JOIN csizes s USING (community)
 """.strip()
 
 PAGERANK_ITERS = 10
@@ -1487,6 +1562,13 @@ FROM tri t JOIN sizes s ON s.cohort = t.cohort
 ORDER BY t.cohort, t."offset\""""
 
 
+DUP_SPAN_N = 5
+
+
+def _q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_spans(_docs(spark, sf_dir), n=DUP_SPAN_N)
+
+
 def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(_docs(spark, sf_dir), vocab_size=OOV_VOCAB)
 
@@ -1741,6 +1823,24 @@ def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.greatest("a", "b", "c")
     mid = F.col("a") + F.col("b") + F.col("c") - lo - hi
     return t.select(lo.alias("x"), mid.alias("y"), hi.alias("z"))
+
+
+def _q_clique_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clique_percolation(
+        part_graph(spark, sf_dir, max_container_size=CPM_MAX_CONTAINER)
+    )
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transitivity(part_graph(spark, sf_dir))
+
+
+def _q_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the capped substrate (see CPM_MAX_CONTAINER): the full
+    # co-occurrence graph has 8 bridge edges at sf0.01 — no gate power
+    return local_bridges(
+        part_graph(spark, sf_dir, max_container_size=CPM_MAX_CONTAINER)
+    )
 
 
 def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2089,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_clusters": _q_winnow_dup_clusters,
         "item_cosine": _q_item_cosine,
         "oov_rate": _q_oov_rate,
+        "dup_ngram_spans": _q_dup_ngram_spans,
         "bigram_lm_scores": _q_bigram_lm,
         "retention_cohorts": _q_retention_cohorts,
         "weighted_triangle_intensity": _q_weighted_triangle_intensity,
@@ -2109,6 +2210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "triangle_list": _q_triangle_list,
+        "clique_percolation": _q_clique_percolation,
+        "transitivity": _q_transitivity,
+        "local_bridges": _q_local_bridges,
         "events_sliding": _q_events_sliding,
         "events_quantiles": _q_events_quantiles,
         "orders_rollup": _q_orders_rollup,
@@ -2706,6 +2810,57 @@ WHERE round(list_dot_product(ea.emb, eb.emb)
         "triangle_list": f"""WITH {_EDGES_CTE},
 {_TRI_CTE}
 SELECT a AS x, b AS y, c AS z FROM tri""",
+        # CPM k=3 (Palla et al. 2005): recursive min-label CC over the
+        # star-reduced triangle-adjacency graph. Triangle node ids are
+        # the engine-portable hash56 of 'x:y:z' so both engines label
+        # identical nodes; the recursive form is the sf0.01 oracle —
+        # tools/correctness_sf.py swaps in the unrolled fixpoint-guarded
+        # propagation at the big tier (same treatment as
+        # connected_components / backbone_profile).
+        "clique_percolation": f"""WITH RECURSIVE {_CPM_EDGES_CTE},
+{_TRI_CTE},
+{_CPM_OVERLAY_CTE},
+ccc(v, l) AS (
+  SELECT v, v FROM cnodes
+  UNION
+  SELECT b.v, ccc.l FROM ccc JOIN cbidir b ON b.u = ccc.v WHERE ccc.l < b.v
+),
+clbl AS (SELECT v AS tid, min(l) AS community FROM ccc GROUP BY v),
+{_CPM_MEMB_SQL}""",
+        "transitivity": f"""WITH {_EDGES_CTE},
+{_TRI_CTE},
+w AS (SELECT CAST(coalesce(sum(degree * (degree - 1) // 2), 0) AS BIGINT) AS wedges FROM deg),
+t AS (SELECT count(*)::BIGINT AS triangles FROM tri)
+SELECT w.wedges, t.triangles,
+       CASE WHEN w.wedges > 0
+            THEN round(3.0 * t.triangles / w.wedges, 6)
+            ELSE 0.0 END AS transitivity_r
+FROM w, t""",
+        # local bridges (zero-common-neighbor edges) over the SAME
+        # capped substrate as clique_percolation — the full graph has
+        # 8 such edges at sf0.01 (no power)
+        "local_bridges": f"""WITH {_CPM_EDGES_CTE},
+{_TRI_CTE},
+lb_te AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+lb_td AS (SELECT DISTINCT u, v FROM lb_te),
+lb_deg AS (
+  SELECT u AS v, count(*)::BIGINT AS degree FROM (
+    SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges
+  ) GROUP BY u
+),
+lb_zero AS (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e LEFT JOIN lb_td t ON t.u = e.src AND t.v = e.dst
+  WHERE t.u IS NULL
+)
+SELECT z.u, z.v, du.degree AS deg_u, dv.degree AS deg_v
+FROM lb_zero z
+JOIN lb_deg du ON du.v = z.u
+JOIN lb_deg dv ON dv.v = z.v""",
         # every ts lies in exactly window/slide = 2 sliding windows;
         # starts are epoch-aligned slide multiples (Spark's window())
         "events_sliding": """WITH slid AS (
@@ -4056,6 +4211,33 @@ LIMIT {LINKPRED_K}""",
         "winnow_dup_clusters": _winnow_clusters_oracle_sql(),
         "item_cosine": _item_cosine_oracle_sql(),
         "oov_rate": _oov_oracle_sql(),
+        # duplicated n-gram spans (Lee et al. 2022): a window is
+        # duplicated iff its n-gram occurs in >= 2 distinct docs; rows
+        # per gram in dgc = distinct docs by construction
+        "dup_ngram_spans": f"""WITH {_TOKS_CTE},
+dg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(toks, i, i + {DUP_SPAN_N} - 1), ' ')), 1, 14))::BIGINT AS gh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {DUP_SPAN_N} + 2)) AS i
+        FROM toks_t WHERE len(toks) >= {DUP_SPAN_N})
+),
+dgc AS (SELECT doc_id, gh, count(*)::BIGINT AS c FROM dg GROUP BY doc_id, gh),
+ddup AS (SELECT gh FROM dgc GROUP BY gh HAVING count(*) >= 2),
+dper AS (
+  SELECT dgc.doc_id,
+         sum(c)::BIGINT AS n_windows,
+         sum(CASE WHEN d.gh IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n_dup_windows
+  FROM dgc LEFT JOIN ddup d ON dgc.gh = d.gh
+  GROUP BY dgc.doc_id
+)
+SELECT doc.doc_id,
+       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(p.n_windows, 0) > 0
+            THEN round(p.n_dup_windows::DOUBLE / p.n_windows, 6)
+            ELSE 0.0 END AS dup_fraction_r
+FROM documents doc LEFT JOIN dper p ON p.doc_id = doc.doc_id""",
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "retention_cohorts": _retention_oracle_sql(),
         "weighted_triangle_intensity": _weighted_intensity_oracle_sql(),

@@ -709,6 +709,76 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     return sel
 
 
+def dup_ngram_spans(docs: DataFrame, n: int = 5) -> DataFrame:
+    """[doc_id, n_windows, n_dup_windows, dup_fraction_r] — the exact
+    duplicated-substring signal of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022): a window of ``n``
+    consecutive tokens is *duplicated* if the same n-gram also occurs
+    in at least one OTHER document (within-doc repeats are a different
+    signal — ``repetition_scores``). Per document: total windows,
+    duplicated windows (counting intra-doc multiplicity), and their
+    ratio — the "fraction of my text that exists elsewhere in the
+    corpus" filter feature. Every document keeps a row; docs with
+    fewer than ``n`` tokens have 0 windows and fraction 0.0.
+
+    Plan shape at 100 TB: gram hashes are per-row array expressions
+    (hash56 keeps rows narrow before the explode); occurrences shrink
+    to (doc, gram, count) in ONE map-side-combinable hash agg BEFORE
+    any join; cross-doc grams come from a second hash agg over that
+    (count of rows = count of distinct docs by construction); one
+    shuffle join on the gram hash flags them. Nothing is quadratic in
+    corpus size — the heavy object is the (doc, gram) stream, linear
+    in total tokens, the same volume winnowing shuffles."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    m = F.size("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), m - n + 1),
+        lambda i: hash56(F.array_join(F.slice(F.col("_toks"), i, n), " ")),
+    )
+    g = toked.where(m >= n).select("doc_id", F.explode(grams).alias("gh"))
+    per_doc_gram = g.groupBy("doc_id", "gh").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # one row per (doc, gram) ⇒ rows per gram = distinct docs per gram
+    dup = (
+        per_doc_gram.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("gh", F.lit(1).alias("_dup"))
+    )
+    per = (
+        per_doc_gram.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.coalesce(F.sum(F.col("c") * F.col("_dup")), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction_r"),
+        )
+    )
+
+
 def oov_rate(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
     """[doc_id, n_tokens, oov_frac_r] — fraction of a document's token
     OCCURRENCES that fall outside the corpus's ``vocab_size`` most

@@ -534,6 +534,53 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+def transitivity(edges: DataFrame) -> DataFrame:
+    """One row [wedges, triangles, transitivity_r]: the GLOBAL
+    clustering coefficient 3·T / W (Newman) — the wedge-weighted
+    counterpart of the per-vertex ``clustering_coefficient`` average
+    (the two diverge on skewed graphs, which is why both are standard).
+    W = Σ deg·(deg−1)/2 off the degree table (no wedge materialization);
+    T reuses the flagship count. Two scalar aggregates crossed — the
+    crossJoin is 1×1. Ratio written as round(3.0·T / W, 6) in ONE
+    divide, the same IEEE association as the DuckDB oracle."""
+    w = degrees(edges).agg(
+        F.coalesce(F.sum(F.expr("degree * (degree - 1) div 2")), F.lit(0)).alias(
+            "wedges"
+        )
+    )
+    t = triangle_count(edges)
+    return w.crossJoin(t).select(
+        "wedges",
+        "triangles",
+        F.when(F.col("wedges") > 0, F.round(3.0 * F.col("triangles") / F.col("wedges"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("transitivity_r"),
+    )
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """[u, v, deg_u, deg_v]: edges whose endpoints share NO common
+    neighbor — Granovetter's local bridges (the span-∞ form: removing
+    the edge puts its endpoints ≥ 3 hops apart), the classical
+    weak-tie signal (Easley & Kleinberg ch. 3). An edge's common-
+    neighbor count equals the number of triangles CONTAINING it —
+    which is ``edge_jaccard``'s aggregate, NOT the oriented
+    ``tri_cnt`` (that counts triangles closed *at* the edge's two
+    lowest-rank corners only; using it here would flag two sides of
+    every triangle — caught by the fixture test). Endpoint degrees
+    ride along for the downstream tie-strength analysis. Linear past
+    the enumeration: the per-edge membership agg + two degree joins."""
+    zero = (
+        edge_jaccard(edges)
+        .where(F.col("common_neighbors") == 0)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    deg = degrees(edges)
+    du = deg.select(F.col("vertex").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("vertex").alias("v"), F.col("degree").alias("deg_v"))
+    return zero.join(du, "u").join(dv, "v").select("u", "v", "deg_u", "deg_v")
+
+
 def triangle_count_resumable(
     edges: DataFrame,
     chunks: int = 16,

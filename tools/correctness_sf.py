@@ -172,6 +172,45 @@ def _backbone_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _cpm_unrolled_sql(rounds: int) -> str:
+    """Big-tier ``clique_percolation`` oracle: same substrate CTEs as
+    the driver's recursive form (capped-container edges → triangles →
+    hash56 overlay → star-reduced pairs), with the recursive min-label
+    CC replaced by unrolled fixpoint-guarded propagation over the
+    triangle graph — the recursive (node, smaller-reachable-label)
+    enumeration is quadratic in the largest percolation cluster, which
+    grows with the tier. Guard semantics identical to
+    ``_cc_unrolled_sql``: unconverged → 0 rows, loud never wrong."""
+    ctes = [
+        entrymod._CPM_EDGES_CTE,
+        entrymod._TRI_CTE,
+        entrymod._CPM_OVERLAY_CTE,
+        "cl0 AS MATERIALIZED (SELECT v, v AS l FROM cnodes)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""cl{i} AS MATERIALIZED (
+  SELECT t.v AS v, least(t.l, coalesce(m.ml, t.l)) AS l
+  FROM cl{i - 1} t
+  LEFT JOIN (
+    SELECT b.v AS v, min(p.l) AS ml
+    FROM cbidir b JOIN cl{i - 1} p ON p.v = b.u
+    GROUP BY b.v
+  ) m ON m.v = t.v
+)"""
+        )
+    n = rounds
+    ctes.append(
+        f"cchg AS (SELECT count(*) AS c FROM cl{n} a "
+        f"JOIN cl{n - 1} b ON a.v = b.v AND a.l != b.l)"
+    )
+    ctes.append(
+        f"clbl AS (SELECT v AS tid, l AS community FROM cl{n} "
+        f"WHERE (SELECT c FROM cchg) = 0)"
+    )
+    return "WITH " + ",\n".join(ctes) + ",\n" + entrymod._CPM_MEMB_SQL
+
+
 def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
     """Engine-side peel depths at this tier -> the unroll each oracle
     needs (depth + 1 slack; the driver's sf0.01 constants stay in
@@ -261,12 +300,20 @@ def main() -> None:
         "first level alone at sf0.1"
     )
     oracles["backbone_profile"] = _backbone_unrolled_sql(24)
+    cpm_note = (
+        "unrolled min-label propagation over the triangle-overlay "
+        "graph (24 rounds, fixpoint-guarded: 0 rows if unconverged) — "
+        "the driver's recursive CTE is quadratic in the largest "
+        "percolation cluster at this tier"
+    )
+    oracles["clique_percolation"] = _cpm_unrolled_sql(24)
 
     out: dict = {
         "oracle_overrides": {
             "connected_components": cc_note,
             "component_sizes": cc_note,
             "backbone_profile": backbone_note,
+            "clique_percolation": cpm_note,
         },
         "sf_dir": sf_dir,
         "cores": cores,
