@@ -105,6 +105,10 @@ from paralleltrianglecounting_spark.operators.triangles import (
     triangles_per_vertex,
 )
 from paralleltrianglecounting_spark.operators.percolation import clique_percolation
+from paralleltrianglecounting_spark.operators.nullmodel import (
+    powerlaw_alpha,
+    triangle_significance,
+)
 from paralleltrianglecounting_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_PARAMS,
@@ -135,6 +139,7 @@ from paralleltrianglecounting_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
     dup_ngram_spans,
+    dup_span_runs,
     fingerprints,
     lang_id,
     pmi_collocations,
@@ -305,6 +310,26 @@ csizes AS (SELECT community, count(*)::BIGINT AS n_members FROM memb GROUP BY co
 SELECT m.vertex, m.community, s.n_members
 FROM memb m JOIN csizes s USING (community)
 """.strip()
+
+# shared by the batch user_sessions gate and its streaming twin: the
+# stream's finalized session set must hash-equal the batch answer
+_SESSIONS_SQL = """WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id"""
 
 PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
@@ -1563,10 +1588,26 @@ ORDER BY t.cohort, t."offset\""""
 
 
 DUP_SPAN_N = 5
+# binds at both gate tiers: 833/2000 tail vertices at sf0.01,
+# 9754/20000 at sf0.1 (min degree 42/38 — a non-binding d_min would
+# make the filter dead code)
+POWERLAW_DMIN = 120
 
 
 def _q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_spans(_docs(spark, sf_dir), n=DUP_SPAN_N)
+
+
+def _q_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_runs(_docs(spark, sf_dir), n=DUP_SPAN_N)
+
+
+def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return powerlaw_alpha(part_graph(spark, sf_dir), d_min=POWERLAW_DMIN)
+
+
+def _q_triangle_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_significance(part_graph(spark, sf_dir))
 
 
 def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2051,6 +2092,110 @@ def _q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization gated against the SAME oracle as the
+    batch ``user_sessions``: native ``session_window`` state merging
+    under a watermark, run availableNow over staged files with an
+    APPEND-mode parquet sink (append is the production shape — each
+    session is emitted exactly once, when the watermark finalizes it).
+
+    The watermark-flush choreography is the real streaming lesson this
+    gate pins, and both halves were verified by building it wrong
+    first:
+
+    - the staged files replay in arbitrary order, so the watermark
+      delay must exceed the fixture's WHOLE time span or early-file
+      maxima mark later-file rows late and the aggregation silently
+      DROPS them (measured: a 2 h delay lost 302 of 946 sessions at
+      sf0.001). A bounded backfill replay therefore runs with a
+      delay > span — late-drop is a live-ingest semantic, not a
+      replay one;
+    - a watermark computed from batch N's data only APPLIES in batch
+      N+1, so after the real files are ingested, two strictly-later
+      sentinel events are appended in two separate single-file
+      triggers — the first advances the watermark past every real
+      session's end, the second's batch flushes them. Without the
+      second sentinel the tail sessions stay in state forever.
+      Sentinels carry user_id = −1 and are filtered from the result.
+
+    session_id (the oracle's 1-based per-user numbering) is assigned
+    driver-side on the COLLECTED final sessions — bounded by the
+    session count, not the event count."""
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        stream_user_sessions,
+    )
+
+    stage = tempfile.mkdtemp(prefix="sess_stream_stage_")
+    ck = tempfile.mkdtemp(prefix="sess_stream_ck_")
+    out = tempfile.mkdtemp(prefix="sess_stream_out_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        ev.repartition(24).write.mode("overwrite").parquet(stage)
+
+        wm_hours = 90000  # > any fixture's time span: replay, not live
+
+        def run(max_files: int) -> None:
+            q = (
+                stream_user_sessions(
+                    spark,
+                    stage,
+                    watermark=f"{wm_hours} hours",
+                    max_files_per_trigger=max_files,
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(8)
+        s_schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        for j, hours in enumerate((wm_hours + 6, wm_hours + 12)):
+            sent = spark.createDataFrame(
+                [(-1 - j, max_ts + timedelta(hours=hours), -1, "sentinel", 0.0)],
+                s_schema,
+            )
+            sent.coalesce(1).write.mode("append").parquet(stage)
+            run(1)
+        rows = (
+            spark.read.parquet(out)
+            .where(F.col("user_id") >= 0)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    rows.sort(key=lambda r: (r["user_id"], r["session_start"]))
+    data = []
+    prev_u, sid = None, 0
+    for r in rows:
+        sid = sid + 1 if r["user_id"] == prev_u else 1
+        prev_u = r["user_id"]
+        data.append(
+            (r["user_id"], sid, r["session_start"], r["session_end"], r["n_events"])
+        )
+    return spark.createDataFrame(
+        data,
+        "user_id long, session_id long, session_start timestamp, "
+        "session_end timestamp, n_events long",
+    )
+
+
 def _q_triangle_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact incremental triangle maintenance as a STREAM: the part
     graph's edges are staged as parquet files and ingested by an
@@ -2190,6 +2335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cosine": _q_item_cosine,
         "oov_rate": _q_oov_rate,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "dup_span_runs": _q_dup_span_runs,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "triangle_significance": _q_triangle_significance,
         "bigram_lm_scores": _q_bigram_lm,
         "retention_cohorts": _q_retention_cohorts,
         "weighted_triangle_intensity": _q_weighted_triangle_intensity,
@@ -2217,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": _q_events_quantiles,
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
+        "user_sessions_stream": _q_user_sessions_stream,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -2883,23 +3032,8 @@ FROM events GROUP BY event_type""",
         # monetary sum in DECIMAL(18,2): exact and order-free in both
         # engines, then ONE cast to double — a raw double sum is
         # partition-order-dependent and can never gate hash-exact
-        "user_sessions": """WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-sess AS (
-  SELECT user_id, ts,
-         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
-  FROM marked
-)
-SELECT user_id, session_id,
-       min(ts) AS session_start, max(ts) AS session_end,
-       count(*)::BIGINT AS n_events
-FROM sess GROUP BY user_id, session_id""",
+        "user_sessions": _SESSIONS_SQL,
+        "user_sessions_stream": _SESSIONS_SQL,
         "orders_rollup": """SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
        round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS total_r
@@ -4238,6 +4372,56 @@ SELECT doc.doc_id,
             THEN round(p.n_dup_windows::DOUBLE / p.n_windows, 6)
             ELSE 0.0 END AS dup_fraction_r
 FROM documents doc LEFT JOIN dper p ON p.doc_id = doc.doc_id""",
+        # gaps-and-islands over duplicated window positions: island id
+        # = i - row_number(); a position has exactly ONE gram, so the
+        # ddup join keeps each duplicated position once
+        "dup_span_runs": f"""WITH {_TOKS_CTE},
+dgp AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(toks, i, i + {DUP_SPAN_N} - 1), ' ')), 1, 14))::BIGINT AS gh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {DUP_SPAN_N} + 2)) AS i
+        FROM toks_t WHERE len(toks) >= {DUP_SPAN_N})
+),
+dgd AS (SELECT DISTINCT doc_id, gh FROM dgp),
+ddup AS (SELECT gh FROM dgd GROUP BY gh HAVING count(*) >= 2),
+dpos AS (SELECT p.doc_id, p.i FROM dgp p JOIN ddup d USING (gh)),
+isl AS (SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM dpos),
+runs AS (SELECT doc_id, g, count(*)::BIGINT AS len FROM isl GROUP BY doc_id, g),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_runs,
+               (max(len) + {DUP_SPAN_N} - 1)::BIGINT AS md
+        FROM runs GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_runs, 0)::BIGINT AS n_runs,
+       coalesce(p.md, 0)::BIGINT AS max_dup_span_tokens
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""",
+        # CSN eq. 3.7 over the degree HISTOGRAM (few float terms)
+        "powerlaw_alpha": f"""WITH {_EDGES_CTE},
+ph AS (SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree),
+pt AS (
+  SELECT coalesce(sum(n_vertices), 0)::BIGINT AS n_tail,
+         sum(n_vertices * ln(degree::DOUBLE / {POWERLAW_DMIN - 0.5})) AS s
+  FROM ph WHERE degree >= {POWERLAW_DMIN}
+)
+SELECT {POWERLAW_DMIN}::BIGINT AS d_min, n_tail,
+       CASE WHEN s > 0 THEN round(1.0 + n_tail / s, 6) END AS alpha_r
+FROM pt""",
+        # configuration-model E[T] = ((S2/S1)^3)/6 with the engine's
+        # exact association: ((r*r)*r)/6
+        "triangle_significance": f"""WITH {_EDGES_CTE},
+{_TRI_CTE},
+s AS (SELECT coalesce(sum(degree), 0)::BIGINT AS s1,
+             coalesce(sum(degree * (degree - 1)), 0)::BIGINT AS s2 FROM deg),
+t AS (SELECT count(*)::BIGINT AS triangles FROM tri)
+SELECT t.triangles,
+       CASE WHEN s.s1 > 0 THEN
+         round((s.s2::DOUBLE / s.s1) * (s.s2::DOUBLE / s.s1)
+               * (s.s2::DOUBLE / s.s1) / 6.0, 6) END AS expected_r,
+       CASE WHEN s.s1 > 0 AND s.s2 > 0 THEN
+         round(t.triangles / ((s.s2::DOUBLE / s.s1) * (s.s2::DOUBLE / s.s1)
+               * (s.s2::DOUBLE / s.s1) / 6.0), 6) END AS ratio_r
+FROM s, t""",
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "retention_cohorts": _retention_oracle_sql(),
         "weighted_triangle_intensity": _weighted_intensity_oracle_sql(),

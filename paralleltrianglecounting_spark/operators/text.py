@@ -779,6 +779,77 @@ def dup_ngram_spans(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def dup_span_runs(docs: DataFrame, n: int = 5) -> DataFrame:
+    """[doc_id, n_runs, max_dup_span_tokens] — the SPAN structure of
+    cross-document duplication: maximal runs of consecutive duplicated
+    n-gram windows per document (``dup_ngram_spans`` gives the
+    fraction; this gives the cut points). A run of L consecutive
+    duplicated windows covers L + n − 1 tokens — ``max_dup_span_tokens``
+    is the longest such span, the quantity exact-substring dedup
+    (Lee et al., ACL 2022 §4.1 — their suffix-array spans ≥ 50 tokens)
+    thresholds on; ``n_runs`` counts the maximal spans. Docs with no
+    duplicated window report (0, 0).
+
+    Plan shape at 100 TB: identical front end to ``dup_ngram_spans``
+    (per-row gram hashes, ONE (doc, gram) hash agg before any join,
+    rows-per-gram = distinct docs by construction), then the classic
+    gaps-and-islands: island id = position − row_number() over a
+    window PARTITIONED BY doc_id (bounded by document length, never
+    global) + two hash aggs. Everything past the gram join is linear
+    in the number of duplicated positions."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    m = F.size("_toks")
+    grams_pos = F.transform(
+        F.sequence(F.lit(1), m - n + 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            hash56(F.array_join(F.slice(F.col("_toks"), i, n), " ")).alias("gh"),
+        ),
+    )
+    g = (
+        toked.where(m >= n)
+        .select("doc_id", F.explode(grams_pos).alias("p"))
+        .select("doc_id", F.col("p.i").alias("i"), F.col("p.gh").alias("gh"))
+    )
+    # one row per (doc, gram) ⇒ rows per gram = distinct docs per gram
+    dup = (
+        g.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("gh")
+    )
+    # a position has exactly one gram, so the semi-join keeps each
+    # duplicated position once
+    dup_pos = g.join(dup, "gh", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        dup_pos.withColumn("_isl", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    per = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        (F.max("_len") + F.lit(n - 1)).cast("long").alias("max_dup_span_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("max_dup_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_dup_span_tokens"),
+        )
+    )
+
+
 def oov_rate(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
     """[doc_id, n_tokens, oov_frac_r] — fraction of a document's token
     OCCURRENCES that fall outside the corpus's ``vocab_size`` most

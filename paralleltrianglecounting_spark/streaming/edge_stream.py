@@ -105,6 +105,51 @@ def stream_sliding_events(
     )
 
 
+def stream_user_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming gap-based sessionization — Spark's NATIVE
+    ``session_window(ts, gap)`` state merge under a watermark: each
+    event extends (or opens) its user's session window; windows whose
+    end (last event + gap) falls behind the watermark are finalized,
+    EMITTED ONCE (append mode), and evicted. This is the true streaming
+    twin of the batch ``sessionize`` operator (operators/stats.py) —
+    the lag+running-sum form needs the whole history sorted per user;
+    the session-window form holds only OPEN sessions as state.
+
+    Semantics note, pinned by pytest (tests/test_session_stream.py):
+    session_window's merge test is INCLUSIVE of the window end — an
+    event exactly ``gap`` after the previous one merges, the same rule
+    as the batch lag form's strictly-greater-than split — so the two
+    twins agree everywhere, including the boundary (verified, not
+    assumed from the half-open-interval docs).
+
+    Returns the un-started aggregated stream: [user_id, session_start,
+    session_end, n_events]. The caller picks sink/trigger; append mode
+    requires the watermark, which bounds state to open sessions."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    stream = reader.parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{gap_minutes} minutes").alias("_sw"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
