@@ -45,6 +45,10 @@ from paralleltrianglecounting_spark.operators.degrees import (
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits, salsa
 from paralleltrianglecounting_spark.operators.motifs import (
+    _CLASS_DYADS,
+    FULL_TRIAD_CLASSES,
+    dyad_census,
+    full_triad_census,
     triad_census,
     weighted_triangle_intensity,
 )
@@ -1707,6 +1711,141 @@ def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_part_sequence_digraph(spark, sf_dir))
 
 
+def _q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dyad_census(_part_sequence_digraph(spark, sf_dir))
+
+
+def _q_full_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return full_triad_census(_part_sequence_digraph(spark, sf_dir))
+
+
+_TRIAD_ORACLE_CE = """ce AS MATERIALIZED (
+  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+  FROM de GROUP BY 1, 2
+)"""
+
+_DYAD_ORACLE_TAIL = """dv AS (
+  SELECT count(DISTINCT x)::BIGINT AS n FROM (
+    SELECT lo AS x FROM ce UNION ALL SELECT hi FROM ce
+  )
+),
+dma AS (
+  SELECT coalesce(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END), 0)::BIGINT AS mutual,
+         coalesce(sum(CASE WHEN code != 3 THEN 1 ELSE 0 END), 0)::BIGINT AS asym
+  FROM ce
+)"""
+
+
+def _dyad_census_oracle_sql() -> str:
+    return f"""WITH {_PART_SEQ_DE},
+{_TRIAD_ORACLE_CE},
+{_DYAD_ORACLE_TAIL}
+SELECT dv.n AS n_vertices, dma.mutual, dma.asym,
+       (dv.n * (dv.n - 1) // 2 - dma.mutual - dma.asym)::BIGINT AS null_dyads
+FROM dv, dma"""
+
+
+def _full_triad_census_oracle_sql() -> str:
+    """Full 16-class census: the closed classes via the textbook 3-way
+    self-join + the shared code CASE (the triad_census oracle), the
+    open connected classes via support wedges with a null closing
+    pair, 012/102/003 via the same inclusion–exclusion closed forms
+    as the engine (the per-class dyad compositions are the published
+    contract, not an engine internal)."""
+    comp_vals = ", ".join(
+        f"('{k}', {m}, {a})" for k, (m, a) in sorted(_CLASS_DYADS.items())
+    )
+    uni_vals = ", ".join(f"('{c}')" for c in FULL_TRIAD_CLASSES)
+    return f"""WITH {_PART_SEQ_DE},
+{_TRIAD_ORACLE_CE},
+tri AS (
+  SELECT ab.code AS a, bc.code AS b, ac.code AS c
+  FROM ce ab
+  JOIN ce bc ON bc.lo = ab.hi
+  JOIN ce ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+cls AS (
+  SELECT CASE
+    WHEN (a = 3)::INT + (b = 3)::INT + (c = 3)::INT = 3 THEN '300'
+    WHEN (a = 3)::INT + (b = 3)::INT + (c = 3)::INT = 2 THEN '210'
+    WHEN a = 3 THEN CASE (b = 2)::INT + (c = 2)::INT
+                    WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+    WHEN b = 3 THEN CASE (a = 1)::INT + (c = 1)::INT
+                    WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+    WHEN c = 3 THEN CASE (a = 2)::INT + (b = 1)::INT
+                    WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+    WHEN (a = 1 AND b = 1 AND c = 2) OR (a = 2 AND b = 2 AND c = 1)
+      THEN '030C'
+    ELSE '030T' END AS triad_class
+  FROM tri
+),
+inc AS (
+  SELECT lo AS z, hi AS o,
+         CASE WHEN code = 3 THEN 'm' WHEN code = 1 THEN 'out' ELSE 'in' END AS s
+  FROM ce
+  UNION ALL
+  SELECT hi, lo,
+         CASE WHEN code = 3 THEN 'm' WHEN code = 2 THEN 'out' ELSE 'in' END
+  FROM ce
+),
+wed AS (
+  SELECT i1.o AS lo, i2.o AS hi, i1.s AS s1, i2.s AS s2
+  FROM inc i1 JOIN inc i2 ON i1.z = i2.z AND i1.o < i2.o
+),
+openw AS (
+  SELECT w.s1, w.s2 FROM wed w
+  LEFT JOIN ce ON ce.lo = w.lo AND ce.hi = w.hi
+  WHERE ce.lo IS NULL
+),
+ocls AS (
+  SELECT CASE
+    WHEN s1 = 'm' AND s2 = 'm' THEN '201'
+    WHEN s1 = 'm' OR s2 = 'm' THEN
+      CASE WHEN (CASE WHEN s1 = 'm' THEN s2 ELSE s1 END) = 'out'
+           THEN '111U' ELSE '111D' END
+    WHEN s1 = 'out' AND s2 = 'out' THEN '021D'
+    WHEN s1 = 'in' AND s2 = 'in' THEN '021U'
+    ELSE '021C' END AS triad_class
+  FROM openw
+),
+conn AS (
+  SELECT triad_class, count(*)::BIGINT AS triads FROM (
+    SELECT triad_class FROM cls UNION ALL SELECT triad_class FROM ocls
+  ) GROUP BY 1
+),
+comp(triad_class, m, a) AS (VALUES {comp_vals}),
+sums AS (
+  SELECT coalesce(sum(c.triads * comp.m), 0)::BIGINT AS sm,
+         coalesce(sum(c.triads * comp.a), 0)::BIGINT AS sa,
+         coalesce(sum(c.triads), 0)::BIGINT AS stot
+  FROM conn c JOIN comp USING (triad_class)
+),
+{_DYAD_ORACLE_TAIL},
+der AS (
+  SELECT '012' AS triad_class,
+         (dma.asym * (dv.n - 2) - sums.sa)::BIGINT AS triads
+  FROM dv, dma, sums
+  UNION ALL
+  SELECT '102', (dma.mutual * (dv.n - 2) - sums.sm)::BIGINT
+  FROM dv, dma, sums
+  UNION ALL
+  SELECT '003', ((dv.n * (dv.n - 1) // 2) * (dv.n - 2) // 3 - sums.stot
+         - (dma.asym * (dv.n - 2) - sums.sa)
+         - (dma.mutual * (dv.n - 2) - sums.sm))::BIGINT
+  FROM dv, dma, sums
+),
+uni(triad_class) AS (VALUES {uni_vals})
+SELECT u.triad_class, coalesce(s.t, 0)::BIGINT AS triads
+FROM uni u LEFT JOIN (
+  SELECT triad_class, sum(triads)::BIGINT AS t FROM (
+    SELECT * FROM conn UNION ALL SELECT * FROM der
+  ) GROUP BY 1
+) s USING (triad_class)
+ORDER BY u.triad_class"""
+
+
 def _triad_census_oracle_sql() -> str:
     """Closed-triad census over the part-succession digraph: fold each
     arc pair into a 2-bit code on the canonical (lo, hi) support edge,
@@ -2330,6 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_citation": _q_co_citation,
         "bibliographic_coupling": _q_bibliographic_coupling,
         "triad_census": _q_triad_census,
+        "dyad_census": _q_dyad_census,
+        "full_triad_census": _q_full_triad_census,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
         "item_cosine": _q_item_cosine,
@@ -4341,6 +4482,8 @@ LIMIT {LINKPRED_K}""",
         "co_citation": _cocitation_oracle_sql("src", "dst"),
         "bibliographic_coupling": _cocitation_oracle_sql("dst", "src"),
         "triad_census": _triad_census_oracle_sql(),
+        "dyad_census": _dyad_census_oracle_sql(),
+        "full_triad_census": _full_triad_census_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
         "winnow_dup_clusters": _winnow_clusters_oracle_sql(),
         "item_cosine": _item_cosine_oracle_sql(),

@@ -166,3 +166,193 @@ def weighted_triangle_intensity(wedges: DataFrame) -> DataFrame:
             F.sum(F.col("wuv") * F.col("wvw") * F.col("wuw")), F.lit(0)
         ).alias("intensity"),
     )
+
+
+#: the full Holland–Leinhardt universe (16 isomorphism classes)
+FULL_TRIAD_CLASSES = [
+    "003", "012", "021C", "021D", "021U", "030C", "030T", "102",
+    "111D", "111U", "120C", "120D", "120U", "201", "210", "300",
+]
+
+#: (mutual, asymmetric) dyad composition of each CONNECTED class —
+#: the inclusion–exclusion constants for the 012/102 closed forms
+_CLASS_DYADS = {
+    "021C": (0, 2), "021D": (0, 2), "021U": (0, 2),
+    "111D": (1, 1), "111U": (1, 1), "201": (2, 0),
+    "030C": (0, 3), "030T": (0, 3),
+    "120C": (1, 2), "120D": (1, 2), "120U": (1, 2),
+    "210": (2, 1), "300": (3, 0),
+}
+
+
+def dyad_census(dedges: DataFrame) -> DataFrame:
+    """One row [n_vertices, mutual, asym, null_dyads] — the
+    Holland–Leinhardt M-A-N dyad census: mutual pairs (arcs both
+    ways), asymmetric pairs (one arc), and null pairs (no arc, by
+    C(n,2) subtraction — never materialized). The vertex universe is
+    the SUPPORT vertices (endpoints of a non-loop arc); self-loops are
+    not dyads and are dropped, as in :func:`coded_edges`.
+
+    One dedup + one (lo, hi) hash agg + two 1-row aggregates. The
+    C(n,2) term runs in ANSI int64 — overflow past n ≈ 4.3e9 raises
+    loudly rather than wrapping."""
+    ce = coded_edges(dedges)
+    verts = (
+        ce.select(F.col("lo").alias("v"))
+        .unionAll(ce.select(F.col("hi").alias("v")))
+        .distinct()
+    )
+    nv = verts.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    ma = ce.agg(
+        F.coalesce(F.sum(F.when(F.col("code") == 3, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("mutual"),
+        F.coalesce(F.sum(F.when(F.col("code") != 3, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("asym"),
+    )
+    return nv.crossJoin(ma).select(
+        "n_vertices",
+        "mutual",
+        "asym",
+        (
+            F.expr("n_vertices * (n_vertices - 1) div 2")
+            - F.col("mutual")
+            - F.col("asym")
+        )
+        .cast("long")
+        .alias("null_dyads"),
+    )
+
+
+def full_triad_census(dedges: DataFrame, strategy: str = "auto") -> DataFrame:
+    """[triad_class, triads] over ALL 16 Holland–Leinhardt classes —
+    the complete triad census of a digraph, never touching the
+    O(|V|³) triple space:
+
+    - the 7 closed (triangle) classes come from :func:`triad_census`
+      (the engine's rank-oriented enumeration);
+    - the 6 open CONNECTED classes (021D/021U/021C one-apex dyad
+      pairs, 111D/111U, 201) are support WEDGES whose closing pair is
+      null: one apex self-join of the per-vertex dyad-state incidence
+      + one anti-join against the coded edge set + a CASE — each such
+      triple has exactly 2 non-null dyads, so exactly one wedge emits
+      it (no dedup);
+    - 012, 102, 003 are CLOSED FORMS: every triple containing a given
+      dyad either has its other two dyads null (class 012/102) or is
+      one of the counted connected triples, so
+          012 = A·(n−2) − Σ counted·a(class)
+          102 = M·(n−2) − Σ counted·m(class)
+          003 = C(n,3) − everything else
+      with (m, a) the per-class dyad composition (``_CLASS_DYADS``)
+      and M/A/n from :func:`dyad_census` — pure 1-row integer
+      arithmetic (ANSI: overflow raises; C(n,3) fits int64 to
+      n ≈ 3.8e6 — past that the null-heavy classes are reported by
+      the dyad census instead).
+
+    Class naming (Wikipedia/statnet convention, pinned by the brute
+    permutation-canonical twin in tests): 021D = out-star A←B→C,
+    021U = in-star, 021C = chain; 111U = mutual pair pointing OUT at
+    the third (0↔1→2), 111D = third pointing IN (0↔1←2); D/U for 120
+    follows the off-mutual vertex's arcs exactly as in the closed
+    census."""
+    closed = triad_census(dedges, strategy=strategy)
+    ce = coded_edges(dedges)
+    # per-vertex dyad-state incidence: how vertex z sees each partner
+    s_lo = (
+        F.when(F.col("code") == 3, F.lit("m"))
+        .when(F.col("code") == 1, F.lit("out"))
+        .otherwise(F.lit("in"))
+    )
+    s_hi = (
+        F.when(F.col("code") == 3, F.lit("m"))
+        .when(F.col("code") == 2, F.lit("out"))
+        .otherwise(F.lit("in"))
+    )
+    inc = ce.select(
+        F.col("lo").alias("z"), F.col("hi").alias("o"), s_lo.alias("s")
+    ).unionAll(
+        ce.select(F.col("hi").alias("z"), F.col("lo").alias("o"), s_hi.alias("s"))
+    )
+    w1 = inc.alias("w1")
+    w2 = inc.alias("w2")
+    wedges = w1.join(
+        w2, (F.col("w1.z") == F.col("w2.z")) & (F.col("w1.o") < F.col("w2.o"))
+    ).select(
+        F.col("w1.o").alias("lo"),
+        F.col("w2.o").alias("hi"),
+        F.col("w1.s").alias("s1"),
+        F.col("w2.s").alias("s2"),
+    )
+    open_wedges = wedges.join(
+        ce.select("lo", "hi"), ["lo", "hi"], "left_anti"
+    )
+    nm = F.when(F.col("s1") == "m", 1).otherwise(0) + F.when(
+        F.col("s2") == "m", 1
+    ).otherwise(0)
+    asym_s = F.when(F.col("s1") == "m", F.col("s2")).otherwise(F.col("s1"))
+    open_cls = (
+        F.when(nm == 2, F.lit("201"))
+        .when(nm == 1, F.when(asym_s == "out", F.lit("111U")).otherwise(F.lit("111D")))
+        .when((F.col("s1") == "out") & (F.col("s2") == "out"), F.lit("021D"))
+        .when((F.col("s1") == "in") & (F.col("s2") == "in"), F.lit("021U"))
+        .otherwise(F.lit("021C"))
+    )
+    open_counts = (
+        open_wedges.select(open_cls.alias("triad_class"))
+        .groupBy("triad_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("triads"))
+    )
+    spark = dedges.sparkSession
+    conn = closed.select("triad_class", "triads").unionAll(
+        open_counts.select("triad_class", "triads")
+    )
+    comp = spark.createDataFrame(
+        [(k, m, a) for k, (m, a) in sorted(_CLASS_DYADS.items())],
+        "triad_class string, m long, a long",
+    )
+    sums = conn.join(F.broadcast(comp), "triad_class").agg(
+        F.coalesce(F.sum(F.col("triads") * F.col("m")), F.lit(0)).alias("_sm"),
+        F.coalesce(F.sum(F.col("triads") * F.col("a")), F.lit(0)).alias("_sa"),
+        F.coalesce(F.sum("triads"), F.lit(0)).alias("_stot"),
+    )
+    d = dyad_census(dedges)
+    c012 = F.col("asym") * (F.col("n_vertices") - 2) - F.col("_sa")
+    c102 = F.col("mutual") * (F.col("n_vertices") - 2) - F.col("_sm")
+    c3 = F.expr(
+        "(n_vertices * (n_vertices - 1) div 2) * (n_vertices - 2) div 3"
+    )
+    derived = (
+        d.crossJoin(sums)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("012").alias("triad_class"),
+                        c012.cast("long").alias("triads"),
+                    ),
+                    F.struct(
+                        F.lit("102").alias("triad_class"),
+                        c102.cast("long").alias("triads"),
+                    ),
+                    F.struct(
+                        F.lit("003").alias("triad_class"),
+                        (c3 - F.col("_stot") - c012 - c102)
+                        .cast("long")
+                        .alias("triads"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.triad_class", "r.triads")
+    )
+    universe = spark.createDataFrame(
+        [(t,) for t in FULL_TRIAD_CLASSES], "triad_class string"
+    )
+    counted = conn.unionAll(derived)
+    return (
+        universe.join(counted, "triad_class", "left")
+        .groupBy("triad_class")
+        .agg(F.coalesce(F.sum("triads"), F.lit(0)).cast("long").alias("triads"))
+        .orderBy("triad_class")
+    )
