@@ -129,6 +129,7 @@ from paralleltrianglecounting_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from paralleltrianglecounting_spark.operators.similarity import (
+    quantize_embeddings,
     ANN_BANDS,
     ANN_PLANES_PER_BAND,
     NEAR_DUP_BANDS,
@@ -2133,6 +2134,10 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), k=5, n_queries=20)
 
@@ -2495,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near_duplicates": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
+        "embedding_quantization": _q_quantize_embeddings,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
@@ -2978,6 +2984,30 @@ WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
         # (pigeonhole still makes recall exact while no bucket overflows
         # — tests/test_dedup_similarity.py proves both regimes)
         "simhash_near_duplicates": simhash_neardup_sql,
+        # int8-style scalar quantization: integer code checksums are
+        # order-free; the error mean is the one float, 6-dp rounded
+        "embedding_quantization": """WITH eq AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings
+),
+eqs AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+  FROM eq
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_r,
+       (CASE WHEN scale > 0 THEN
+         list_sum(list_transform(x, v -> round(v / scale)::BIGINT))
+       ELSE 0 END)::BIGINT AS code_sum,
+       (CASE WHEN scale > 0 THEN
+         list_sum(list_transform(x,
+           v -> round(v / scale)::BIGINT * round(v / scale)::BIGINT))
+       ELSE 0 END)::BIGINT AS code_sumsq,
+       CASE WHEN scale > 0 THEN
+         round(list_sum(list_transform(x,
+           v -> abs(v - round(v / scale) * scale))) / len(x), 6)
+       ELSE 0.0 END AS mean_abs_err_r
+FROM eqs""",
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),

@@ -410,3 +410,66 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_r") >= threshold)
     )
+
+
+def quantize_embeddings(emb: DataFrame, levels: int = 127) -> DataFrame:
+    """[vec_id, scale_r, code_sum, code_sumsq, mean_abs_err_r] —
+    symmetric scalar (int8-style) quantization of each embedding:
+    ``scale = max|x_i| / levels``, ``code_i = round(x_i / scale)`` ∈
+    [−levels, levels] — the standard 4× vector-compression step a
+    100 TB ANN pipeline applies BEFORE the bucketed candidate join
+    (Jégou et al.'s SQ baseline; codes ride the shuffle, the float
+    payload stays columnar at rest and joins back only for the final
+    re-rank). The gate reports exact-integer code checksums
+    (Σ code, Σ code² — order-free, value-pinning) plus the
+    reconstruction error mean |x_i − code_i·scale| — the quality
+    metric that decides whether int8 is safe for a given corpus.
+
+    Engine portability: the max element always quantizes to ±levels
+    (x_max/(x_max/levels) = levels·(1/(1+ε)) rounds to levels — never
+    levels+1), round() is half-away-from-zero in both engines, and
+    the only order-dependent float is the error mean over one
+    vector's dims, absorbed by the 6-dp round. All per-row array
+    expressions in whole-stage codegen — zero joins, zero shuffles;
+    a zero vector keeps scale 0, all-zero codes, and error 0."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    base = emb.select("vec_id", x.alias("_x"))
+    scale = F.array_max(F.transform(F.col("_x"), F.abs)) / F.lit(float(levels))
+    s = base.select("vec_id", "_x", scale.alias("_scale"))
+
+    def _code(v: Column) -> Column:
+        return F.round(v / F.col("_scale")).cast("long")
+
+    def _lsum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    code_sum = F.when(
+        F.col("_scale") > 0, _lsum(F.transform(F.col("_x"), _code))
+    ).otherwise(F.lit(0))
+    code_sumsq = F.when(
+        F.col("_scale") > 0,
+        _lsum(F.transform(F.col("_x"), lambda v: _code(v) * _code(v))),
+    ).otherwise(F.lit(0))
+    err = F.when(
+        F.col("_scale") > 0,
+        F.aggregate(
+            F.transform(
+                F.col("_x"),
+                lambda v: F.abs(
+                    v - F.round(v / F.col("_scale")) * F.col("_scale")
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        / F.size("_x"),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "vec_id",
+        F.round("_scale", 6).alias("scale_r"),
+        code_sum.cast("long").alias("code_sum"),
+        code_sumsq.cast("long").alias("code_sumsq"),
+        F.round(err, 6).alias("mean_abs_err_r"),
+    )
