@@ -184,6 +184,14 @@ from paralleltrianglecounting_spark.operators.text import (
     winnow_dup_clusters,
     winnow_fingerprints,
 )
+from paralleltrianglecounting_spark.operators.sketches import (
+    CMS_PARAMS,
+    CMS_WIDTH,
+    HLL_P,
+    cms_heavy_hitters,
+    cms_registers,
+    hll_registers,
+)
 from paralleltrianglecounting_spark.operators.walks import biased_walks, random_walks
 from paralleltrianglecounting_spark.operators.bipartite import (
     bipartite_motifs,
@@ -2134,6 +2142,18 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_registers(_docs(spark, sf_dir))
+
+
+def _q_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_registers(_docs(spark, sf_dir))
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_emb(spark, sf_dir))
 
@@ -2501,6 +2521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "embedding_quantization": _q_quantize_embeddings,
+        "hll_registers": _q_hll_registers,
+        "cms_registers": _q_cms_registers,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_duplicates": _q_embedding_near_dups,
@@ -2545,6 +2568,18 @@ _M = 2_147_483_647
 
 def _minhash_params_values() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+
+
+def _cms_bucket_legs(src: str, extra_cols: str = "") -> str:
+    """UNION ALL legs computing the depth CMS bucket indexes of ``h0``
+    rows in CTE ``src`` — the same affine family as
+    sketches._cms_buckets, parameters shared verbatim."""
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT {extra_cols}{r}::BIGINT AS r,"
+        f" ((({a} * h0 + {b}) % {_M}) % {CMS_WIDTH})::BIGINT AS bucket"
+        f" FROM {src}"
+        for r, (a, b) in enumerate(CMS_PARAMS)
+    )
 
 
 def _doc_oracles() -> dict[str, str]:
@@ -3008,6 +3043,44 @@ SELECT vec_id,
            v -> abs(v - round(v / scale) * scale))) / len(x), 6)
        ELSE 0.0 END AS mean_abs_err_r
 FROM eqs""",
+        # HLL registers: every gated quantity is an integer (index,
+        # max-rho); trailing zeros via bit_count((w & -w) - 1), the
+        # cross-engine form the anf_bits gate established
+        "hll_registers": f"""WITH {_TOKS_CTE},
+tok AS (SELECT lang, unnest(toks) AS tok FROM toks_t),
+hh AS (SELECT lang, {_H56.format(x="tok")} AS h FROM tok),
+ww AS (SELECT lang, (h % {1 << HLL_P})::BIGINT AS register,
+              (h >> {HLL_P})::BIGINT AS w FROM hh)
+SELECT lang, register,
+       (MAX(CASE WHEN w = 0 THEN {56 - HLL_P + 1}
+                 ELSE bit_count((w & (-w)) - 1) + 1 END))::BIGINT AS max_rho
+FROM ww GROUP BY lang, register""",
+        "cms_registers": f"""WITH {_TOKS_CTE},
+tok AS (SELECT unnest(toks) AS tok FROM toks_t),
+hh AS (SELECT ({_H56.format(x="tok")} % {_M}) AS h0 FROM tok),
+b AS (
+  {_cms_bucket_legs("hh")}
+)
+SELECT r, bucket, count(*)::BIGINT AS cnt FROM b GROUP BY r, bucket""",
+        "cms_heavy_hitters": f"""WITH {_TOKS_CTE},
+tok AS (SELECT unnest(toks) AS tok FROM toks_t),
+hh AS (SELECT tok, ({_H56.format(x="tok")} % {_M}) AS h0 FROM tok),
+cnts AS (SELECT tok, min(h0) AS h0, count(*)::BIGINT AS exact_cnt
+         FROM hh GROUP BY tok),
+topk AS (SELECT tok, exact_cnt, h0,
+                (row_number() OVER (ORDER BY exact_cnt DESC, tok ASC))::BIGINT
+                  AS rank
+         FROM cnts ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+b AS (
+  {_cms_bucket_legs("hh")}
+),
+cms AS (SELECT r, bucket, count(*)::BIGINT AS cnt FROM b GROUP BY r, bucket),
+probes AS (
+  {_cms_bucket_legs("topk", extra_cols="tok, exact_cnt, rank, ")}
+)
+SELECT p.tok, p.exact_cnt, min(c.cnt)::BIGINT AS cms_est, p.rank
+FROM probes p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.tok, p.exact_cnt, p.rank""",
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
