@@ -134,6 +134,7 @@ from paralleltrianglecounting_spark.operators.similarity import (
     ANN_PLANES_PER_BAND,
     NEAR_DUP_BANDS,
     NEAR_DUP_PLANES_PER_BAND,
+    ann_recall,
     cosine_topk,
     embedding_near_duplicates,
     hyperplane_signs,
@@ -2158,6 +2159,10 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_emb(spark, sf_dir))
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), k=5, n_queries=20)
 
@@ -2526,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "ann_recall": _q_ann_recall,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "triangle_list": _q_triangle_list,
         "clique_percolation": _q_clique_percolation,
@@ -4375,11 +4381,39 @@ SELECT (SELECT v FROM start) AS start_vertex,
 FROM m2"""
 
 
+def _ann_recall_oracle_sql(oracles: dict[str, str]) -> str:
+    """Compose the recall@k audit from the three index oracles already
+    in the contract (each a standalone WITH query — DuckDB accepts a
+    WITH inside a parenthesized subquery), so truth set and candidate
+    sets are BY CONSTRUCTION the same SQL the per-index gates verify."""
+    exact, lsh, ivf = (
+        oracles["cosine_topk"],
+        oracles["lsh_ann_topk"],
+        oracles["ivf_ann_topk"],
+    )
+    return f"""WITH x AS (SELECT query_id, neighbor_id FROM ({exact})),
+l AS (SELECT query_id, neighbor_id FROM ({lsh})),
+i AS (SELECT query_id, neighbor_id FROM ({ivf})),
+base AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM x GROUP BY query_id),
+lh AS (SELECT x.query_id, count(*)::BIGINT AS n FROM x
+       JOIN l ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+       GROUP BY x.query_id),
+ih AS (SELECT x.query_id, count(*)::BIGINT AS n FROM x
+       JOIN i ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+       GROUP BY x.query_id)
+SELECT b.query_id, b.n_exact,
+       coalesce(lh.n, 0)::BIGINT AS n_lsh_hits,
+       coalesce(ih.n, 0)::BIGINT AS n_ivf_hits
+FROM base b
+LEFT JOIN lh ON lh.query_id = b.query_id
+LEFT JOIN ih ON ih.query_id = b.query_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     tri_sql = (
         f"WITH {_EDGES_CTE},\n{_TRI_CTE}\nSELECT count(*) AS triangles FROM tri"
     )
-    return {
+    out = {
         "edges_part_graph": f"WITH {_EDGES_CTE}\nSELECT src, dst FROM edges",
         "degrees": f"WITH {_EDGES_CTE}\nSELECT v AS vertex, degree FROM deg",
         "triangle_count": tri_sql,
@@ -4853,3 +4887,5 @@ tb AS (
 SELECT CAST(tu.c - tb.c AS BIGINT) AS new_triangles FROM tu, tb""",
         **_doc_oracles(),
     }
+    out["ann_recall"] = _ann_recall_oracle_sql(out)
+    return out

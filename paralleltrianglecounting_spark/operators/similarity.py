@@ -473,3 +473,51 @@ def quantize_embeddings(emb: DataFrame, levels: int = 127) -> DataFrame:
         code_sumsq.cast("long").alias("code_sumsq"),
         F.round(err, 6).alias("mean_abs_err_r"),
     )
+
+
+def ann_recall(
+    embeddings: DataFrame, k: int = 5, n_queries: int = 20
+) -> DataFrame:
+    """[query_id, n_exact, n_lsh_hits, n_ivf_hits]: recall@k audit of
+    both approximate indexes against the exact scan — per query, how
+    many of the true top-k cosine neighbors each ANN path recovered.
+    The routine evaluation step of any retrieval pipeline (recall =
+    n_hits / n_exact); emitted as INTEGER hit counts so the gate stays
+    hash-exact and the division is the caller's one float.
+
+    Plan: the truth set is k·|Q| rows, so both hit joins broadcast it;
+    the expensive legs are the three index scans themselves, shapes
+    audited under their own gates (``cosine_topk``, ``lsh_ann_topk``,
+    ``ivf_ann_topk``). At 100 TB the exact leg is the one that cannot
+    run on the full corpus — the standard practice this operator
+    encodes is measuring recall on a sampled query panel (n_queries)
+    against a brute-forced ground truth of the same panel, which is
+    exactly its shape: every input here is panel-sized except the ANN
+    scans being audited."""
+    exact = cosine_topk(embeddings, k=k, n_queries=n_queries)
+    lsh = lsh_ann_topk(embeddings, k=k, n_queries=n_queries)
+    ivf = ivf_ann_topk(embeddings, k=k, n_queries=n_queries)
+    truth = exact.select("query_id", "neighbor_id")
+    base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def _hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            truth.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        base.join(_hits(lsh, "n_lsh_hits"), "query_id", "left")
+        .join(_hits(ivf, "n_ivf_hits"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_lsh_hits"), F.lit(0)).alias("n_lsh_hits"),
+            F.coalesce(F.col("n_ivf_hits"), F.lit(0)).alias("n_ivf_hits"),
+        )
+    )

@@ -146,3 +146,42 @@ def test_cms_registers_mergeable_and_mass_preserving(spark, sf_tiny):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+# --- ann_recall (operators/similarity.py) ---------------------------------
+
+
+def test_ann_recall_bounds_and_consistency(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+    rows = ann_recall(emb, k=5, n_queries=20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_lsh_hits"] <= r["n_exact"]
+        assert 0 <= r["n_ivf_hits"] <= r["n_exact"]
+    # on near-random synthetic embeddings both indexes still recover a
+    # meaningful fraction (measured ~0.5 at sf0.001) — pin a floor so a
+    # broken candidate path (recall ~ n_probe/|cells|) fails loudly
+    total = sum(r["n_exact"] for r in rows)
+    assert sum(r["n_lsh_hits"] for r in rows) / total >= 0.3
+    assert sum(r["n_ivf_hits"] for r in rows) / total >= 0.3
+    # cross-check one leg by hand: hits == |exact ∩ approx| per query
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5, n_queries=20).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, k=5, n_queries=20).collect()
+    }
+    want = {}
+    for q, n in exact & lsh:
+        want[q] = want.get(q, 0) + 1
+    got = {r["query_id"]: r["n_lsh_hits"] for r in rows}
+    assert {q: c for q, c in got.items() if c} == want
