@@ -2163,6 +2163,12 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(_emb(spark, sf_dir), k=5, n_queries=20)
 
 
+def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paralleltrianglecounting_spark.operators.simrank import simrank
+
+    return simrank(part_graph(spark, sf_dir))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), k=5, n_queries=20)
 
@@ -2532,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ann_recall": _q_ann_recall,
+        "simrank": _q_simrank,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "triangle_list": _q_triangle_list,
         "clique_percolation": _q_clique_percolation,
@@ -4381,6 +4388,57 @@ SELECT (SELECT v FROM start) AS start_vertex,
 FROM m2"""
 
 
+def _simrank_oracle_sql() -> str:
+    """Unrolled synchronous SimRank (operators/simrank.py) on the
+    induced top-SIMRANK_CORE core: s0 = identity; each round the
+    wedge-pair join s_k(i,j) × N⁻¹ fan-out, summed per (a, b) and
+    scaled by C/(d_a·d_b); diagonal re-pinned to 1. Final values
+    6-dp-rounded (the iterative-gate float contract)."""
+    from paralleltrianglecounting_spark.operators.simrank import (
+        SIMRANK_C,
+        SIMRANK_CORE,
+        SIMRANK_ITERS,
+    )
+
+    ctes = [
+        _EDGES_CTE,
+        f"""core AS MATERIALIZED (
+  SELECT v FROM deg ORDER BY degree DESC, v ASC LIMIT {SIMRANK_CORE}
+)""",
+        """cadj AS MATERIALIZED (
+  SELECT b.u AS src, b.v AS dst
+  FROM bidir b JOIN core c1 ON c1.v = b.u JOIN core c2 ON c2.v = b.v
+)""",
+        "cdeg AS (SELECT src, count(*) AS d FROM cadj GROUP BY src)",
+        "s0 AS (SELECT src AS i, src AS j, 1.0 AS s FROM cdeg)",
+    ]
+    for k in range(1, SIMRANK_ITERS + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT nx.i, nx.j, {SIMRANK_C} * nx.t / (da.d * db.d) AS s
+  FROM (
+    SELECT a.src AS i, b.src AS j, sum(p.s) AS t
+    FROM s{k - 1} p
+    JOIN cadj a ON a.dst = p.i
+    JOIN cadj b ON b.dst = p.j
+    WHERE a.src != b.src
+    GROUP BY a.src, b.src
+  ) nx
+  JOIN cdeg da ON da.src = nx.i
+  JOIN cdeg db ON db.src = nx.j
+  UNION ALL
+  SELECT src, src, 1.0 FROM cdeg
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT i AS a, j AS b, round(s, 6) AS sim_r FROM s{SIMRANK_ITERS}
+WHERE i < j AND round(s, 6) >= 0.000001"""
+    )
+
+
 def _ann_recall_oracle_sql(oracles: dict[str, str]) -> str:
     """Compose the recall@k audit from the three index oracles already
     in the contract (each a standalone WITH query — DuckDB accepts a
@@ -4888,4 +4946,5 @@ SELECT CAST(tu.c - tb.c AS BIGINT) AS new_triangles FROM tu, tb""",
         **_doc_oracles(),
     }
     out["ann_recall"] = _ann_recall_oracle_sql(out)
+    out["simrank"] = _simrank_oracle_sql()
     return out
