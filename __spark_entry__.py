@@ -186,9 +186,14 @@ from paralleltrianglecounting_spark.operators.text import (
     winnow_fingerprints,
 )
 from paralleltrianglecounting_spark.operators.sketches import (
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    BLOOM_N,
+    BLOOM_PARAMS,
     CMS_PARAMS,
     CMS_WIDTH,
     HLL_P,
+    bloom_contamination,
     cms_heavy_hitters,
     cms_registers,
     hll_registers,
@@ -2155,6 +2160,10 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(_docs(spark, sf_dir), k=20)
 
 
+def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_contamination(_docs(spark, sf_dir))
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_emb(spark, sf_dir))
 
@@ -2535,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": _q_hll_registers,
         "cms_registers": _q_cms_registers,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bloom_contamination": _q_bloom_contamination,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ann_recall": _q_ann_recall,
@@ -2581,6 +2591,16 @@ _M = 2_147_483_647
 
 def _minhash_params_values() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+
+
+def _bloom_pos_legs(src: str, extra_cols: str = "") -> str:
+    """UNION ALL legs computing the BLOOM_HASHES bit positions of
+    ``h0`` rows in CTE ``src`` (sketches._bloom_positions verbatim)."""
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT {extra_cols}((({a} * h0 + {b}) % {_M}) % {BLOOM_BITS})::BIGINT"
+        f" AS pos FROM {src}"
+        for (a, b) in BLOOM_PARAMS
+    )
 
 
 def _cms_bucket_legs(src: str, extra_cols: str = "") -> str:
@@ -3094,6 +3114,56 @@ probes AS (
 SELECT p.tok, p.exact_cnt, min(c.cnt)::BIGINT AS cms_est, p.rank
 FROM probes p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
 GROUP BY p.tok, p.exact_cnt, p.rank""",
+        # Bloom decontamination: test split's grams set 3 bit positions
+        # each; a train gram is flagged iff all 3 positions are set —
+        # the count(*) = 3 check deliberately counts duplicate
+        # positions twice, matching the engine's posexplode probe
+        "bloom_contamination": f"""WITH {_TOKS_CTE},
+sp AS (
+  SELECT doc_id, ({_H56.format(x="'split:' || doc_id")} % 100) AS bucket
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {BLOOM_N - 1}, 1)),
+           i -> array_to_string(list_slice(toks, i, i + {BLOOM_N - 1}), ' ')
+         )) AS grams
+  FROM toks_t WHERE len(toks) >= {BLOOM_N}
+),
+g AS (
+  SELECT sh.doc_id, unnest(sh.grams) AS gram, sp.bucket
+  FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+),
+testg AS (
+  SELECT DISTINCT gram FROM g
+  WHERE bucket >= {SPLIT_WEIGHTS[0] + SPLIT_WEIGHTS[1]}
+),
+traing AS (SELECT doc_id, gram FROM g WHERE bucket < {SPLIT_WEIGHTS[0]}),
+th AS (SELECT ({_H56.format(x="gram")} % {_M}) AS h0 FROM testg),
+bits AS (SELECT DISTINCT pos FROM (
+  {_bloom_pos_legs("th")}
+)),
+ph AS (
+  SELECT doc_id, gram, ({_H56.format(x="gram")} % {_M}) AS h0 FROM traing
+),
+pp AS (
+  {_bloom_pos_legs("ph", extra_cols="doc_id, gram, ")}
+),
+bh AS (
+  SELECT pp.doc_id, pp.gram FROM pp JOIN bits ON bits.pos = pp.pos
+  GROUP BY pp.doc_id, pp.gram HAVING count(*) = {BLOOM_HASHES}
+),
+nb AS (SELECT doc_id, count(*)::BIGINT AS n_bloom_hits FROM bh GROUP BY doc_id),
+ne AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_exact_hits
+  FROM traing t JOIN testg x ON x.gram = t.gram GROUP BY t.doc_id
+),
+ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM traing GROUP BY doc_id)
+SELECT ng.doc_id, ng.n_grams, nb.n_bloom_hits,
+       coalesce(ne.n_exact_hits, 0)::BIGINT AS n_exact_hits
+FROM ng JOIN nb ON nb.doc_id = ng.doc_id
+LEFT JOIN ne ON ne.doc_id = ng.doc_id""",
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),

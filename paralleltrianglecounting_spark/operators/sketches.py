@@ -45,9 +45,13 @@ __all__ = [
     "hll_estimate",
     "cms_registers",
     "cms_heavy_hitters",
+    "bloom_contamination",
     "HLL_P",
     "CMS_DEPTH",
     "CMS_WIDTH",
+    "BLOOM_BITS",
+    "BLOOM_HASHES",
+    "BLOOM_N",
 ]
 
 # 2^8 = 256 registers per key: relative error ~1.04/sqrt(256) = 6.5%
@@ -229,3 +233,110 @@ def hll_estimate_numpy(tok_by_lang: dict[str, list[str]], p: int = HLL_P):
             est = raw
         out[lang] = est
     return out
+
+
+# --- Bloom-filter decontamination ------------------------------------------
+
+BLOOM_BITS = 1 << 16  # m: fill ratio ~0.4 at the fixtures' gram counts
+BLOOM_HASHES = 3
+# rows 4..6 of the published affine family (rows 0..3 are the CMS's)
+BLOOM_PARAMS = MINHASH_PARAMS[4 : 4 + BLOOM_HASHES]
+BLOOM_N = 3  # token n-gram size
+
+
+def _bloom_positions(h0):
+    """Array of the ``BLOOM_HASHES`` bit positions for item hash h0."""
+    return F.array(
+        *[
+            ((F.lit(a) * h0 + F.lit(b)) % HASH56_MOD % BLOOM_BITS)
+            for (a, b) in BLOOM_PARAMS
+        ]
+    )
+
+
+def _doc_grams(docs: DataFrame, n: int = BLOOM_N) -> DataFrame:
+    """[doc_id, gram]: distinct token n-grams per document (the same
+    shingle expression as dedup.contamination_check)."""
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("_ntok"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    ).where(F.col("_ntok") >= n).drop("_ntok")
+
+
+def bloom_contamination(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_grams, n_bloom_hits, n_exact_hits]: Bloom-filter
+    benchmark decontamination — the sketch counterpart of the exact
+    ``contamination_check``. The held-out split's distinct n-grams set
+    BLOOM_HASHES bits each in an m=2^16-bit filter; every train
+    document then reports how many of its distinct grams the filter
+    flags (all bits present) next to the true overlap count, so the
+    gate itself exhibits the one-sided guarantee (bloom ⊇ exact —
+    false positives possible, false negatives impossible).
+
+    Why a production pipeline wants this shape: the exact check joins
+    the full corpus gram stream against the benchmark gram TABLE; the
+    Bloom check reduces the benchmark side to a fixed m-bit bitmap —
+    broadcastable at ANY benchmark size — and the probe is a map-side
+    join against ≤ m rows of set bits. At 100 TB the exact join's
+    benchmark side may still be large (many eval suites × versions);
+    the bitmap never is. Splits come from ``dataset_split``'s stable
+    hash (train probes, test builds), so the gate is deterministic.
+    """
+    from paralleltrianglecounting_spark.operators.sampling import dataset_split
+
+    split = dataset_split(docs).select("doc_id", "split")
+    labeled = docs.join(split, "doc_id")
+    test_grams = _doc_grams(
+        labeled.where(F.col("split") == "test")
+    ).select("gram").distinct()
+    test_grams.persist()
+    # the filter: distinct set-bit positions of the test gram set
+    bits = (
+        test_grams.select(
+            F.explode(
+                _bloom_positions(hash56(F.col("gram")) % HASH56_MOD)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    train_grams = _doc_grams(labeled.where(F.col("split") == "train"))
+    probes = train_grams.select(
+        "doc_id",
+        "gram",
+        F.posexplode(
+            _bloom_positions(hash56(F.col("gram")) % HASH56_MOD)
+        ).alias("_r", "pos"),
+    )
+    bloom_hit = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+        .where(F.col("_nbits") == BLOOM_HASHES)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    exact_hit = (
+        train_grams.join(F.broadcast(test_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    base = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        base.join(bloom_hit, "doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).alias("n_exact_hits"),
+        )
+    )

@@ -185,3 +185,41 @@ def test_ann_recall_bounds_and_consistency(spark, sf_tiny):
         want[q] = want.get(q, 0) + 1
     got = {r["query_id"]: r["n_lsh_hits"] for r in rows}
     assert {q: c for q, c in got.items() if c} == want
+
+
+# --- bloom_contamination (operators/sketches.py) ---------------------------
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.sampling import dataset_split
+    from paralleltrianglecounting_spark.operators.sketches import (
+        BLOOM_N,
+        _doc_grams,
+        bloom_contamination,
+    )
+
+    docs = _docs(spark, sf_tiny)
+    rows = bloom_contamination(docs).collect()
+    assert rows
+    for r in rows:
+        # one-sided guarantee: no false negatives, FPs allowed
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]
+        assert r["n_grams"] >= r["n_bloom_hits"]
+    # exact side cross-checked against a direct semi-join recomputation
+    split = dataset_split(docs).select("doc_id", "split")
+    labeled = docs.join(split, "doc_id")
+    test_g = (
+        _doc_grams(labeled.where(F.col("split") == "test"), BLOOM_N)
+        .select("gram")
+        .distinct()
+    )
+    train_g = _doc_grams(labeled.where(F.col("split") == "train"), BLOOM_N)
+    want = {
+        r["doc_id"]: r["n"]
+        for r in train_g.join(test_g, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["doc_id"]: r["n_exact_hits"] for r in rows}
+    assert {d: n for d, n in got.items() if n} == want
