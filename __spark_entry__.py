@@ -135,6 +135,7 @@ from paralleltrianglecounting_spark.operators.similarity import (
     NEAR_DUP_BANDS,
     NEAR_DUP_PLANES_PER_BAND,
     ann_recall,
+    quantized_recall,
     cosine_topk,
     embedding_near_duplicates,
     hyperplane_signs,
@@ -2172,10 +2173,20 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(_emb(spark, sf_dir), k=5, n_queries=20)
 
 
+def _q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantized_recall(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
 def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paralleltrianglecounting_spark.operators.simrank import simrank
 
     return simrank(part_graph(spark, sf_dir))
+
+
+def _q_graphlet_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paralleltrianglecounting_spark.operators.graphlets import graphlet_census
+
+    return graphlet_census(part_graph(spark, sf_dir))
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2549,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ann_recall": _q_ann_recall,
         "simrank": _q_simrank,
+        "graphlet_census": _q_graphlet_census,
+        "quantized_recall": _q_quantized_recall,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "triangle_list": _q_triangle_list,
         "clique_percolation": _q_clique_percolation,
@@ -3164,6 +3177,56 @@ SELECT ng.doc_id, ng.n_grams, nb.n_bloom_hits,
        coalesce(ne.n_exact_hits, 0)::BIGINT AS n_exact_hits
 FROM ng JOIN nb ON nb.doc_id = ng.doc_id
 LEFT JOIN ne ON ne.doc_id = ng.doc_id""",
+        # quantization-loss recall audit: float truth vs the int8
+        # reconstruction round(v/scale)*scale, both brute-force scans
+        "quantized_recall": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+dqs AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+  FROM e
+),
+dq AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(emb, v -> round(v / scale) * scale)
+              ELSE emb END AS emb
+  FROM dqs
+),
+tr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.emb, n.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos_r,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product(q.emb, n.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(n.emb, n.emb))), 6) DESC,
+                              n.vec_id) AS rank
+    FROM e q CROSS JOIN e n
+    WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+qt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product(q.emb, n.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(n.emb, n.emb))), 6) DESC,
+                              n.vec_id) AS rank
+    FROM dq q CROSS JOIN dq n
+    WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+base AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM tr GROUP BY query_id),
+h AS (SELECT tr.query_id, count(*)::BIGINT AS n FROM tr
+      JOIN qt ON qt.query_id = tr.query_id AND qt.neighbor_id = tr.neighbor_id
+      GROUP BY tr.query_id)
+SELECT b.query_id, b.n_exact, coalesce(h.n, 0)::BIGINT AS n_q_hits
+FROM base b LEFT JOIN h ON h.query_id = b.query_id""",
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
@@ -4458,6 +4521,62 @@ SELECT (SELECT v FROM start) AS start_vertex,
 FROM m2"""
 
 
+def _graphlet_census_oracle_sql() -> str:
+    """All eight 3-/4-node classes from the same closed forms as
+    operators/graphlets.py (inversion constants brute-force-verified by
+    tests/test_graphlets.py); squares and k4 inlined from their own
+    gated oracles, sharing the edges/tri CTEs."""
+    tri_mat = _TRI_CTE.replace("tri AS (", "tri AS MATERIALIZED (")
+    edges_mat = _EDGES_CTE.replace("edges AS (", "edges AS MATERIALIZED (")
+    return f"""WITH {edges_mat},
+{tri_mat},
+wp AS (
+  SELECT b1.v AS u, b2.v AS w, count(*) AS codeg
+  FROM bidir b1 JOIN bidir b2 ON b1.u = b2.u AND b1.v < b2.v
+  GROUP BY b1.v, b2.v
+),
+corners AS (
+  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tv AS (SELECT v, count(*) AS n FROM corners GROUP BY v),
+einc AS (
+  SELECT a AS u, b AS v FROM tri
+  UNION ALL SELECT a, c FROM tri
+  UNION ALL SELECT b, c FROM tri
+),
+esup AS (SELECT u, v, count(*) AS sup FROM einc GROUP BY u, v),
+base AS MATERIALIZED (
+  SELECT
+    coalesce((SELECT sum(degree * (degree - 1) // 2) FROM deg), 0)::BIGINT AS w,
+    coalesce((SELECT sum(degree * (degree - 1) * (degree - 2) // 6) FROM deg),
+             0)::BIGINT AS claw,
+    (SELECT count(*) FROM tri)::BIGINT AS t,
+    coalesce((SELECT sum((du.degree - 1) * (dv.degree - 1)) FROM edges e
+              JOIN deg du ON du.v = e.src
+              JOIN deg dv ON dv.v = e.dst), 0)::BIGINT AS p4raw,
+    coalesce((SELECT sum(tv.n * (d.degree - 2))
+              FROM tv JOIN deg d ON d.v = tv.v), 0)::BIGINT AS paw,
+    coalesce((SELECT sum(sup * (sup - 1) // 2) FROM esup), 0)::BIGINT AS dia,
+    coalesce((SELECT sum(codeg * (codeg - 1) // 2) // 2 FROM wp),
+             0)::BIGINT AS c4,
+    (SELECT count(*) FROM tri t
+     JOIN edges e1 ON e1.src = t.c
+     JOIN edges e2 ON e2.src = t.b AND e2.dst = e1.dst
+     JOIN edges e3 ON e3.src = t.a AND e3.dst = e1.dst)::BIGINT AS k4
+),
+b2 AS MATERIALIZED (
+  SELECT w, claw, t, (p4raw - 3 * t) AS p4, paw, dia, c4, k4 FROM base
+)
+SELECT 'wedge' AS graphlet, w AS n_subgraphs, (w - 3 * t) AS n_induced FROM b2
+UNION ALL SELECT 'triangle', t, t FROM b2
+UNION ALL SELECT 'claw', claw, claw - paw + 2 * dia - 4 * k4 FROM b2
+UNION ALL SELECT 'p4', p4, p4 - 2 * paw - 4 * c4 + 6 * dia - 12 * k4 FROM b2
+UNION ALL SELECT 'paw', paw, paw - 4 * dia + 12 * k4 FROM b2
+UNION ALL SELECT 'c4', c4, c4 - dia + 3 * k4 FROM b2
+UNION ALL SELECT 'diamond', dia, dia - 6 * k4 FROM b2
+UNION ALL SELECT 'k4', k4, k4 FROM b2"""
+
+
 def _simrank_oracle_sql() -> str:
     """Unrolled synchronous SimRank (operators/simrank.py) on the
     induced top-SIMRANK_CORE core: s0 = identity; each round the
@@ -5017,4 +5136,5 @@ SELECT CAST(tu.c - tb.c AS BIGINT) AS new_triangles FROM tu, tb""",
     }
     out["ann_recall"] = _ann_recall_oracle_sql(out)
     out["simrank"] = _simrank_oracle_sql()
+    out["graphlet_census"] = _graphlet_census_oracle_sql()
     return out

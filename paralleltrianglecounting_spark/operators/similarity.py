@@ -521,3 +521,51 @@ def ann_recall(
             F.coalesce(F.col("n_ivf_hits"), F.lit(0)).alias("n_ivf_hits"),
         )
     )
+
+
+def dequantized_embeddings(emb: DataFrame, levels: int = 127) -> DataFrame:
+    """[vec_id, embedding]: the reconstruction a quantized index
+    actually searches — ``round(x_i/scale)·scale`` per component (the
+    same symmetric scalar quantizer as ``quantize_embeddings``). Zero
+    vectors stay zero. Per-row codegen array expressions only."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    base = emb.select("vec_id", x.alias("_x"))
+    scale = F.array_max(F.transform(F.col("_x"), F.abs)) / F.lit(float(levels))
+    return base.select(
+        "vec_id",
+        F.when(
+            scale > 0,
+            F.transform(F.col("_x"), lambda v: F.round(v / scale) * scale),
+        )
+        .otherwise(F.col("_x"))
+        .alias("embedding"),
+    )
+
+
+def quantized_recall(
+    embeddings: DataFrame, k: int = 5, n_queries: int = 20, levels: int = 127
+) -> DataFrame:
+    """[query_id, n_exact, n_q_hits]: recall@k of the int8-quantized
+    index against the float truth — the compression-loss audit that
+    decides whether scalar quantization is safe for a corpus (the
+    ``ann_recall`` methodology applied to ``quantize_embeddings``'s
+    reconstruction). Both sides are exact brute-force scans over the
+    query panel, so the ONLY degradation measured is quantization;
+    integer hit counts keep the gate hash-exact."""
+    truth = cosine_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    qtop = cosine_topk(
+        dequantized_embeddings(embeddings, levels), k=k, n_queries=n_queries
+    ).select("query_id", "neighbor_id")
+    base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        truth.join(qtop, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_q_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_q_hits"), F.lit(0)).alias("n_q_hits"),
+    )
