@@ -119,11 +119,15 @@ from paralleltrianglecounting_spark.operators.dedup import (
     NGRAM_MAX_BLOCK,
     SIMHASH_BITS,
     SIMHASH_MAX_BUCKET,
+    CONTAIN_ANCHORS,
+    CONTAIN_MAX_POSTING,
     contamination_check,
     dedup_clusters,
     deduplicated_docs,
     exact_duplicates,
+    lsh_dedup_recall,
     minhash_lsh_candidates,
+    ngram_containment,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_duplicates,
@@ -150,6 +154,7 @@ from paralleltrianglecounting_spark.operators.text import (
     fingerprints,
     lang_id,
     pmi_collocations,
+    quality_filtered_docs,
     quality_scores,
     repetition_scores,
     subword_stats,
@@ -1422,6 +1427,18 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_dedup_recall(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filtered_docs(_docs(spark, sf_dir), q=0.4)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
@@ -2512,6 +2529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deduplicated_docs": _q_deduplicated_docs,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "ngram_containment": _q_ngram_containment,
+        "lsh_dedup_recall": _q_lsh_dedup_recall,
+        "quality_filtered_docs": _q_quality_filtered_docs,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pmi_collocations": _q_pmi_collocations,
         "repetition_scores": _q_repetition_scores,
@@ -2732,6 +2752,111 @@ cand AS (
 )
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {_mh}"""
+    h56_gram = _H56.format(x="g")
+    # shared 3-gram shingle CTE (same construction as ngram_jaccard_dedup)
+    grams_cte = """
+sh AS (
+  SELECT doc_id, lang, len(toks)::BIGINT AS ntok,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS grams
+  FROM toks_t WHERE len(toks) >= 3
+)""".strip()
+    # bottom-k gram-hash anchor blocking + exact containment (dedup.py
+    # ngram_containment verbatim: anchors = k smallest distinct hash56
+    # gram hashes, capped buckets, ORDERED pairs a != b)
+    ngram_containment_sql = f"""WITH {_TOKS_CTE},
+{grams_cte},
+gh_t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(grams, g -> {h56_gram} % {_M})) AS ghs
+  FROM sh
+),
+anch AS (
+  SELECT doc_id, lang,
+         unnest(list_slice(list_sort(ghs), 1, {CONTAIN_ANCHORS})) AS gh
+  FROM gh_t
+),
+post AS (SELECT doc_id, lang, unnest(ghs) AS gh FROM gh_t),
+psize AS (SELECT lang, gh, count(*) AS n FROM post GROUP BY lang, gh),
+post_f AS (
+  SELECT post.doc_id, post.lang, post.gh FROM post
+  JOIN psize ON post.lang = psize.lang AND post.gh = psize.gh
+  WHERE psize.n <= {CONTAIN_MAX_POSTING}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM anch a JOIN post_f b
+    ON a.lang = b.lang AND a.gh = b.gh AND a.doc_id != b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+             / greatest(len(ga.grams), 1), 6) AS containment_r
+FROM cand c
+JOIN sh ga ON ga.doc_id = c.doc_a
+JOIN sh gb ON gb.doc_id = c.doc_b
+WHERE round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+            / greatest(len(ga.grams), 1), 6) >= 0.5"""
+    # recall audit: exact blocked token-set Jaccard truth vs the
+    # minhash chain's verified pairs (CTE `j`), integer counts
+    lsh_dedup_recall_sql = f"""WITH {minhash_pairs_ctes},
+blk_all AS (
+  SELECT doc_id, lang, (len(toks) // 10)::BIGINT AS bucket
+  FROM toks_t WHERE len(toks) >= 3
+),
+blksize AS (SELECT lang, bucket, count(*) AS n FROM blk_all GROUP BY lang, bucket),
+blk AS (
+  SELECT blk_all.doc_id, blk_all.lang, blk_all.bucket FROM blk_all
+  JOIN blksize ON blk_all.lang = blksize.lang AND blk_all.bucket = blksize.bucket
+  WHERE blksize.n <= {NGRAM_MAX_BLOCK}
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN blk b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN dtoks ta ON ta.doc_id = a.doc_id
+  JOIN dtoks tb ON tb.doc_id = b.doc_id
+  WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+              / greatest(len(ta.toks) + len(tb.toks)
+                         - len(list_intersect(ta.toks, tb.toks)), 1), 6) >= 0.5
+),
+lshp AS (SELECT doc_a, doc_b FROM j WHERE jaccard_r >= 0.5),
+stats AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM lshp) AS n_lsh,
+         (SELECT count(*) FROM truth t
+          JOIN lshp l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b) AS n_hit
+)
+SELECT n_true::BIGINT AS n_true, n_lsh::BIGINT AS n_lsh, n_hit::BIGINT AS n_hit,
+       round(n_hit::DOUBLE / greatest(n_true, 1), 6) AS recall_r
+FROM stats"""
+    # per-language quantile quality filter: cutoff = quantile_cont
+    # (≡ Spark percentile on DOUBLE); see text.quality_filtered_docs
+    # for why the ≥ filter is cross-engine exact on 6-dp-rounded scores
+    quality_filtered_sql = f"""WITH {_TOKS_CTE},
+q AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         least(len(toks) / 100.0, 1.0) AS length_score
+  FROM toks_t
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(length_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6)
+           AS quality_r
+  FROM q
+),
+cut AS (
+  SELECT lang, quantile_cont(quality_r, 0.4) AS cutoff
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_r
+FROM scored s JOIN cut ON s.lang = cut.lang
+WHERE s.quality_r >= cut.cutoff"""
     return {
         "token_stats": f"""WITH {_TOKS_CTE}
 SELECT doc_id,
@@ -2833,6 +2958,9 @@ labeled AS (
 sizes AS (SELECT cluster_id, count(*) AS n_members FROM labeled GROUP BY cluster_id)
 SELECT labeled.doc_id, labeled.cluster_id, sizes.n_members
 FROM labeled JOIN sizes ON labeled.cluster_id = sizes.cluster_id""",
+        "ngram_containment": ngram_containment_sql,
+        "lsh_dedup_recall": lsh_dedup_recall_sql,
+        "quality_filtered_docs": quality_filtered_sql,
         # smoothed tf-idf: tf * ln((N+1)/(df+1)); DuckDB ln() is the
         # natural log matching Spark's single-arg F.log
         "tfidf_top_terms": f"""WITH {_TOKS_CTE},

@@ -452,3 +452,164 @@ def dedup_clusters(
     return labeled.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "n_members"
     )
+
+
+# anchor-vs-posting blocking for containment (prefix-filter family):
+# the CONTAINED-candidate side emits only its k smallest distinct gram
+# hashes (bottom-k anchors); the CONTAINING side is a full inverted
+# index of (lang, gram hash) postings. If grams(A) ⊆ grams(B), A's
+# smallest gram hash IS one of B's postings — full containment is
+# recalled with certainty (bottom-k on BOTH sides would miss it: a
+# superset's bottom-k moves to ever-smaller hashes as it grows). At
+# containment C < 1, each of A's k anchors is an (approximately
+# uniform) sample of A's grams and lands in B with probability ~C, so
+# recall ≥ 1 − (1 − C)^k. Posting lists longer than ``max_posting``
+# docs are dropped — the stopword-gram guard, same cap shape as
+# MinHash's degenerate buckets.
+CONTAIN_ANCHORS = 3
+CONTAIN_MAX_POSTING = 200
+
+
+def ngram_containment(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_anchors: int = CONTAIN_ANCHORS,
+    max_posting: int = CONTAIN_MAX_POSTING,
+) -> DataFrame:
+    """[doc_a, doc_b, containment_r]: ordered near-CONTAINMENT pairs —
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold, i.e. most
+    of A's n-grams also appear in B (Broder's containment coefficient).
+    Asymmetric by design: (a, b) and (b, a) are distinct rows with
+    different scores — a boilerplate page quoted inside a long article
+    scores ~1.0 one way and near 0 the other, which Jaccard (symmetric,
+    union-normalized) squashes below any usable threshold; it is also
+    exactly the pair shape the (lang, length-bucket) blocked exact path
+    structurally cannot meet, since container and contained never share
+    a length bucket.
+
+    Candidates: doc_a's ``n_anchors`` smallest distinct gram hashes
+    joined against the posting lists of every other doc's full gram-
+    hash set (see the blocking comment above for the recall guarantee);
+    posting lists over ``max_posting`` are dropped (skew guard).
+
+    100 TB shape: one linear shingle pass; the anchor side is k rows
+    per doc; the posting side is the distinct-gram inverted index the
+    corpus already materializes for search; the join meets ≤
+    k·max_posting candidates per doc — bounded, never all-pairs. The
+    gram arrays (the wide payload) join back only AFTER candidate-pair
+    dedup, so at most O(candidates) wide rows move.
+    """
+    g = ngram_blocks(docs, n).select("doc_id", "lang", "grams")
+    hashes = F.array_distinct(
+        F.transform(F.col("grams"), lambda s: hash56(s) % HASH56_MOD)
+    )
+    anchors = g.select(
+        "doc_id",
+        "lang",
+        F.explode(F.slice(F.array_sort(hashes), 1, n_anchors)).alias("gh"),
+    )
+    postings = g.select("doc_id", "lang", F.explode(hashes).alias("gh"))
+    psize = postings.groupBy("lang", "gh").agg(F.count(F.lit(1)).alias("_n"))
+    postings = postings.join(
+        psize.where(F.col("_n") <= max_posting).select("lang", "gh"),
+        ["lang", "gh"],
+    )
+    a = anchors.alias("a")
+    b = postings.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / F.greatest(F.size("grams_a"), F.lit(1)), 6
+            ).alias("containment_r"),
+        )
+        .where(F.col("containment_r") >= threshold)
+    )
+
+
+def lsh_dedup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """[n_true, n_lsh, n_hit, recall_r]: the recall audit of the
+    MinHash-LSH dedup path against exact ground truth — the number an
+    operator of a production dedup job must watch, because LSH banding
+    is probabilistic (P(candidate | J) = 1-(1-J^r)^b) and silently
+    misses pairs the bands never collide on.
+
+    truth   = exact token-set Jaccard ≥ threshold computed brute-force
+              within the (lang, ntok//10) blocks of ``ngram_blocks``
+              (block cap ``NGRAM_MAX_BLOCK`` — only block-affordable
+              pairs are labelable);
+    n_lsh   = verified pairs from ``minhash_lsh_candidates`` at the
+              same threshold (these may include cross-block pairs the
+              exact path cannot afford to label — a reason to run LSH
+              at all);
+    n_hit   = truth pairs the LSH path found;
+    recall  = n_hit / n_true over the labelable universe.
+
+    Same methodology as ``ann_recall`` / ``quantized_recall``: exact
+    truth on an affordable slice, integer hit counts so the gate is
+    hash-exact. 100 TB shape: both sides are the already-bounded dedup
+    plans; the audit itself is two more hash joins on pair keys.
+    """
+    blocked = ngram_blocks(docs).select("doc_id", "lang", "bucket")
+    bsizes = blocked.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    blocked = blocked.join(
+        bsizes.where(F.col("_n") <= NGRAM_MAX_BLOCK).select("lang", "bucket"),
+        ["lang", "bucket"],
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    truth = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(
+            F.round(inter / F.greatest(union, F.lit(1)), 6) >= F.lit(threshold)
+        )
+        .select("doc_a", "doc_b")
+    )
+    lsh = minhash_lsh_candidates(docs, threshold).select("doc_a", "doc_b")
+    hit = truth.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+            ).alias("recall_r"),
+        )
+    )

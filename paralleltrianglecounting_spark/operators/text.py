@@ -1021,3 +1021,36 @@ def winnow_dup_clusters(
     return labeled.join(csizes, "cluster_id").select(
         "doc_id", "cluster_id", "n_members"
     )
+
+
+def quality_filtered_docs(docs: DataFrame, q: float = 0.4) -> DataFrame:
+    """[doc_id, lang, quality_r]: the documents that survive per-language
+    quantile quality filtering — keep docs whose ``quality_scores``
+    heuristic is at or above the language's q-th quantile (CCNet-style
+    per-language thresholds: a single global cutoff over-prunes
+    low-resource languages whose score distribution sits lower).
+
+    Cross-engine exactness: the cutoff is Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` on DOUBLE (verified for ``events_quantiles``);
+    quality_r values are 6-dp rounded so adjacent scores differ by
+    ≥ 1e-6, while an interpolated cutoff between two scores can differ
+    between engines only at ULP scale — a doc can therefore never sit
+    between the two engines' cutoffs, and the ≥ filter selects
+    identical rows. (When q·(n−1) is integral the cutoff IS a data
+    value, exact in both.)
+
+    100 TB shape: scoring is per-row expressions; the cutoff table is
+    one row per language (broadcast); exact per-group percentile holds
+    group values in the aggregate state, so at extreme per-language
+    cardinality switch the cutoff computation to ``approx_percentile``
+    (t-digest, mergeable) — the ``events_quantiles`` scale path.
+    """
+    scored = quality_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("quality_r", F.lit(q)).alias("_cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .where(F.col("quality_r") >= F.col("_cutoff"))
+        .select("doc_id", "lang", "quality_r")
+    )
