@@ -133,6 +133,8 @@ from paralleltrianglecounting_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from paralleltrianglecounting_spark.operators.similarity import (
+    pq_codes,
+    pq_recall,
     quantize_embeddings,
     ANN_BANDS,
     ANN_PLANES_PER_BAND,
@@ -2194,6 +2196,14 @@ def _q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_recall(_emb(spark, sf_dir), k=5, n_queries=20)
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_codes(_emb(spark, sf_dir))
+
+
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_recall(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
 def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paralleltrianglecounting_spark.operators.simrank import simrank
 
@@ -2582,6 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": _q_simrank,
         "graphlet_census": _q_graphlet_census,
         "quantized_recall": _q_quantized_recall,
+        "pq_codes": _q_pq_codes,
+        "pq_recall": _q_pq_recall,
         "embedding_near_duplicates": _q_embedding_near_dups,
         "triangle_list": _q_triangle_list,
         "clique_percolation": _q_clique_percolation,
@@ -3354,6 +3366,100 @@ h AS (SELECT tr.query_id, count(*)::BIGINT AS n FROM tr
       JOIN qt ON qt.query_id = tr.query_id AND qt.neighbor_id = tr.neighbor_id
       GROUP BY tr.query_id)
 SELECT b.query_id, b.n_exact, coalesce(h.n, 0)::BIGINT AS n_q_hits
+FROM base b LEFT JOIN h ON h.query_id = b.query_id""",
+        "pq_codes": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+seeds AS (SELECT vec_id, emb FROM e WHERE vec_id % 32 = 0),
+cb AS (
+  SELECT j.s AS sub_id,
+         (row_number() OVER (PARTITION BY j.s ORDER BY vec_id) - 1)::BIGINT AS code,
+         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS c_sub
+  FROM seeds CROSS JOIN generate_series(0, 7) j(s)
+),
+sv AS (
+  SELECT vec_id, j.s AS sub_id,
+         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS sub
+  FROM e CROSS JOIN generate_series(0, 7) j(s)
+),
+scored AS (
+  SELECT sv.vec_id, sv.sub_id, cb.code,
+         round((list_dot_product(sub, sub)
+                - 2 * list_dot_product(sub, c_sub))
+               + list_dot_product(c_sub, c_sub), 6) AS d_r
+  FROM sv JOIN cb ON sv.sub_id = cb.sub_id
+)
+SELECT vec_id, sub_id::BIGINT AS sub_id, code FROM (
+  SELECT vec_id, sub_id, code,
+         row_number() OVER (PARTITION BY vec_id, sub_id
+                            ORDER BY d_r, code) AS rn
+  FROM scored
+) WHERE rn = 1""",
+        "pq_recall": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+seeds AS (SELECT vec_id, emb FROM e WHERE vec_id % 32 = 0),
+cb AS (
+  SELECT j.s AS sub_id,
+         (row_number() OVER (PARTITION BY j.s ORDER BY vec_id) - 1)::BIGINT AS code,
+         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS c_sub
+  FROM seeds CROSS JOIN generate_series(0, 7) j(s)
+),
+sv AS (
+  SELECT vec_id, j.s AS sub_id,
+         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS sub
+  FROM e CROSS JOIN generate_series(0, 7) j(s)
+),
+scored AS (
+  SELECT sv.vec_id, sv.sub_id, cb.code,
+         round((list_dot_product(sub, sub)
+                - 2 * list_dot_product(sub, c_sub))
+               + list_dot_product(c_sub, c_sub), 6) AS d_r
+  FROM sv JOIN cb ON sv.sub_id = cb.sub_id
+),
+codes AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT vec_id, sub_id, code,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d_r, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+rec AS (
+  SELECT codes.vec_id,
+         flatten(list(cb.c_sub ORDER BY codes.sub_id)) AS emb
+  FROM codes JOIN cb ON cb.sub_id = codes.sub_id AND cb.code = codes.code
+  GROUP BY codes.vec_id
+),
+tr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product(q.emb, n.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(n.emb, n.emb))), 6) DESC,
+                              n.vec_id) AS rank
+    FROM e q CROSS JOIN e n
+    WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+qt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product(q.emb, n.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(n.emb, n.emb))), 6) DESC,
+                              n.vec_id) AS rank
+    FROM rec q CROSS JOIN rec n
+    WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+base AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM tr GROUP BY query_id),
+h AS (SELECT tr.query_id, count(*)::BIGINT AS n FROM tr
+      JOIN qt ON qt.query_id = tr.query_id AND qt.neighbor_id = tr.neighbor_id
+      GROUP BY tr.query_id)
+SELECT b.query_id, b.n_exact, coalesce(h.n, 0)::BIGINT AS n_pq_hits
 FROM base b LEFT JOIN h ON h.query_id = b.query_id""",
         "cosine_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings

@@ -569,3 +569,143 @@ def quantized_recall(
         "n_exact",
         F.coalesce(F.col("n_q_hits"), F.lit(0)).alias("n_q_hits"),
     )
+
+
+# Product quantization: the 64-dim embedding is cut into PQ_M
+# contiguous 8-dim subvectors, each encoded independently against a
+# per-subspace codebook (Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011) — m·log2(|C|) bits per
+# vector instead of 64 floats, with reconstruction error far below
+# scalar int8 at the same budget when the distribution is anisotropic.
+# Codebooks here are sample-seeded exactly like the IVF coarse
+# quantizer (subvectors of vec_id % stride == 0, zero k-means rounds)
+# so the DuckDB oracle reproduces them bit-for-bit; production would
+# run Lloyd refinement per subspace (the _ivf_centroids pattern) and
+# fix |C| = 256 so codes pack one byte each.
+PQ_M = 8
+PQ_STRIDE = 32
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    # written as (a·a − 2 a·b) + b·b over the SAME fold primitive the
+    # cosine gates use, so the IEEE result is engine-reproducible in
+    # the exact association order the oracle writes
+    return (_dot(a, a) - 2 * _dot(a, b)) + _dot(b, b)
+
+
+def _pq_subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
+    """[vec_id, sub_id, sub]: the m contiguous dim/m-dim subvectors."""
+    sub_len = dim // m
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub_id"),
+                    F.slice("embedding", j * sub_len + 1, sub_len).alias("sub"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sub").alias("sub"))
+
+
+def _pq_codebooks(emb: DataFrame, m: int, stride: int, dim: int) -> DataFrame:
+    """[sub_id, code, c_sub]: per-subspace codebooks from the sampled
+    seed vectors; code = 0-based rank of the seed's vec_id (dense,
+    engine-reproducible). The window runs over the seed table only —
+    |C| rows per subspace, never the corpus."""
+    seeds = emb.where(F.col("vec_id") % stride == 0)
+    w = Window.partitionBy("sub_id").orderBy("vec_id")
+    return _pq_subvectors(seeds, m, dim).select(
+        "sub_id",
+        (F.row_number().over(w) - 1).cast("long").alias("code"),
+        F.col("sub").alias("c_sub"),
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = PQ_M, stride: int = PQ_STRIDE
+) -> DataFrame:
+    """[vec_id, sub_id, code]: the PQ encoding — per subspace, the
+    nearest codebook entry by squared L2 (6-dp rounded before the
+    argmin, ties to the smallest code — the ``_ivf_assign`` argmax
+    pattern, one map-side-combined hash agg per (vec, sub)).
+
+    100 TB shape: codebooks are m·|C| tiny rows — broadcast; the scan
+    side is one explode to m subvector rows per vector, scored against
+    the broadcast codebook and reduced by min(struct) WITHOUT a window
+    over the corpus; codes are 8 small integers per vector — the
+    shuffle-friendly representation ANN re-rank pipelines ship instead
+    of float payloads. ``stride`` is the |C| knob exactly as in IVF."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    cb = _pq_codebooks(emb, m, stride, dim=64)
+    sv = _pq_subvectors(emb, m, 64)
+    scored = sv.join(F.broadcast(cb), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "code",
+        F.round(_l2sq(F.col("sub"), F.col("c_sub")), 6).alias("d_r"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d_r", "code")).alias("b"))
+        .select("vec_id", "sub_id", F.col("b.code").alias("code"))
+    )
+
+
+def pq_reconstructed(
+    embeddings: DataFrame, m: int = PQ_M, stride: int = PQ_STRIDE
+) -> DataFrame:
+    """[vec_id, embedding]: the vector a PQ index actually searches —
+    each subvector replaced by its codebook entry, re-assembled in
+    subspace order (one small-array collect per vector; the codebook
+    join is broadcast)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    cb = _pq_codebooks(emb, m, stride, dim=64)
+    codes = pq_codes(embeddings, m, stride)
+    return (
+        codes.join(F.broadcast(cb), ["sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "c_sub"))),
+                    lambda s: s["c_sub"],
+                )
+            ).alias("embedding")
+        )
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    m: int = PQ_M,
+    stride: int = PQ_STRIDE,
+) -> DataFrame:
+    """[query_id, n_exact, n_pq_hits]: recall@k of the PQ-reconstructed
+    index against the float brute-force truth — ``quantized_recall``'s
+    methodology applied to product quantization, closing the
+    compression-eval triangle (int8 scalar vs PQ vs exact) so a corpus
+    owner can choose a compression level from measured recall, not
+    rules of thumb. Both sides are exact scans over the query panel;
+    integer hit counts keep the gate hash-exact."""
+    truth = cosine_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    qtop = cosine_topk(
+        pq_reconstructed(embeddings, m, stride), k=k, n_queries=n_queries
+    ).select("query_id", "neighbor_id")
+    base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        truth.join(qtop, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_pq_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_pq_hits"), F.lit(0)).alias("n_pq_hits"),
+    )

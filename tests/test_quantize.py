@@ -89,3 +89,90 @@ def test_error_shrinks_with_levels(spark):
     fine = _run(spark, vecs, levels=127)
     for k in vecs:
         assert fine[k][3] <= coarse[k][3]
+
+
+# ---------------- product quantization ----------------
+
+import numpy as np
+
+from paralleltrianglecounting_spark.operators.similarity import (
+    PQ_M,
+    PQ_STRIDE,
+    cosine_topk,
+    pq_codes,
+    pq_reconstructed,
+    pq_recall,
+)
+
+
+def _mkemb(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _pq_twin(mat, m=PQ_M, stride=PQ_STRIDE):
+    """NumPy twin of pq_codes: sample-seeded codebooks, 6-dp-rounded
+    L2^2 in the engine's association order, ties to smallest code."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n, dim = mat.shape
+    sub = dim // m
+    seeds = [i for i in range(n) if i % stride == 0]
+    codes = {}
+    for vid in range(n):
+        for j in range(m):
+            x = mat[vid, j * sub : (j + 1) * sub]
+            best = None
+            for code, sid in enumerate(seeds):
+                c = mat[sid, j * sub : (j + 1) * sub]
+                d = round((x @ x - 2 * (x @ c)) + c @ c, 6)
+                if best is None or (d, code) < best:
+                    best = (d, code)
+            codes[(vid, j)] = best[1]
+    return codes
+
+
+def test_pq_codes_match_numpy_twin(spark):
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(70, 64))
+    got = {
+        (r.vec_id, r.sub_id): r.code
+        for r in pq_codes(_mkemb(spark, mat), stride=16).collect()
+    }
+    assert got == _pq_twin(mat, stride=16)
+
+
+def test_pq_reconstruction_is_codebook_concat(spark):
+    rng = np.random.default_rng(4)
+    mat = rng.normal(size=(40, 64))
+    codes = _pq_twin(mat, stride=8)
+    seeds = [i for i in range(40) if i % 8 == 0]
+    rec = {
+        r.vec_id: np.array(r.embedding)
+        for r in pq_reconstructed(_mkemb(spark, mat), stride=8).collect()
+    }
+    for vid in range(40):
+        expect = np.concatenate(
+            [mat[seeds[codes[(vid, j)]], j * 8 : (j + 1) * 8] for j in range(8)]
+        )
+        assert np.array_equal(rec[vid], expect)
+
+
+def test_pq_recall_perfect_when_every_vector_is_a_seed(spark):
+    # stride=1: every vector is its own nearest codebook entry
+    # (d = 0), reconstruction is exact, so recall@k must be 1.0
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(30, 64))
+    rows = pq_recall(_mkemb(spark, mat), k=3, n_queries=8, stride=1).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_exact == 3 and r.n_pq_hits == 3
+
+
+def test_pq_recall_bounded_and_panel_complete(spark):
+    rng = np.random.default_rng(6)
+    mat = rng.normal(size=(64, 64))
+    rows = pq_recall(_mkemb(spark, mat), k=4, n_queries=10, stride=16).collect()
+    assert len(rows) == 10
+    assert all(0 <= r.n_pq_hits <= r.n_exact == 4 for r in rows)
