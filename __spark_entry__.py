@@ -53,7 +53,11 @@ from paralleltrianglecounting_spark.operators.motifs import (
     weighted_triangle_intensity,
 )
 from paralleltrianglecounting_spark.operators.anf import neighborhood_bits
-from paralleltrianglecounting_spark.operators.kcore import core_numbers, k_core
+from paralleltrianglecounting_spark.operators.kcore import (
+    core_numbers,
+    k_core,
+    s_core,
+)
 from paralleltrianglecounting_spark.operators.ktruss import truss_numbers
 from paralleltrianglecounting_spark.operators.scc import (
     condensation,
@@ -372,6 +376,15 @@ KCORE_K = 80
 # long as KCORE_UNROLL >= the actual peel depth (6 at the gate tier;
 # asserted by pytest)
 KCORE_UNROLL = 16
+# weighted s-core over the part co-occurrence graph: s = 80 sits just
+# below the weighted collapse at the gate tier (a 4-round non-empty
+# cascade at sf0.01: 1,889 vertices survive; 6 rounds / 18,891 at
+# sf0.1). Peeling is idempotent at the fixpoint, so the generous
+# unroll matches the run-to-fixpoint engine (the KCORE_UNROLL
+# argument); bigger tiers are retuned by tools/correctness_sf.py's
+# engine-measured depth probe.
+S_CORE_S = 80
+S_CORE_UNROLL = 12
 BFS_SEEDS = 4  # deterministic seed set: the BFS_SEEDS smallest vertex ids
 # hop cap is part of the query semantics (keeps the oracle's recursive
 # CTE finite on this cyclic graph). The sf0.01 co-occurrence graph has
@@ -901,6 +914,39 @@ t{i} AS MATERIALIZED (
     )
 
 
+def _score_oracle_sql() -> str:
+    """Synchronous weighted peeling unrolled S_CORE_UNROLL times —
+    the _kcore_oracle_sql shape with SUM(weight) strength; idempotent
+    at the fixpoint, so the fixed unroll matches the engine."""
+    ctes = [
+        _WEDGES_CTE,
+        "w0 AS MATERIALIZED (SELECT src, dst, weight FROM wedges)",
+    ]
+    for i in range(1, S_CORE_UNROLL + 1):
+        ctes.append(
+            f"""st{i} AS MATERIALIZED (
+  SELECT u AS v, sum(weight) AS strength FROM (
+    SELECT src AS u, weight FROM w{i - 1}
+    UNION ALL SELECT dst, weight FROM w{i - 1}
+  ) GROUP BY u
+),
+w{i} AS MATERIALIZED (
+  SELECT w.src, w.dst, w.weight FROM w{i - 1} w
+  JOIN st{i} sa ON sa.v = w.src
+  JOIN st{i} sb ON sb.v = w.dst
+  WHERE sa.strength >= {S_CORE_S} AND sb.strength >= {S_CORE_S}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT DISTINCT u AS vertex FROM (
+  SELECT src AS u FROM w{S_CORE_UNROLL} UNION ALL SELECT dst FROM w{S_CORE_UNROLL}
+)"""
+    )
+
+
 def _kcore_oracle_sql() -> str:
     """Synchronous peeling unrolled KCORE_UNROLL times (idempotent at
     the fixpoint — see KCORE_UNROLL note)."""
@@ -1066,6 +1112,10 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_part_graph(spark, sf_dir)
+
+
+def _q_s_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return s_core(weighted_part_graph(spark, sf_dir), s=S_CORE_S)
 
 
 def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2488,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q_spam_mass,
         "personalized_pagerank_salted": _q_personalized_pagerank_salted,
         "k_core": _q_k_core,
+        "s_core": _q_s_core,
         "k_truss": _q_k_truss,
         "approx_triangle_count": _q_approx_triangle_count,
         "bfs_distances": _q_bfs_distances,
@@ -4961,6 +5012,7 @@ WHERE EXISTS (SELECT 1 FROM ball WHERE ball.vertex = e.src)
         "spam_mass": _spam_mass_oracle_sql(),
         "personalized_pagerank_salted": _ppr_oracle_sql(),
         "k_core": _kcore_oracle_sql(),
+        "s_core": _score_oracle_sql(),
         "k_truss": _ktruss_oracle_sql(),
         "approx_triangle_count": f"""WITH {_EDGES_CTE},
 se AS MATERIALIZED (

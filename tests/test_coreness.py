@@ -86,3 +86,79 @@ def test_coreness_deterministic_across_parallelism(spark):
     a = _collect(core_numbers(edges.repartition(1)))
     b = _collect(core_numbers(edges.repartition(16)))
     assert a == b
+
+
+# ---------------- weighted s-core ----------------
+
+from pyspark.sql import functions as F
+
+from paralleltrianglecounting_spark.operators.kcore import s_core
+
+
+def py_s_core(wtriples, s):
+    """Sequential weighted peeling — the textbook s-core definition
+    (delete any vertex with strength < s until none remains)."""
+    live = {(u, v): w for u, v, w in wtriples if u != v}
+    while True:
+        st = defaultdict(int)
+        for (u, v), w in live.items():
+            st[u] += w
+            st[v] += w
+        drop = {v for v, sv in st.items() if sv < s}
+        if not drop:
+            break
+        live = {e: w for e, w in live.items()
+                if e[0] not in drop and e[1] not in drop}
+    out = set()
+    for u, v in live:
+        out.add(u)
+        out.add(v)
+    return out
+
+
+def _mkw(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "src long, dst long, weight long",
+    )
+
+
+def test_s_core_hand_cascade(spark):
+    # 0-1-2 heavy triangle (w=5 each, strength 10); pendant 3 hangs off
+    # 2 with w=4. s=8: 3 peels first (strength 4), which drops nothing
+    # else (triangle strengths stay 10) -> core {0,1,2}. s=11: everything
+    # cascades away.
+    triples = [(0, 1, 5), (1, 2, 5), (0, 2, 5), (2, 3, 4)]
+    got = {r.vertex for r in s_core(_mkw(spark, triples), s=8).collect()}
+    assert got == {0, 1, 2} == py_s_core(triples, 8)
+    assert s_core(_mkw(spark, triples), s=11).count() == 0
+
+
+def test_s_core_unit_weights_equal_k_core(spark):
+    edges = read_g_file(spark, reference_graph("graph_100"))
+    w = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+    for k in (3, 5):
+        assert (
+            {r.vertex for r in s_core(w, s=k).collect()}
+            == {r.vertex for r in k_core(edges, k=k).collect()}
+        )
+
+
+def test_s_core_fuzz_matches_sequential_peel(spark):
+    import random
+
+    rng = random.Random(17)
+    triples = []
+    seen = set()
+    for _ in range(300):
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u == v:
+            continue
+        e = (min(u, v), max(u, v))
+        if e in seen:
+            continue
+        seen.add(e)
+        triples.append((e[0], e[1], rng.randrange(1, 6)))
+    for s in (5, 12, 25):
+        got = {r.vertex for r in s_core(_mkw(spark, triples), s=s).collect()}
+        assert got == py_s_core(triples, s), f"s={s}"

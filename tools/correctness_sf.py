@@ -219,6 +219,7 @@ def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
     full-decomposition probes are themselves multi-minute jobs."""
     NEEDS = {
         "KCORE_UNROLL": "k_core",
+        "S_CORE_UNROLL": "s_core",
         "KTRUSS_UNROLL": "k_truss",
         "CORENESS_UNROLL": "core_numbers",
         "TRUSS_UNROLL": "truss_numbers",
@@ -229,6 +230,7 @@ def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
     from paralleltrianglecounting_spark.operators.kcore import (
         core_numbers_run,
         k_core_run,
+        s_core_run,
     )
     from paralleltrianglecounting_spark.operators.ktruss import (
         k_truss_run,
@@ -241,6 +243,15 @@ def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
     out = {}
     if "KCORE_UNROLL" in want:
         out["KCORE_UNROLL"] = k_core_run(g, k=entrymod.KCORE_K).iterations + 1
+    if "S_CORE_UNROLL" in want:
+        from paralleltrianglecounting_spark.sources.edges import (
+            weighted_part_graph,
+        )
+
+        out["S_CORE_UNROLL"] = (
+            s_core_run(weighted_part_graph(spark, sf_dir), s=entrymod.S_CORE_S)
+            .iterations + 1
+        )
     if "KTRUSS_UNROLL" in want:
         out["KTRUSS_UNROLL"] = k_truss_run(g, k=entrymod.KTRUSS_K).iterations + 1
     if "CORENESS_UNROLL" in want:
