@@ -170,6 +170,8 @@ from paralleltrianglecounting_spark.operators.text import (
 from paralleltrianglecounting_spark.operators.sampling import (
     balanced_sample,
     dataset_split,
+    mixture_weights,
+    sequence_packing,
 )
 from paralleltrianglecounting_spark.operators.betweenness import (
     betweenness,
@@ -2061,6 +2063,14 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(_docs(spark, sf_dir), weights=SPLIT_WEIGHTS)
 
 
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(_docs(spark, sf_dir), alpha=0.7)
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing(_docs(spark, sf_dir))
+
+
 def _q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(_docs(spark, sf_dir), strata="lang")
 
@@ -2621,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_triangle_intensity": _q_weighted_triangle_intensity,
         "backbone_profile": _q_backbone_profile,
         "dataset_split": _q_dataset_split,
+        "mixture_weights": _q_mixture_weights,
+        "sequence_packing": _q_sequence_packing,
         "balanced_sample": _q_balanced_sample,
         "random_walks": _q_random_walks,
         "biased_walks": _q_biased_walks,
@@ -3180,6 +3192,33 @@ SELECT base.doc_id, base.n_tokens, base.dup_token_frac_r,
        round(coalesce(mx::DOUBLE / total, 0.0), 6) AS top_bigram_frac_r,
        round(coalesce(dup::DOUBLE / total, 0.0), 6) AS dup_bigram_frac_r
 FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id""",
+        "mixture_weights": f"""WITH t AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             t -> t != '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+z AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS z FROM t)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens::DOUBLE, 0.7) / z, 6) AS weight_r
+FROM t CROSS JOIN z""",
+        "sequence_packing": f"""WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, doc_id % 8 AS shard, len(toks)::BIGINT AS n_tokens
+  FROM toks_t
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       ((cum - n_tokens) // 256)::BIGINT AS start_block,
+       CASE WHEN cum = 0 THEN -1::BIGINT
+            ELSE ((cum - 1) // 256)::BIGINT END AS end_block
+FROM c""",
         "dataset_split": f"""WITH b AS (
   SELECT doc_id,
          ({_H56.format(x="'split:' || doc_id")} % 100) AS bucket

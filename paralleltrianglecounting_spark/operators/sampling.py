@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .text import hash56
 
-__all__ = ["dataset_split", "balanced_sample"]
+__all__ = ["dataset_split", "balanced_sample", "mixture_weights", "sequence_packing"]
 
 
 def dataset_split(
@@ -78,4 +78,90 @@ def balanced_sample(
         .crossJoin(F.broadcast(min_size))
         .where(F.col("_rk") <= F.col("min_n"))
         .select("doc_id", strata)
+    )
+
+
+def mixture_weights(docs: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """[source, n_docs, n_tokens, weight_r]: temperature-scaled data-
+    mixing weights per source — w_s = n_tokens_s^α / Σ_t n_tokens_t^α,
+    the standard multinomial sampling distribution for multi-source
+    pretraining (α < 1 upsamples small/low-resource sources relative
+    to proportional sampling; α = 1 is proportional, α = 0 uniform —
+    the exponent family used for multilingual/multi-corpus mixing).
+
+    Cross-engine exactness: token counts are integers; pow and the
+    final divide are written in the same association order as the
+    oracle and rounded to 6 dp. 100 TB shape: ONE map-side-combined
+    hash agg over (source) — the per-source table is tiny — then a
+    scalar total broadcast back; the corpus is scanned once, pruned
+    to (source, text)."""
+    from .text import tokens
+
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_z"),
+            6,
+        ).alias("weight_r"),
+    )
+
+
+PACK_SHARDS = 8
+PACK_CONTEXT = 256
+
+
+def sequence_packing(
+    docs: DataFrame,
+    context_len: int = PACK_CONTEXT,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """[doc_id, shard, n_tokens, start_block, end_block]: concat-and-
+    chunk sequence packing — the GPT-style pretraining step that
+    concatenates the token stream and cuts it into fixed
+    ``context_len`` blocks. Documents are assigned to ``n_shards``
+    independent packing shards (doc_id mod n_shards — deterministic,
+    append-stable) and packed within each shard in doc_id order;
+    start/end_block are the first/last block the doc's tokens land in.
+    (A zero-token doc degenerates to the block containing the current
+    shard boundary — end_block = start_block − 1 exactly when the
+    boundary sits on a block edge; consumers should treat n_tokens = 0
+    rows as occupying nothing.)
+
+    Distributed shape: real pipelines pack per output worker, never
+    globally — a single global running sum would serialize the corpus
+    through one partition. Here each shard's running sum is one window
+    partitioned by shard (n_shards-way parallel); at 100 TB n_shards
+    is the writer parallelism knob and the per-shard sort is the
+    unavoidable cost of stable packing. All-integer output keeps the
+    gate hash-exact."""
+    from .text import tokens
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / context_len).alias(
+            "start_block"
+        ),
+        F.floor((F.col("_cum") - 1) / context_len).alias("end_block"),
     )

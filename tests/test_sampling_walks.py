@@ -354,3 +354,84 @@ def test_biased_walks_copy_weights_shift_the_distribution(spark):
     b = sorted(map(tuple, biased_walks(df, walk_len=2, seed_mod=1,
                                        base_copies=64).collect()))
     assert a == b
+
+
+# ---------------- mixture weights + sequence packing ----------------
+
+from paralleltrianglecounting_spark.operators.sampling import (
+    mixture_weights,
+    sequence_packing,
+)
+
+
+def _mk_src_docs(spark, per_source):
+    rows, i = [], 0
+    for src_name, texts in per_source.items():
+        for t in texts:
+            rows.append((i, t, "en", src_name, len(t)))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_mixture_weights_temperature_family(spark):
+    docs = _mk_src_docs(spark, {
+        "big": ["a b c d e f g h", "i j k l m n o p"],   # 16 tokens
+        "small": ["q r"],                                 # 2 tokens
+    })
+    got = {r.source: (r.n_docs, r.n_tokens, r.weight_r)
+           for r in mixture_weights(docs, alpha=0.7).collect()}
+    z = 16 ** 0.7 + 2 ** 0.7
+    assert got["big"] == (2, 16, round(16 ** 0.7 / z, 6))
+    assert got["small"] == (1, 2, round(2 ** 0.7 / z, 6))
+    # alpha=1 -> proportional; alpha=0 -> uniform
+    prop = {r.source: r.weight_r for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert prop["big"] == pytest.approx(16 / 18, abs=1e-6)
+    unif = {r.source: r.weight_r for r in mixture_weights(docs, alpha=0.0).collect()}
+    assert unif["big"] == unif["small"] == 0.5
+    # alpha < 1 upsamples the small source vs proportional
+    assert got["small"][2] > prop["small"]
+
+
+def test_sequence_packing_single_shard_blocks(spark):
+    # one shard, context 5: token counts 3,4,2,7 -> cum 3,7,9,16
+    texts = ["a b c", "d e f g", "h i", "j k l m n o p"]
+    docs = spark.createDataFrame(
+        [(i * 1, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: (r.shard, r.n_tokens, r.start_block, r.end_block)
+           for r in sequence_packing(docs, context_len=5, n_shards=1).collect()}
+    # doc0: toks [0,3) -> block 0; doc1: [3,7) -> blocks 0-1;
+    # doc2: [7,9) -> block 1; doc3: [9,16) -> blocks 1-3
+    assert got == {
+        0: (0, 3, 0, 0),
+        1: (0, 4, 0, 1),
+        2: (0, 2, 1, 1),
+        3: (0, 7, 1, 3),
+    }
+
+
+def test_sequence_packing_shards_pack_independently(spark):
+    import random
+
+    rng = random.Random(23)
+    texts = [" ".join("w" * 1 for _ in range(rng.randrange(1, 40)))
+             for _ in range(60)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sequence_packing(docs, context_len=16, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        assert r.shard == r.doc_id % 4
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.start_block == cum // 16
+            cum += r.n_tokens
+            assert r.end_block == (cum - 1) // 16
