@@ -2374,6 +2374,46 @@ def _q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degrees_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming degrees gated against the SAME oracle as the batch
+    ``degrees`` query: the canonical part-graph edge table is staged as
+    24 parquet files, replayed as an availableNow micro-batch stream
+    (3 triggers at 8 files — a vertex's edges really do arrive across
+    batches and merge in the streaming aggregation state), and the
+    final complete-mode result must hash-equal the batch answer."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        stream_degrees,
+    )
+
+    stage = tempfile.mkdtemp(prefix="degrees_stream_stage_")
+    ck = tempfile.mkdtemp(prefix="degrees_stream_ck_")
+    name = "degrees_stream_" + uuid.uuid4().hex[:8]
+    try:
+        part_graph(spark, sf_dir).repartition(24).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        q = (
+            stream_degrees(spark, stage)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).select(
+        "vertex", F.col("degree").cast("long").alias("degree")
+    )
+
+
 def _q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization gated against the SAME oracle as the
     batch ``user_sessions``: native ``session_window`` state merging
@@ -2527,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_part_graph": _q_edges,
         "degrees": _q_degrees,
+        "degrees_stream": _q_degrees_stream,
         "triangle_count": _q_triangle_count,
         "triangle_count_csr": _q_triangle_count_csr,
         "triangle_count_wedge": _q_triangle_count_wedge,
@@ -4987,6 +5028,8 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "edges_part_graph": f"WITH {_EDGES_CTE}\nSELECT src, dst FROM edges",
         "degrees": f"WITH {_EDGES_CTE}\nSELECT v AS vertex, degree FROM deg",
+        # the stream must converge to exactly the batch answer
+        "degrees_stream": f"WITH {_EDGES_CTE}\nSELECT v AS vertex, degree FROM deg",
         "triangle_count": tri_sql,
         "triangle_count_stream": tri_sql,
         "triangle_count_csr": tri_sql,

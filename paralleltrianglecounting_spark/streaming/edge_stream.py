@@ -363,3 +363,30 @@ def stream_edge_counts(spark: SparkSession, source_dir: str) -> DataFrame:
         canon.select(F.col("dst").alias("vertex"))
     )
     return ends.groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def stream_degrees(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """readStream(parquet canonical-edge files) → running per-vertex
+    degrees (complete-mode aggregate) — the streaming twin of
+    ``operators.degrees`` over an already-canonicalized edge table
+    (``part_graph``'s output staged as files). Each trigger merges its
+    partial counts into the streaming aggregation state, so a vertex
+    whose edges arrive across many micro-batches accumulates exactly
+    the batch answer; the contract gate replays the staged files in 3
+    triggers and hash-compares against the batch ``degrees`` oracle.
+
+    100 TB shape: one streaming hash aggregate keyed by vertex — state
+    is |V| counters, input moves once; the canonical edge table means
+    no cross-batch dedup state is needed (distinctness is established
+    at staging time, the compaction lesson of ``edge_compaction_stream``)."""
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    ends = stream.select(F.col("src").alias("vertex")).union(
+        stream.select(F.col("dst").alias("vertex"))
+    )
+    return ends.groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))

@@ -879,3 +879,38 @@ def test_incremental_triangle_stream_golden_and_invariant(spark, tmp_path):
     t_dup, _ = run(6, 2, dup_first=25)  # re-delivered edges
     assert t_a == t_b == t_dup == 373
     assert len(batches_a) >= 2  # real cross-batch maintenance happened
+
+
+def test_stream_degrees_parquet_multi_trigger_equals_batch(spark, tmp_path):
+    """The degrees_stream contract shape: canonical edges staged as
+    parquet files, replayed one file per trigger — per-vertex counts
+    must merge across batches to exactly the batch degrees."""
+    import uuid
+
+    from paralleltrianglecounting_spark.operators.degrees import degrees
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        stream_degrees,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (5, 6)],
+        "src long, dst long",
+    )
+    stage = tmp_path / "deg_stage"
+    edges.repartition(6).write.parquet(str(stage))
+    name = "deg_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_degrees(spark, str(stage), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "deg_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vertex: r.degree for r in spark.table(name).collect()}
+    want = {r.vertex: r.degree for r in degrees(edges).collect()}
+    assert got == want == {1: 3, 2: 2, 3: 3, 4: 2, 5: 1, 6: 1}
+    # multiple micro-batches really ran (one file per trigger)
+    assert len(q.recentProgress) >= 3
