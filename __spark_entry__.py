@@ -137,6 +137,8 @@ from paralleltrianglecounting_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from paralleltrianglecounting_spark.operators.similarity import (
+    PQ_M,
+    PQ_STRIDE,
     pq_codes,
     pq_recall,
     quantize_embeddings,
@@ -168,6 +170,8 @@ from paralleltrianglecounting_spark.operators.text import (
     token_stats,
 )
 from paralleltrianglecounting_spark.operators.sampling import (
+    PACK_CONTEXT,
+    PACK_SHARDS,
     balanced_sample,
     dataset_split,
     mixture_weights,
@@ -387,6 +391,8 @@ KCORE_UNROLL = 16
 # engine-measured depth probe.
 S_CORE_S = 80
 S_CORE_UNROLL = 12
+# data-mixing temperature for the mixture_weights gate
+MIX_ALPHA = 0.7
 BFS_SEEDS = 4  # deterministic seed set: the BFS_SEEDS smallest vertex ids
 # hop cap is part of the query semantics (keeps the oracle's recursive
 # CTE finite on this cyclic graph). The sf0.01 co-occurrence graph has
@@ -2064,7 +2070,7 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixture_weights(_docs(spark, sf_dir), alpha=0.7)
+    return mixture_weights(_docs(spark, sf_dir), alpha=MIX_ALPHA)
 
 
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2868,6 +2874,8 @@ cand AS (
 )
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {_mh}"""
+    _PQ_SUB = 64 // PQ_M
+    _PQ_M1 = PQ_M - 1
     h56_gram = _H56.format(x="g")
     # shared 3-gram shingle CTE (same construction as ngram_jaccard_dedup)
     grams_cte = """
@@ -3239,13 +3247,13 @@ FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id""",
                              t -> t != '')))::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ),
-z AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS z FROM t)
+z AS (SELECT sum(pow(n_tokens::DOUBLE, {MIX_ALPHA})) AS z FROM t)
 SELECT source, n_docs, n_tokens,
-       round(pow(n_tokens::DOUBLE, 0.7) / z, 6) AS weight_r
+       round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / z, 6) AS weight_r
 FROM t CROSS JOIN z""",
         "sequence_packing": f"""WITH {_TOKS_CTE},
 base AS (
-  SELECT doc_id, doc_id % 8 AS shard, len(toks)::BIGINT AS n_tokens
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, len(toks)::BIGINT AS n_tokens
   FROM toks_t
 ),
 c AS (
@@ -3256,9 +3264,9 @@ c AS (
   FROM base
 )
 SELECT doc_id, shard, n_tokens,
-       ((cum - n_tokens) // 256)::BIGINT AS start_block,
+       ((cum - n_tokens) // {PACK_CONTEXT})::BIGINT AS start_block,
        CASE WHEN cum = 0 THEN -1::BIGINT
-            ELSE ((cum - 1) // 256)::BIGINT END AS end_block
+            ELSE ((cum - 1) // {PACK_CONTEXT})::BIGINT END AS end_block
 FROM c""",
         "dataset_split": f"""WITH b AS (
   SELECT doc_id,
@@ -3498,20 +3506,20 @@ h AS (SELECT tr.query_id, count(*)::BIGINT AS n FROM tr
       GROUP BY tr.query_id)
 SELECT b.query_id, b.n_exact, coalesce(h.n, 0)::BIGINT AS n_q_hits
 FROM base b LEFT JOIN h ON h.query_id = b.query_id""",
-        "pq_codes": """WITH e AS (
+        "pq_codes": f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-seeds AS (SELECT vec_id, emb FROM e WHERE vec_id % 32 = 0),
+seeds AS (SELECT vec_id, emb FROM e WHERE vec_id % {PQ_STRIDE} = 0),
 cb AS (
   SELECT j.s AS sub_id,
          (row_number() OVER (PARTITION BY j.s ORDER BY vec_id) - 1)::BIGINT AS code,
-         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS c_sub
-  FROM seeds CROSS JOIN generate_series(0, 7) j(s)
+         list_slice(emb, j.s * {_PQ_SUB} + 1, j.s * {_PQ_SUB} + {_PQ_SUB}) AS c_sub
+  FROM seeds CROSS JOIN generate_series(0, {_PQ_M1}) j(s)
 ),
 sv AS (
   SELECT vec_id, j.s AS sub_id,
-         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS sub
-  FROM e CROSS JOIN generate_series(0, 7) j(s)
+         list_slice(emb, j.s * {_PQ_SUB} + 1, j.s * {_PQ_SUB} + {_PQ_SUB}) AS sub
+  FROM e CROSS JOIN generate_series(0, {_PQ_M1}) j(s)
 ),
 scored AS (
   SELECT sv.vec_id, sv.sub_id, cb.code,
@@ -3526,20 +3534,20 @@ SELECT vec_id, sub_id::BIGINT AS sub_id, code FROM (
                             ORDER BY d_r, code) AS rn
   FROM scored
 ) WHERE rn = 1""",
-        "pq_recall": """WITH e AS (
+        "pq_recall": f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-seeds AS (SELECT vec_id, emb FROM e WHERE vec_id % 32 = 0),
+seeds AS (SELECT vec_id, emb FROM e WHERE vec_id % {PQ_STRIDE} = 0),
 cb AS (
   SELECT j.s AS sub_id,
          (row_number() OVER (PARTITION BY j.s ORDER BY vec_id) - 1)::BIGINT AS code,
-         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS c_sub
-  FROM seeds CROSS JOIN generate_series(0, 7) j(s)
+         list_slice(emb, j.s * {_PQ_SUB} + 1, j.s * {_PQ_SUB} + {_PQ_SUB}) AS c_sub
+  FROM seeds CROSS JOIN generate_series(0, {_PQ_M1}) j(s)
 ),
 sv AS (
   SELECT vec_id, j.s AS sub_id,
-         list_slice(emb, j.s * 8 + 1, j.s * 8 + 8) AS sub
-  FROM e CROSS JOIN generate_series(0, 7) j(s)
+         list_slice(emb, j.s * {_PQ_SUB} + 1, j.s * {_PQ_SUB} + {_PQ_SUB}) AS sub
+  FROM e CROSS JOIN generate_series(0, {_PQ_M1}) j(s)
 ),
 scored AS (
   SELECT sv.vec_id, sv.sub_id, cb.code,

@@ -597,19 +597,25 @@ def lsh_dedup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     lsh = minhash_lsh_candidates(docs, threshold).select("doc_a", "doc_b")
-    hit = truth.join(lsh, ["doc_a", "doc_b"], "left_semi")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        n_true.crossJoin(n_lsh)
-        .crossJoin(n_hit)
-        .select(
-            "n_true",
-            "n_lsh",
-            "n_hit",
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
-            ).alias("recall_r"),
-        )
+    # ONE full-outer join + ONE aggregate: the quadratic blocked-truth
+    # join and the MinHash chain — the two expensive subtrees — are
+    # each evaluated exactly once (three independent count subtrees
+    # crossJoined would re-run both; ReuseExchange does not dedup the
+    # post-shuffle intersect/verify work)
+    joined = truth.withColumn("_t", F.lit(1)).join(
+        lsh.withColumn("_l", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.count("_t").alias("n_true"),
+        F.count("_l").alias("n_lsh"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_l").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+    ).select(
+        "n_true",
+        "n_lsh",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall_r"),
     )

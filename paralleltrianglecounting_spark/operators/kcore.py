@@ -137,12 +137,22 @@ def s_core_run(
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
     spark = wedges.sparkSession
+    # canonicalize THEN distinct THEN sum: duplicate (src, dst, weight)
+    # rows — in particular the (u,v,w)/(v,u,w) pair of a bidirected
+    # table, the representation the k_core sibling tolerates via its
+    # .distinct() — collapse to ONE edge before weights aggregate, so
+    # unit-weight s_core equals k_core on any input k_core accepts
+    # (pytested on a bidirected table). Genuine parallel edges with
+    # DIFFERENT weights still sum.
     base = (
         wedges.where(F.col("src") != F.col("dst"))
-        .groupBy(
+        .select(
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
+            "weight",
         )
+        .distinct()
+        .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
     )
 

@@ -640,6 +640,12 @@ def pq_codes(
     of float payloads. ``stride`` is the |C| knob exactly as in IVF."""
     emb = _as_double(embeddings).select("vec_id", "embedding")
     cb = _pq_codebooks(emb, m, stride, dim=64)
+    return _pq_assign(emb, cb, m)
+
+
+def _pq_assign(emb: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+    """[vec_id, sub_id, code] against a prebuilt codebook (so callers
+    that also need the codebook — reconstruction — derive it once)."""
     sv = _pq_subvectors(emb, m, 64)
     scored = sv.join(F.broadcast(cb), "sub_id").select(
         "vec_id",
@@ -663,7 +669,7 @@ def pq_reconstructed(
     join is broadcast)."""
     emb = _as_double(embeddings).select("vec_id", "embedding")
     cb = _pq_codebooks(emb, m, stride, dim=64)
-    codes = pq_codes(embeddings, m, stride)
+    codes = _pq_assign(emb, cb, m)
     return (
         codes.join(F.broadcast(cb), ["sub_id", "code"])
         .groupBy("vec_id")

@@ -140,7 +140,7 @@ def test_quality_filtered_matches_numpy_quantile(spark):
     assert 0 < len(kept) < len(texts)
 
 
-def test_new_doc_plans_are_python_free(spark, docs_sf0001=None):
+def test_new_doc_plans_are_python_free(spark):
     docs = _mkdocs(spark, ["alpha beta gamma delta epsilon zeta"] * 3)
     for df in (
         ngram_containment(docs),

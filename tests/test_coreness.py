@@ -162,3 +162,28 @@ def test_s_core_fuzz_matches_sequential_peel(spark):
     for s in (5, 12, 25):
         got = {r.vertex for r in s_core(_mkw(spark, triples), s=s).collect()}
         assert got == py_s_core(triples, s), f"s={s}"
+
+
+def test_s_core_gate_depth_stays_under_unroll(spark):
+    """Cheap early guard (the KCORE_UNROLL convention): the gate-tier
+    oracle unrolls S_CORE_UNROLL rounds, so the engine's measured peel
+    depth on the gate constants must stay strictly below it (bigger
+    tiers are retuned by tools/correctness_sf.py's depth probe)."""
+    import __spark_entry__ as entry
+    from paralleltrianglecounting_spark.operators.kcore import s_core_run
+    from paralleltrianglecounting_spark.sources.edges import weighted_part_graph
+
+    res = s_core_run(
+        weighted_part_graph(spark, "/root/testdata/sf0.001"), s=entry.S_CORE_S
+    )
+    assert res.converged and res.iterations < entry.S_CORE_UNROLL
+
+
+def test_s_core_bidirected_input_equals_canonical(spark):
+    """Duplicate (u,v,w)/(v,u,w) rows — the representation k_core
+    tolerates — must collapse to one edge, not double every strength."""
+    triples = [(0, 1, 5), (1, 2, 5), (0, 2, 5), (2, 3, 4)]
+    bidir = triples + [(b, a, w) for a, b, w in triples]
+    got_c = {r.vertex for r in s_core(_mkw(spark, triples), s=8).collect()}
+    got_b = {r.vertex for r in s_core(_mkw(spark, bidir), s=8).collect()}
+    assert got_c == got_b == {0, 1, 2}
