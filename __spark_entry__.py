@@ -41,6 +41,7 @@ from paralleltrianglecounting_spark.operators.components import (
 from paralleltrianglecounting_spark.operators.degrees import (
     degree_assortativity,
     degree_histogram,
+    graph_summary,
 )
 from paralleltrianglecounting_spark.operators.degrees import degrees as _degrees
 from paralleltrianglecounting_spark.operators.hits import hits, salsa
@@ -139,7 +140,9 @@ from paralleltrianglecounting_spark.operators.dedup import (
 from paralleltrianglecounting_spark.operators.similarity import (
     PQ_M,
     PQ_STRIDE,
+    RRF_K,
     pq_codes,
+    rrf_fusion,
     pq_recall,
     quantize_embeddings,
     ANN_BANDS,
@@ -2290,6 +2293,10 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_emb(spark, sf_dir), k=5, n_queries=20)
 
 
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fusion(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lloyd_rounds=0 pins the sample-seeded coarse quantizer the oracle
     # can reproduce exactly (see _ivf_centroids); refined quantizers are
@@ -2378,6 +2385,10 @@ def _q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_value", 4).alias("sum_value_r"),
     )
+
+
+def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_summary(part_graph(spark, sf_dir))
 
 
 def _q_degrees_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2574,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_part_graph": _q_edges,
         "degrees": _q_degrees,
         "degrees_stream": _q_degrees_stream,
+        "graph_summary": _q_graph_summary,
         "triangle_count": _q_triangle_count,
         "triangle_count_csr": _q_triangle_count_csr,
         "triangle_count_wedge": _q_triangle_count_wedge,
@@ -2698,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": _q_bloom_contamination,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "rrf_fusion": _q_rrf_fusion,
         "ann_recall": _q_ann_recall,
         "simrank": _q_simrank,
         "graphlet_census": _q_graphlet_census,
@@ -5029,6 +5042,29 @@ LEFT JOIN lh ON lh.query_id = b.query_id
 LEFT JOIN ih ON ih.query_id = b.query_id"""
 
 
+def _rrf_oracle_sql(oracles: dict[str, str]) -> str:
+    """Compose RRF from the two retriever oracles already in the
+    contract (the _ann_recall_oracle_sql pattern): the fused lists are
+    BY CONSTRUCTION the same SQL the per-index gates verify. Terms are
+    added LSH-first to match the engine's association order."""
+    lsh, ivf = oracles["lsh_ann_topk"], oracles["ivf_ann_topk"]
+    return f"""WITH l AS (SELECT query_id, neighbor_id, rank FROM ({lsh})),
+i AS (SELECT query_id, neighbor_id, rank FROM ({ivf})),
+f AS (
+  SELECT coalesce(l.query_id, i.query_id) AS query_id,
+         coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+         round(coalesce(1.0 / ({RRF_K} + l.rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + i.rank), 0.0), 6) AS rrf_r
+  FROM l FULL OUTER JOIN i
+    ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_r,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_r DESC, neighbor_id) AS INT) AS rank
+FROM f
+QUALIFY rank <= 5"""
+
+
 def oracle_sql() -> dict[str, str]:
     tri_sql = (
         f"WITH {_EDGES_CTE},\n{_TRI_CTE}\nSELECT count(*) AS triangles FROM tri"
@@ -5038,6 +5074,16 @@ def oracle_sql() -> dict[str, str]:
         "degrees": f"WITH {_EDGES_CTE}\nSELECT v AS vertex, degree FROM deg",
         # the stream must converge to exactly the batch answer
         "degrees_stream": f"WITH {_EDGES_CTE}\nSELECT v AS vertex, degree FROM deg",
+        # density = 2|E| / (|V|(|V|-1)); avg/density derive from the
+        # same degree pass, association order matched to the engine
+        "graph_summary": f"""WITH {_EDGES_CTE}
+SELECT count(*)::BIGINT AS n_vertices,
+       (sum(degree) / 2)::BIGINT AS n_edges,
+       min(degree)::BIGINT AS min_degree,
+       max(degree)::BIGINT AS max_degree,
+       round(sum(degree)::DOUBLE / count(*), 6) AS avg_degree_r,
+       round(sum(degree)::DOUBLE / (count(*) * (count(*) - 1)), 6) AS density_r
+FROM deg""",
         "triangle_count": tri_sql,
         "triangle_count_stream": tri_sql,
         "triangle_count_csr": tri_sql,
@@ -5511,6 +5557,7 @@ SELECT CAST(tu.c - tb.c AS BIGINT) AS new_triangles FROM tu, tb""",
         **_doc_oracles(),
     }
     out["ann_recall"] = _ann_recall_oracle_sql(out)
+    out["rrf_fusion"] = _rrf_oracle_sql(out)
     out["simrank"] = _simrank_oracle_sql()
     out["graphlet_census"] = _graphlet_census_oracle_sql()
     return out

@@ -128,3 +128,27 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
         .join(e_rich, "k", "left")
         .select("k", n_c.alias("n_rich"), e_c.alias("e_rich"), phi.alias("phi_r"))
     )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One row [n_vertices, n_edges, min_degree, max_degree,
+    avg_degree_r, density_r]: the global shape statistics every graph
+    job logs before choosing strategy knobs (broadcast gates, salting
+    thresholds, unroll depths) — the 'describe' of an edge table.
+
+    100 TB shape: one degree hash agg (map-side combined) feeding one
+    scalar aggregate — two exchanges total, both carrying ~|V| then 1
+    row; avg/density are derived driver-free from the same pass."""
+    d = degrees(edges)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.sum("degree") / F.count(F.lit(1)), 6).alias("avg_degree_r"),
+        F.round(
+            F.sum("degree")
+            / (F.count(F.lit(1)) * (F.count(F.lit(1)) - F.lit(1))),
+            6,
+        ).alias("density_r"),
+    )

@@ -715,3 +715,52 @@ def pq_recall(
         "n_exact",
         F.coalesce(F.col("n_pq_hits"), F.lit(0)).alias("n_pq_hits"),
     )
+
+
+RRF_K = 60
+
+
+def rrf_fusion(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """[query_id, neighbor_id, rrf_r, rank]: reciprocal-rank fusion of
+    the two approximate retrievers — score(d) = Σ_lists 1/(rrf_k +
+    rank_list(d)) over the LSH and IVF top-k lists (Cormack, Clarke &
+    Büttcher, SIGIR 2009: RRF outperforms individual rankers and needs
+    no score calibration, which is why it is the standard hybrid-search
+    combiner). A document found by BOTH retrievers outranks one found
+    by either alone at similar depth — the complementary-recall effect
+    the ann_recall audit measures per retriever.
+
+    Engine-portable: ranks are integers, the two 1/(rrf_k+rank) terms
+    are added in list order (LSH first) before the 6-dp round; final
+    ordering ties break by neighbor_id. 100 TB shape: both inputs are
+    the already-bounded ANN plans (bucketed joins, broadcast query
+    panel); fusion itself is one full-outer join on (query, neighbor)
+    pairs — O(n_queries·k) rows — plus one per-query top-k window."""
+    lsh = lsh_ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_rl")
+    )
+    ivf = ivf_ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_ri")
+    )
+    fused = lsh.join(ivf, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_ri")), F.lit(0.0)),
+            6,
+        ).alias("rrf_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rrf_r", "rank")
+    )

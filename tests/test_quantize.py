@@ -176,3 +176,66 @@ def test_pq_recall_bounded_and_panel_complete(spark):
     rows = pq_recall(_mkemb(spark, mat), k=4, n_queries=10, stride=16).collect()
     assert len(rows) == 10
     assert all(0 <= r.n_pq_hits <= r.n_exact == 4 for r in rows)
+
+
+# ---------------- RRF fusion ----------------
+
+from paralleltrianglecounting_spark.operators.similarity import (
+    RRF_K,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    rrf_fusion,
+)
+
+
+def test_rrf_fusion_matches_python_combination(spark):
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(80, 64))
+    emb = _mkemb(spark, mat)
+    lsh = {(r.query_id, r.neighbor_id): r.rank
+           for r in lsh_ann_topk(emb, k=4, n_queries=6).collect()}
+    ivf = {(r.query_id, r.neighbor_id): r.rank
+           for r in ivf_ann_topk(emb, k=4, n_queries=6).collect()}
+    scores = {}
+    for key, rank in lsh.items():
+        scores[key] = scores.get(key, 0.0) + 1.0 / (RRF_K + rank)
+    for key, rank in ivf.items():
+        scores[key] = scores.get(key, 0.0) + 1.0 / (RRF_K + rank)
+    expect = {}
+    by_q = {}
+    for (q, n), s in scores.items():
+        by_q.setdefault(q, []).append((round(s, 6), n))
+    for q, lst in by_q.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, n) in enumerate(lst[:4], start=1):
+            expect[(q, n)] = (s, rank)
+    got = {(r.query_id, r.neighbor_id): (r.rrf_r, r.rank)
+           for r in rrf_fusion(emb, k=4, n_queries=6).collect()}
+    assert got == pytest.approx(expect)
+
+
+def test_rrf_both_lists_beat_single_list(spark):
+    # direct property of the formula on any fixture where some neighbor
+    # appears in both lists and another in exactly one
+    rng = np.random.default_rng(10)
+    emb = _mkemb(spark, rng.normal(size=(60, 64)))
+    rows = rrf_fusion(emb, k=5, n_queries=10).collect()
+    both = [r for r in rows if abs(r.rrf_r - round(2 / (RRF_K + 1), 6)) < 1e-9]
+    # a doc ranked 1 by BOTH retrievers exists and always tops its query
+    for r in both:
+        assert r.rank == 1
+
+
+# ---------------- graph summary ----------------
+
+
+def test_graph_summary_hand_graph(spark):
+    from paralleltrianglecounting_spark.operators.degrees import graph_summary
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "src long, dst long"
+    )
+    r = graph_summary(edges).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.min_degree, r.max_degree) == (4, 4, 1, 3)
+    assert r.avg_degree_r == pytest.approx(2.0)
+    assert r.density_r == pytest.approx(round(8 / (4 * 3), 6))
