@@ -2575,6 +2575,116 @@ def _q_triangle_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(total),)], "triangles long")
 
 
+def _q_connected_components_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained streaming CC gated against the SAME oracle as the
+    batch ``connected_components``: the part-graph edge table staged
+    as 24 parquet files, replayed availableNow at 8 files per trigger
+    (3 micro-batches — components genuinely split across batches and
+    must MERGE through the quotient-graph maintenance step in
+    streaming/edge_stream.py:incremental_cc_stream), final state read
+    back as [vertex, component]."""
+    import shutil
+    import tempfile
+
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        incremental_cc_labels,
+        incremental_cc_stream,
+    )
+
+    stage = tempfile.mkdtemp(prefix="cc_stream_stage_")
+    work = tempfile.mkdtemp(prefix="cc_stream_work_")
+    try:
+        part_graph(spark, sf_dir).repartition(24).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        q = (
+            incremental_cc_stream(
+                spark, stage, f"{work}/labels", f"{work}/ck"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = incremental_cc_labels(spark, f"{work}/labels")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+PPS_TARGET = 100  # expected PPS sample size — tier-independent by design
+
+
+def _q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS Bernoulli corpus sampling
+    (operators/sampling.py:pps_sample): keep doc d iff
+    hash32(d) < (target·w_d·2^32) div W — all-integer, no RNG, no
+    floats, hash-exact by construction. The expected sample size is
+    target_n at EVERY tier (W scales with the corpus, thresholds
+    shrink to match) — the gate exhibits that invariant across
+    sf0.01/sf0.1."""
+    from paralleltrianglecounting_spark.operators.sampling import pps_sample
+
+    return pps_sample(_docs(spark, sf_dir), target_n=PPS_TARGET)
+
+
+def _q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as-of join (operators/temporal.py): each
+    purchase event joined to the same user's most recent click at-or-
+    before it via the union-tag-window plan — ONE shuffle on user_id +
+    one in-partition sort, never a per-row range probe. Comparison
+    domain is exact integer microseconds (unix_micros ≡ epoch_us).
+    Unmatched purchases ride with -1/0 sentinels and matched=0 (NULLs
+    would break the value-hash row sort): at sf0.01, 1,981 purchases
+    with ~93% matched — both branches populated."""
+    from paralleltrianglecounting_spark.operators.temporal import (
+        purchase_attribution,
+    )
+
+    return purchase_attribution(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _q_session_click_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join gate: click events joined to the gap-
+    sessionization intervals CONTAINING them via the range-bucketing
+    rewrite (operators/temporal.py:interval_join, bucket_s = the
+    session gap) — intervals explode to the coarse 30-min buckets they
+    overlap, points join on (user, their single bucket), predicate
+    re-checked, duplicate-free by construction. One (user, session)
+    aggregate on top. The DuckDB oracle computes the same join as a
+    plain BETWEEN theta-join over the shared sessions CTE — the gate
+    proves the bucketed rewrite changes the plan, never the answer."""
+    from paralleltrianglecounting_spark.operators.temporal import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        clicks,
+        sessions,
+        on="user_id",
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_s=1800,
+    )
+    return j.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_triangle_count(spark, "/root/testdata/sf0.001")
@@ -2595,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering_coefficient,
         "wedge_count": _q_wedge_count,
         "connected_components": _q_connected_components,
+        "connected_components_stream": _q_connected_components_stream,
         "component_sizes": _q_component_sizes,
         "edges_weighted_part_graph": _q_edges_weighted,
         "pagerank": _q_pagerank,
@@ -2727,6 +2838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
         "user_sessions_stream": _q_user_sessions_stream,
+        "purchase_attribution": _q_purchase_attribution,
+        "session_click_stats": _q_session_click_stats,
+        "pps_sample": _q_pps_sample,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -3810,6 +3924,62 @@ FROM events GROUP BY event_type""",
         # partition-order-dependent and can never gate hash-exact
         "user_sessions": _SESSIONS_SQL,
         "user_sessions_stream": _SESSIONS_SQL,
+        # as-of join twin: the SAME union-tag-window plan in ANSI SQL.
+        # Comparison domain is integer microseconds (epoch_us ≡
+        # unix_micros); the total window order (ts_us, tag, event_id)
+        # and the tag values (click 0 < purchase 1 ⇒ equal-ts clicks
+        # visible) are shared with the engine verbatim.
+        "purchase_attribution": """WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id, value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+attrib AS (
+  SELECT user_id, ts_us, tag, event_id,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS c_id,
+         last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+           OVER w AS c_ts,
+         last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
+           OVER w AS c_v
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+       coalesce(c_id, -1) AS click_id,
+       coalesce(c_ts, -1) AS click_ts_us,
+       coalesce(ts_us - c_ts, 0) AS gap_us,
+       coalesce(c_v, 0.0) AS click_value,
+       CASE WHEN c_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM attrib WHERE tag = 1""",
+        # PPS sampler twin: the identical all-integer keep rule —
+        # hash32 < (target·w·2^32) div W — over the shared tokenizer
+        "pps_sample": f"""WITH {_TOKS_CTE},
+w_t AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM toks_t
+),
+tot_t AS (SELECT sum(n_tokens) AS w_all FROM w_t)
+SELECT doc_id, n_tokens
+FROM w_t, tot_t
+WHERE {_H56.format(x="'pps:' || doc_id")} % 4294967296
+      < ({PPS_TARGET} * n_tokens * 4294967296) // w_all""",
+        # interval-join twin: plain BETWEEN theta-join over the shared
+        # sessions CTE — the engine's bucketed rewrite must give the
+        # identical answer
+        "session_click_stats": f"""WITH sess AS ({_SESSIONS_SQL})
+SELECT e.user_id, s.session_id,
+       count(*)::BIGINT AS n_clicks,
+       round(sum(e.value), 4) AS click_value_r
+FROM events e
+JOIN sess s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) >= epoch_us(s.session_start)
+ AND epoch_us(e.ts) <= epoch_us(s.session_end)
+WHERE e.event_type = 'click'
+GROUP BY e.user_id, s.session_id""",
         "orders_rollup": """SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
        round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS total_r
@@ -5112,6 +5282,15 @@ FROM deg LEFT JOIN per_v ON deg.v = per_v.v""",
         "wedge_count": f"""WITH {_EDGES_CTE}
 SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS wedges FROM deg""",
         "connected_components": f"""WITH RECURSIVE {_EDGES_CTE},
+cc(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT b.v, cc.l FROM cc JOIN bidir b ON b.u = cc.v WHERE cc.l < b.v
+)
+SELECT v AS vertex, min(l) AS component FROM cc GROUP BY v""",
+        # the maintained streaming labels must converge to exactly the
+        # batch answer
+        "connected_components_stream": f"""WITH RECURSIVE {_EDGES_CTE},
 cc(v, l) AS (
   SELECT v, v FROM verts
   UNION

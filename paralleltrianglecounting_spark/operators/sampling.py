@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from .text import hash56
 
-__all__ = ["dataset_split", "balanced_sample", "mixture_weights", "sequence_packing"]
+__all__ = [
+    "dataset_split",
+    "balanced_sample",
+    "mixture_weights",
+    "pps_sample",
+    "sequence_packing",
+]
 
 
 def dataset_split(
@@ -164,4 +170,54 @@ def sequence_packing(
             "start_block"
         ),
         F.floor((F.col("_cum") - 1) / context_len).alias("end_block"),
+    )
+
+
+def pps_sample(
+    docs: DataFrame,
+    target_n: int = 100,
+    salt: str = "pps",
+) -> DataFrame:
+    """[doc_id, n_tokens]: deterministic probability-proportional-to-
+    size (PPS) Bernoulli sample — each document kept with probability
+    ``target_n * n_tokens / total_tokens``, so the expected sample size
+    is ``target_n`` and inclusion probability follows token mass: the
+    sampler behind corpus mixing that ``mixture_weights`` only *plans*
+    (a source's share of the sample follows its share of tokens).
+
+    All-integer and hash-deterministic — no floats, no RNG: keep doc d
+    iff ``hash32(d) < (target_n * w_d * 2^32) div W`` where
+    ``hash32 = hash56(salt:doc_id) mod 2^32`` and ``W = Σ w``. The
+    threshold's floor division biases each inclusion probability down
+    by < 2^-32 — negligible against any real target — and every
+    quantity stays in int64 provided ``target_n * w_d < 2^31`` per
+    document (a per-DOC bound, independent of corpus size: at
+    target_n=100 a document may hold ~21 M tokens; ANSI mode raises
+    loudly past it). The population total W may reach 2^63 tokens.
+
+    Scale shape at 100 TB: one token-count aggregate (map-side
+    combinable) to a 1-row broadcast, then a per-row integer compare —
+    linear, one scan, no shuffle of the corpus. Expected-size Bernoulli
+    (not exact-k): exact-k PPS needs a global weighted order; the
+    Bernoulli form is the standard distributed choice (Poisson
+    sampling) and re-samples identically on append only for unchanged
+    rows."""
+    from .text import tokens
+
+    if target_n <= 0:
+        raise ValueError("target_n must be positive")
+    w = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    tot = w.agg(F.sum("n_tokens").alias("_tot"))
+    h32 = hash56(F.concat(F.lit(f"{salt}:"), F.col("doc_id"))) % F.lit(
+        4294967296
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .where(
+            h32
+            < F.expr(f"({target_n} * n_tokens * 4294967296) div _tot")
+        )
+        .select("doc_id", "n_tokens")
     )

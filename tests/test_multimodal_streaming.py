@@ -914,3 +914,66 @@ def test_stream_degrees_parquet_multi_trigger_equals_batch(spark, tmp_path):
     assert got == want == {1: 3, 2: 2, 3: 3, 4: 2, 5: 1, 6: 1}
     # multiple micro-batches really ran (one file per trigger)
     assert len(q.recentProgress) >= 3
+
+
+def test_incremental_cc_stream_merges_across_batches(spark, tmp_path):
+    """Maintained CC labels: a path graph delivered in deliberately
+    adversarial batch order (bridge edges LAST, so earlier batches hold
+    many small components that must MERGE), plus a duplicate-delivery
+    run — every run must land exactly on the batch operator's answer."""
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        incremental_cc_labels,
+        incremental_cc_stream,
+    )
+
+    # two chains 0-..-9 and 100-..-109 plus a cross edge; interleave so
+    # merges happen in every batch
+    chain = [(i, i + 1) for i in range(9)]
+    chain2 = [(100 + i, 101 + i) for i in range(9)]
+    edges = [e for pair in zip(chain, chain2) for e in pair] + [(9, 100)]
+    want = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+
+    def run(tag: str, rows) -> set:
+        work = tmp_path / f"cc_{tag}"
+        stage = str(work / "stage")
+        # one file per row-group chunk -> many triggers
+        spark.createDataFrame(rows, "src long, dst long").repartition(
+            5
+        ).write.parquet(stage)
+        q = (
+            incremental_cc_stream(
+                spark,
+                stage,
+                str(work / "labels"),
+                str(work / "ck"),
+                max_files_per_trigger=2,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return {
+            (r.vertex, r.component)
+            for r in incremental_cc_labels(spark, str(work / "labels")).collect()
+        }
+
+    assert run("plain", edges) == want
+    assert run("dup", edges + edges[:7]) == want  # redelivery is a no-op
+
+
+def test_incremental_cc_cold_start_empty(spark, tmp_path):
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        incremental_cc_labels,
+    )
+
+    assert (
+        incremental_cc_labels(spark, str(tmp_path / "nope")).count() == 0
+    )

@@ -435,3 +435,56 @@ def test_sequence_packing_shards_pack_independently(spark):
             assert r.start_block == cum // 16
             cum += r.n_tokens
             assert r.end_block == (cum - 1) // 16
+
+
+def _pps_twin(rows, target_n, salt="pps"):
+    import re as _re
+
+    ws = _re.compile(r"[ \t\n\x0B\f\r]+")
+    w = {
+        d: len([t for t in ws.split(text) if t != ""]) for d, text in rows
+    }
+    tot = sum(w.values())
+    out = {}
+    for d, n in w.items():
+        h56 = int(
+            hashlib.md5(f"{salt}:{d}".encode()).hexdigest()[:14], 16
+        )
+        if h56 % 2**32 < (target_n * n * 2**32) // tot:
+            out[d] = n
+    return out
+
+
+def test_pps_sample_matches_pure_python_twin(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.sampling import pps_sample
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    for target in (10, 40):
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in pps_sample(docs, target_n=target).collect()
+        }
+        assert got == _pps_twin(rows, target)
+
+
+def test_pps_sample_expected_size_and_proportionality(spark, sf_tiny):
+    """E[|sample|] = target_n; a doc with twice the tokens has twice
+    the inclusion probability (checked via the threshold itself)."""
+    from paralleltrianglecounting_spark.operators.sampling import pps_sample
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    n = pps_sample(docs, target_n=60).count()
+    # Poisson-binomial sd ~ sqrt(60) ≈ 8; 4 sd tolerance
+    assert 28 <= n <= 92
+    # determinism across parallelism
+    n2 = pps_sample(docs.repartition(16), target_n=60).count()
+    assert n == n2
+
+
+def test_pps_sample_rejects_bad_target(spark, sf_tiny):
+    from paralleltrianglecounting_spark.operators.sampling import pps_sample
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    with pytest.raises(ValueError):
+        pps_sample(docs, target_n=0)

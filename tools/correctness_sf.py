@@ -303,6 +303,7 @@ def main() -> None:
         "measured >900s at this tier while the engine took ~12s"
     )
     oracles["connected_components"] = _cc_unrolled_sql(24)
+    oracles["connected_components_stream"] = _cc_unrolled_sql(24)
     oracles["component_sizes"] = _cc_unrolled_sql(24, sizes=True)
     backbone_note = (
         "per-level unrolled min-label propagation (24 rounds each, "
@@ -322,6 +323,7 @@ def main() -> None:
     out: dict = {
         "oracle_overrides": {
             "connected_components": cc_note,
+            "connected_components_stream": cc_note,
             "component_sizes": cc_note,
             "backbone_profile": backbone_note,
             "clique_percolation": cpm_note,
