@@ -2615,6 +2615,50 @@ def _q_connected_components_stream(
     return spark.createDataFrame(rows, out.schema)
 
 
+def _q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick (OHLC) bars per (event_type, hour): open/close are
+    the first/last observation under the TOTAL (ts, event_id) order —
+    two row_number windows, never arg_min/min_by whose composite-key
+    tie semantics are not a portable contract. high/low/open/close are
+    parquet-double passthroughs (bit-exact across engines)."""
+    from paralleltrianglecounting_spark.operators.stats import ohlc_bars
+
+    return ohlc_bars(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact time-weighted average per event_type — the weighted sum
+    runs in INTEGER arithmetic (cents fixed-point × whole-second
+    holding times) so the gate is hash-exact where a raw double
+    Σ value·Δt could never be (partition-order-dependent); the exact
+    integer numerator/denominator ride alongside the 6-dp ratio."""
+    from paralleltrianglecounting_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+TEMPORAL_DELTA_S = 600  # δ for the 2-event temporal motif gate
+
+
+def _q_temporal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """δ-temporal 2-event motif counts: ALL same-user ordered event
+    pairs within δ=600 s (not just consecutive — the contrast with
+    event_transitions), counted per (earlier type, later type) via the
+    banded range join (operators/temporal.py:temporal_pair_counts).
+    The oracle runs the same predicate as a plain theta self-join —
+    the banding changes the plan, never the answer."""
+    from paralleltrianglecounting_spark.operators.temporal import (
+        temporal_pair_counts,
+    )
+
+    return temporal_pair_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        delta_s=TEMPORAL_DELTA_S,
+    )
+
+
 PPS_TARGET = 100  # expected PPS sample size — tier-independent by design
 
 
@@ -2841,6 +2885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": _q_purchase_attribution,
         "session_click_stats": _q_session_click_stats,
         "pps_sample": _q_pps_sample,
+        "events_ohlc": _q_events_ohlc,
+        "events_twa": _q_events_twa,
+        "temporal_pair_counts": _q_temporal_pairs,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -3955,6 +4002,49 @@ SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
        coalesce(c_v, 0.0) AS click_value,
        CASE WHEN c_id IS NULL THEN 0 ELSE 1 END AS matched
 FROM attrib WHERE tag = 1""",
+        # OHLC twin: same two row_number windows over the same TOTAL
+        # (ts, event_id) order
+        "events_ohlc": """WITH ranked AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bar_start, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT key, bar_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n
+FROM ranked GROUP BY key, bar_start""",
+        # TWA twin: identical integer fixed-point weighted sum; ONE
+        # division at the end, written in the same association
+        "events_twa": """WITH stepped AS (
+  SELECT event_type AS key,
+         round(value * 100)::BIGINT AS cv,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT key,
+       sum(cv * ((t_next - t) // 1000000))::BIGINT AS twa_num,
+       sum((t_next - t) // 1000000)::BIGINT AS twa_den_s,
+       round(sum(cv * ((t_next - t) // 1000000))
+             / sum((t_next - t) // 1000000) / 100, 6) AS twa_r
+FROM stepped WHERE t_next IS NOT NULL GROUP BY key""",
+        # temporal-motif twin: plain theta self-join, same strict-
+        # after/inclusive-delta window in integer microseconds
+        "temporal_pair_counts": f"""SELECT a.event_type AS src_type,
+       b.event_type AS dst_type,
+       count(*)::BIGINT AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {TEMPORAL_DELTA_S} * 1000000
+GROUP BY a.event_type, b.event_type""",
         # PPS sampler twin: the identical all-integer keep rule —
         # hash32 < (target·w·2^32) div W — over the shared tokenizer
         "pps_sample": f"""WITH {_TOKS_CTE},

@@ -30,9 +30,11 @@ __all__ = [
     "event_funnel",
     "event_transitions",
     "group_quantiles",
+    "ohlc_bars",
     "rollup_totals",
     "sessionize",
     "sliding_window_counts",
+    "time_weighted_avg",
 ]
 
 
@@ -329,4 +331,114 @@ def retention_cohorts(
             ),
         )
         .orderBy("cohort", "offset")
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """[key, bar_start, open, high, low, close, n]: candlestick (OHLC)
+    aggregation of an irregular value stream into fixed time buckets —
+    the classic time-series downsampling primitive (metrics rollup,
+    market bars). open/close are the first/last observation in the bar
+    under the TOTAL order (ts, id) — id finishes the order because
+    nothing guarantees unique timestamps within a (key, bar) group,
+    and a non-total order makes open/close an engine lottery (the
+    event_transitions lesson). Implemented with two row_number windows
+    (asc/desc) rather than min_by/arg_min: both engines define window
+    ordering identically, while composite-key arg_min tie semantics
+    are not a portable contract.
+
+    Scale shape at 100 TB: one shuffle on (key, bar) for the windows +
+    one hash agg on the same key — the windows and the aggregate share
+    the exchange. Bars are bounded (keys × time range), the output is
+    tiny."""
+    from pyspark.sql import Window
+
+    bar = F.date_trunc(bucket, F.col(ts_col)).alias("bar_start")
+    base = events.select(
+        F.col(key_col).alias("key"), bar, ts_col, id_col, value_col
+    )
+    w_asc = Window.partitionBy("key", "bar_start").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    w_desc = Window.partitionBy("key", "bar_start").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    ranked = base.select(
+        "key",
+        "bar_start",
+        value_col,
+        F.row_number().over(w_asc).alias("_rn_a"),
+        F.row_number().over(w_desc).alias("_rn_d"),
+    )
+    return ranked.groupBy("key", "bar_start").agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col(value_col))).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col(value_col))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    cents: int = 100,
+) -> DataFrame:
+    """[key, twa_num, twa_den_s, twa_r]: exact time-weighted average of
+    an irregularly sampled value stream per key — each observation
+    holds until the next one (piecewise-constant / last-obs-carried-
+    forward), so the mean weights each value by its holding time, not
+    its sample count: the TWAP/metrics primitive a plain avg() gets
+    wrong whenever sampling density correlates with level.
+
+    Exactness contract: a raw double Σ value·Δt is partition-order-
+    dependent and can never gate hash-exact, so the weighted sum is
+    computed in INTEGER arithmetic — values fixed-pointed at
+    ``cents`` resolution (round() is half-away-from-zero in both
+    engines), holding times in whole seconds (integer div of the µs
+    gap) — and the output carries the exact integer numerator and
+    denominator alongside the 6-dp ratio (ONE division — bit-identical
+    across engines given identical integers). The last observation per
+    key has no successor and is excluded (standard TWAP-over-window
+    semantics). int64 headroom: |num| ≤ Σ |v|·cents·Δt_s — at 1e6
+    rows/key, |v| ≤ 1e6, year-long gaps it stays under 2^62; ANSI
+    mode raises loudly past it.
+
+    Scale shape: one per-key window (lead) + one hash agg sharing the
+    same exchange; output is |keys| rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    stepped = events.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * cents).cast("long").alias("_cv"),
+        ts_us.alias("_t"),
+        F.lead(ts_us).over(w).alias("_t_next"),
+    ).where(F.col("_t_next").isNotNull())
+    dt_s = F.expr("(_t_next - _t) div 1000000")
+    return (
+        stepped.groupBy("key")
+        .agg(
+            F.sum(F.col("_cv") * dt_s).alias("twa_num"),
+            F.sum(dt_s).alias("twa_den_s"),
+        )
+        .select(
+            "key",
+            "twa_num",
+            "twa_den_s",
+            F.round(
+                F.col("twa_num") / F.col("twa_den_s") / cents, 6
+            ).alias("twa_r"),
+        )
     )

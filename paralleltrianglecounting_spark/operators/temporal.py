@@ -51,7 +51,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "purchase_attribution"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "purchase_attribution",
+    "temporal_pair_counts",
+]
 
 def _us(col):
     """Exact integer microseconds since the epoch — the portable
@@ -238,4 +243,68 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
         ).alias("gap_us"),
         F.coalesce("asof_value", F.lit(0.0)).alias("click_value"),
         matched.cast("int").alias("matched"),
+    )
+
+
+def temporal_pair_counts(
+    events: DataFrame,
+    delta_s: int = 600,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[src_type, dst_type, n] — δ-temporal 2-event motif counts
+    (Paranjape et al., WSDM 2017 family): for every ordered pair of
+    events of ONE key with ``0 < t2 − t1 <= delta_s``, count by the
+    (earlier type, later type) pair. ALL pairs inside the window — the
+    deliberate contrast to ``event_transitions``, which counts only
+    CONSECUTIVE pairs: motif counts see through interleaving (a view
+    between click and purchase does not hide the click→purchase
+    signal).
+
+    The quadratic-looking predicate runs as the banded range join:
+    the earlier side replicates to its own δ-bucket and the next
+    (every partner within δ lives in one of those two), the later
+    side stays at its single bucket, the join is a plain equi-join on
+    (key, bucket) and the exact window predicate is re-checked. Each
+    qualifying pair meets exactly once — the later event's bucket is
+    unique, and the earlier event's two replicas carry distinct
+    buckets — so no dedup. Join fan-out is bounded by events-per-
+    (key, δ-bucket), never events-per-key: one hot user costs work
+    proportional to their activity density × δ, not activity².
+
+    Strictly-after semantics (t2 > t1): equal-timestamp pairs are
+    excluded in both directions — an unordered pair has no earlier
+    member, and counting it either way would be an engine lottery.
+    """
+    if delta_s <= 0:
+        raise ValueError("delta_s must be positive")
+    d_us = int(delta_s) * 1_000_000
+    base = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(type_col).alias("_ty"),
+        _us(ts_col).alias("_t"),
+    )
+    early = base.select(
+        "_k",
+        F.col("_ty").alias("src_type"),
+        F.col("_t").alias("_t1"),
+        F.explode(
+            F.array(
+                (F.col("_t") / d_us).cast("long"),
+                (F.col("_t") / d_us).cast("long") + 1,
+            )
+        ).alias("_b"),
+    )
+    late = base.select(
+        "_k",
+        F.col("_ty").alias("dst_type"),
+        F.col("_t").alias("_t2"),
+        (F.col("_t") / d_us).cast("long").alias("_b"),
+    )
+    pairs = early.join(late, ["_k", "_b"]).where(
+        (F.col("_t2") > F.col("_t1")) & (F.col("_t2") - F.col("_t1") <= d_us)
+    )
+    return pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
     )

@@ -173,3 +173,137 @@ def test_asof_carries_latest_of_many(spark):
     ev = _events(spark, rows)
     r = purchase_attribution(ev).collect()[0]
     assert r["click_id"] == 9 and r["click_value"] == 9.0
+
+
+def test_ohlc_bars_hand_case(spark):
+    from paralleltrianglecounting_spark.operators.stats import ohlc_bars
+
+    ev = _events(
+        spark,
+        [
+            # one hour bucket, key "click": open=5 (first), close=2 (last)
+            (0, 100.0, 1, "click", 5.0),
+            (1, 200.0, 1, "click", 9.0),
+            (2, 300.0, 1, "click", 1.0),
+            (3, 400.0, 1, "click", 2.0),
+            # next hour
+            (4, 3700.0, 1, "click", 7.0),
+            # tie on ts within a bar: id breaks it (id 5 is open, 6 close)
+            (5, 50.0, 1, "view", 4.0),
+            (6, 50.0, 1, "view", 3.0),
+        ],
+    )
+    got = {
+        (r["key"], r["bar_start"].hour): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in ohlc_bars(ev).collect()
+    }
+    assert got[("click", 0)] == (5.0, 9.0, 1.0, 2.0, 4)
+    assert got[("click", 1)] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert got[("view", 0)] == (4.0, 4.0, 3.0, 3.0, 2)
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from paralleltrianglecounting_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    # value 10 held 30 s, value 20 held 10 s -> twa = (300+200)/40 = 12.5
+    ev = _events(
+        spark,
+        [
+            (0, 0.0, 1, "click", 10.0),
+            (1, 30.0, 1, "click", 20.0),
+            (2, 40.0, 1, "click", 99.0),  # last obs: excluded
+        ],
+    )
+    r = time_weighted_avg(ev).collect()[0]
+    assert r["twa_num"] == 1000 * 30 + 2000 * 10
+    assert r["twa_den_s"] == 40
+    assert abs(r["twa_r"] - 12.5) < 1e-9
+
+
+def test_time_weighted_avg_vs_sampling_biased_mean(spark):
+    """The motivating case: dense sampling at a high level drags the
+    plain mean up, while the TWA stays put."""
+    from paralleltrianglecounting_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    rows = [(0, 0.0, 1, "click", 1.0)]
+    # level jumps to 100 for ONE second, sampled 50 times
+    rows += [
+        (1 + i, 1000.0 + i * 0.02, 1, "click", 100.0) for i in range(50)
+    ]
+    rows.append((99, 1001.0, 1, "click", 1.0))
+    rows.append((100, 2000.0, 1, "click", 1.0))
+    ev = _events(spark, rows)
+    r = time_weighted_avg(ev).collect()[0]
+    assert r["twa_r"] < 2.0  # plain mean would be ~95
+
+
+def test_time_weighted_avg_single_obs_key_absent(spark):
+    from paralleltrianglecounting_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    ev = _events(spark, [(0, 0.0, 1, "solo", 5.0)])
+    assert time_weighted_avg(ev).count() == 0
+
+
+def test_temporal_pair_counts_brute_twin(spark):
+    from paralleltrianglecounting_spark.operators.temporal import (
+        temporal_pair_counts,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for _ in range(40):
+            rows.append(
+                (
+                    eid,
+                    float(rng.randint(0, 3000)),
+                    u,
+                    rng.choice(["a", "b", "c"]),
+                    0.0,
+                )
+            )
+            eid += 1
+    ev = _events(spark, rows)
+    for delta in (60, 500):
+        got = {
+            (r["src_type"], r["dst_type"]): r["n"]
+            for r in temporal_pair_counts(ev, delta_s=delta).collect()
+        }
+        want: dict = {}
+        for i, t1, u1, ty1, _ in rows:
+            for j, t2, u2, ty2, _ in rows:
+                if u1 == u2 and t1 < t2 <= t1 + delta:
+                    want[(ty1, ty2)] = want.get((ty1, ty2), 0) + 1
+        assert got == want and sum(want.values()) > 0
+
+
+def test_temporal_pair_counts_window_edges(spark):
+    from paralleltrianglecounting_spark.operators.temporal import (
+        temporal_pair_counts,
+    )
+
+    ev = _events(
+        spark,
+        [
+            (0, 0.0, 1, "a", 0.0),
+            (1, 10.0, 1, "b", 0.0),  # dt == delta: IN
+            (2, 10.000001, 1, "c", 0.0),  # 1 us past: a->c OUT
+            (3, 0.0, 1, "d", 0.0),  # equal ts with a: neither direction
+        ],
+    )
+    got = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in temporal_pair_counts(ev, delta_s=10).collect()
+    }
+    # dt == delta inclusive; 1 µs past excluded; equal-ts pairs (a,d)
+    # excluded in BOTH directions; d->c is also 1 µs past the window
+    assert got == {("a", "b"): 1, ("d", "b"): 1, ("b", "c"): 1}
