@@ -2639,6 +2639,24 @@ def _q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+SUFFIX_ROUNDS = 6  # prefix-doubling depth: ranks order the first 64 tokens
+
+
+def _q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix ranking by prefix doubling
+    (operators/suffix.py) — the Manber–Myers iteration behind
+    suffix-array exact-substring dedup (Lee et al. ACL 2022), run for
+    6 doubling rounds so every position's rank is EXACTLY the dense
+    rank of its suffix truncated at 64 tokens: a finite contract the
+    oracle reproduces by sorting explicit token slices. Per round the
+    order-preserving global re-rank is range-partition + in-partition
+    dense_rank + driver-collected per-partition offsets — never a
+    single-partition window."""
+    from paralleltrianglecounting_spark.operators.suffix import suffix_ranks
+
+    return suffix_ranks(_docs(spark, sf_dir), rounds=SUFFIX_ROUNDS)
+
+
 TEMPORAL_DELTA_S = 600  # δ for the 2-event temporal motif gate
 
 
@@ -2888,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": _q_events_ohlc,
         "events_twa": _q_events_twa,
         "temporal_pair_counts": _q_temporal_pairs,
+        "suffix_ranks": _q_suffix_ranks,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -4045,6 +4064,20 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) > epoch_us(a.ts)
  AND epoch_us(b.ts) - epoch_us(a.ts) <= {TEMPORAL_DELTA_S} * 1000000
 GROUP BY a.event_type, b.event_type""",
+        # suffix-rank twin: sort explicit 64-token suffix slices —
+        # list comparison is element-wise with shorter-prefix-first in
+        # both engines, the lexicographic convention the doubling's
+        # missing-partner = −1 rule implements
+        "suffix_ranks": f"""WITH {_TOKS_CTE},
+pos_t AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_slice(toks, i, i + {(1 << SUFFIX_ROUNDS) - 1}) AS suf
+  FROM toks_t,
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+)
+SELECT doc_id, pos,
+       (dense_rank() OVER (ORDER BY suf) - 1)::BIGINT AS rank
+FROM pos_t""",
         # PPS sampler twin: the identical all-integer keep rule —
         # hash32 < (target·w·2^32) div W — over the shared tokenizer
         "pps_sample": f"""WITH {_TOKS_CTE},
