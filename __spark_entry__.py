@@ -2639,6 +2639,22 @@ def _q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_brand_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient supergraph (operators/quotient.py): the part
+    co-occurrence graph collapsed through the part→brand attribute
+    mapping — the host-graph aggregation shape (page→host, repo→org).
+    Broadcast mapping join ×2 + map-side-combinable count aggregate;
+    intra-brand mass surfaces as self-loops rather than vanishing."""
+    from paralleltrianglecounting_spark.operators.quotient import (
+        quotient_graph,
+    )
+
+    mapping = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("vertex"), F.col("p_brand").alias("group")
+    )
+    return quotient_graph(part_graph(spark, sf_dir), mapping)
+
+
 SUFFIX_ROUNDS = 6  # prefix-doubling depth: ranks order the first 64 tokens
 
 
@@ -2907,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa": _q_events_twa,
         "temporal_pair_counts": _q_temporal_pairs,
         "suffix_ranks": _q_suffix_ranks,
+        "brand_quotient_graph": _q_brand_quotient,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -4064,6 +4081,16 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) > epoch_us(a.ts)
  AND epoch_us(b.ts) - epoch_us(a.ts) <= {TEMPORAL_DELTA_S} * 1000000
 GROUP BY a.event_type, b.event_type""",
+        # quotient twin: two mapping joins + canonicalize + count
+        "brand_quotient_graph": f"""WITH {_EDGES_CTE},
+brand_m AS (SELECT p_partkey AS vertex, p_brand AS grp FROM part)
+SELECT least(a.grp, b.grp) AS src_group,
+       greatest(a.grp, b.grp) AS dst_group,
+       count(*)::BIGINT AS weight
+FROM edges e
+JOIN brand_m a ON a.vertex = e.src
+JOIN brand_m b ON b.vertex = e.dst
+GROUP BY least(a.grp, b.grp), greatest(a.grp, b.grp)""",
         # suffix-rank twin: sort explicit 64-token suffix slices —
         # list comparison is element-wise with shorter-prefix-first in
         # both engines, the lexicographic convention the doubling's
