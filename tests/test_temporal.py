@@ -307,3 +307,95 @@ def test_temporal_pair_counts_window_edges(spark):
     # dt == delta inclusive; 1 µs past excluded; equal-ts pairs (a,d)
     # excluded in BOTH directions; d->c is also 1 µs past the window
     assert got == {("a", "b"): 1, ("d", "b"): 1, ("b", "c"): 1}
+
+
+def test_asof_forward_direction(spark):
+    from paralleltrianglecounting_spark.operators.temporal import asof_join
+
+    clicks = _events(spark, [(0, 10.0, 1, "click", 1.0)])
+    purchases = _events(
+        spark,
+        [(1, 5.0, 1, "purchase", 5.0), (2, 20.0, 1, "purchase", 7.0),
+         (3, 50.0, 1, "purchase", 9.0)],
+    )
+    r = asof_join(
+        clicks, purchases, on="user_id", direction="forward",
+        right_cols=("value",),
+    ).collect()[0]
+    # earliest at-or-after 10.0 is purchase@20, not @5 or @50
+    assert r["asof_event_id"] == 2 and r["asof_value"] == 7.0
+
+
+def test_asof_forward_equal_ts_and_strict(spark):
+    from paralleltrianglecounting_spark.operators.temporal import asof_join
+
+    clicks = _events(spark, [(0, 10.0, 1, "click", 1.0)])
+    purchases = _events(spark, [(1, 10.0, 1, "purchase", 2.0)])
+    inc = asof_join(
+        clicks, purchases, on="user_id", direction="forward"
+    ).collect()[0]
+    assert inc["asof_event_id"] == 1
+    st = asof_join(
+        clicks, purchases, on="user_id", direction="forward", strict=True
+    ).collect()[0]
+    assert st["asof_event_id"] is None
+
+
+def test_asof_tolerance_reverts_to_no_match(spark):
+    from paralleltrianglecounting_spark.operators.temporal import asof_join
+
+    clicks = _events(spark, [(0, 100.0, 1, "click", 1.0)])
+    purchases = _events(spark, [(1, 10.0, 1, "purchase", 2.0)])
+    # backward gap is 90 s: inside 100 s tolerance, outside 60 s
+    ok = asof_join(
+        clicks, purchases, on="user_id", tolerance_s=100
+    ).collect()[0]
+    assert ok["asof_event_id"] == 1
+    far = asof_join(
+        clicks, purchases, on="user_id", tolerance_s=60
+    ).collect()[0]
+    assert far["asof_event_id"] is None and far["asof_ts_us"] is None
+
+
+def test_asof_forward_python_twin(spark):
+    from paralleltrianglecounting_spark.operators.temporal import asof_join
+
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for _ in range(rng.randint(5, 20)):
+            rows.append(
+                (eid, float(rng.randint(0, 300)) + eid * 1e-3, u,
+                 rng.choice(["click", "purchase"]), 0.0)
+            )
+            eid += 1
+    ev = _events(spark, rows)
+    clicks = ev.where("event_type = 'click'")
+    purchases = ev.where("event_type = 'purchase'")
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            clicks, purchases, on="user_id", direction="forward"
+        ).collect()
+    }
+    want = {}
+    for i, s, u, t, _ in rows:
+        if t != "click":
+            continue
+        cands = [
+            (s2, j) for j, s2, u2, t2, _ in rows
+            if u2 == u and t2 == "purchase" and s2 >= s
+        ]
+        want[i] = min(cands)[1] if cands else None
+    assert got == want
+
+
+def test_asof_bad_direction_raises(spark):
+    import pytest as _pytest
+
+    from paralleltrianglecounting_spark.operators.temporal import asof_join
+
+    ev = _events(spark, [(0, 0.0, 1, "click", 0.0)])
+    with _pytest.raises(ValueError):
+        asof_join(ev, ev, on="user_id", direction="sideways")
