@@ -102,6 +102,11 @@ def asof_join(
     forward direction is the backward machinery on the NEGATED
     microsecond axis — one implementation, both directions, identical
     tie rules mirrored.
+
+    Contract: ``left_id``/``right_id`` must be integral columns (they
+    finish the total sort order and the right id is carried as LONG;
+    under ANSI mode a non-numeric id column raises rather than
+    silently nulling).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")

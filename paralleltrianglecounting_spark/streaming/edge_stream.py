@@ -454,6 +454,12 @@ def incremental_cc_stream(
     Returns the DataStreamWriter; start with availableNow for a
     bounded run, a processing-time trigger for continuous maintenance.
     Read the maintained answer with :func:`incremental_cc_labels`.
+
+    Lifecycle contract: ``labels_dir`` belongs to ONE stream lineage
+    (one checkpoint_dir). Restarting from a FRESH checkpoint restarts
+    batch ids at 0, and a reused labels_dir would then hold stale
+    higher versions that the max-version reader prefers — pair a new
+    checkpoint with a new (or emptied) labels_dir.
     """
 
     stream = (
