@@ -2712,6 +2712,50 @@ def _q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(_docs(spark, sf_dir), rounds=SUFFIX_ROUNDS)
 
 
+def _q_dup_prefix_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detector from the suffix machinery
+    (operators/suffix.py:dup_prefix_depths): per position, the largest
+    power-of-two depth at which its clipped suffix prefix occurs at
+    another position — dup_len >= L is the Lee et al. exact-substring
+    dedup cut at doubling-grid resolution. Shared-ness rides the
+    doubling rounds as one carry-along column (classes only split, so
+    the max is a running update); the oracle recomputes it from
+    per-depth slice group counts."""
+    from paralleltrianglecounting_spark.operators.suffix import (
+        dup_prefix_depths,
+    )
+
+    return dup_prefix_depths(_docs(spark, sf_dir), rounds=SUFFIX_ROUNDS)
+
+
+def _dup_depth_oracle_sql() -> str:
+    depths = [1 << j for j in range(SUFFIX_ROUNDS + 1)]
+    slices = ",\n         ".join(
+        f"list_slice(toks, i, i + {d - 1}) AS s{d}" for d in depths
+    )
+    counts = ",\n         ".join(
+        f"count(*) OVER (PARTITION BY s{d}) AS c{d}" for d in depths
+    )
+    cases = " ".join(
+        f"WHEN c{d} >= 2 THEN {d}" for d in reversed(depths)
+    )
+    return f"""WITH {_TOKS_CTE},
+pos_t AS (
+  SELECT doc_id, i - 1 AS pos,
+         {slices}
+  FROM toks_t,
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+),
+c AS (
+  SELECT doc_id, pos,
+         {counts}
+  FROM pos_t
+)
+SELECT doc_id, pos,
+       (CASE {cases} ELSE 0 END)::BIGINT AS dup_len
+FROM c"""
+
+
 TEMPORAL_DELTA_S = 600  # δ for the 2-event temporal motif gate
 
 
@@ -2964,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_ranks": _q_suffix_ranks,
         "brand_quotient_graph": _q_brand_quotient,
         "click_conversion": _q_click_conversion,
+        "dup_prefix_depths": _q_dup_prefix_depths,
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
@@ -4168,6 +4213,10 @@ FROM edges e
 JOIN brand_m a ON a.vertex = e.src
 JOIN brand_m b ON b.vertex = e.dst
 GROUP BY least(a.grp, b.grp), greatest(a.grp, b.grp)""",
+        # dup-depth twin: per-depth clipped-slice group counts, max by
+        # CASE — generated from SUFFIX_ROUNDS so engine and oracle
+        # share one depth grid
+        "dup_prefix_depths": _dup_depth_oracle_sql(),
         # suffix-rank twin: sort explicit 64-token suffix slices —
         # list comparison is element-wise with shorter-prefix-first in
         # both engines, the lexicographic convention the doubling's

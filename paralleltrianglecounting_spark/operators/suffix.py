@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["suffix_ranks", "token_positions"]
+__all__ = ["dup_prefix_depths", "suffix_ranks", "token_positions"]
 
 
 def token_positions(docs: DataFrame) -> DataFrame:
@@ -159,3 +159,75 @@ def suffix_ranks(
         m_prev, m = m, new_m
         j += 1
     return state.select("doc_id", "pos", F.col("r").alias("rank"))
+
+
+def dup_prefix_depths(
+    docs: DataFrame,
+    rounds: int = 6,
+    n_parts: int = 32,
+) -> DataFrame:
+    """[doc_id, pos, dup_len] — per token position, the LARGEST
+    power-of-two depth d ∈ {1, 2, 4, …, 2^rounds} at which the first d
+    tokens of its suffix (clipped at the document end) also occur at
+    some OTHER position in the corpus; 0 when even the single token is
+    unique. This is the duplicated-span detector of suffix-array
+    deduplication (Lee et al. ACL 2022 threshold "span of ≥ L tokens
+    occurs elsewhere") at power-of-two resolution — `dup_len >= L`
+    selects exactly the positions a ≥L-token exact-substring dedup
+    would cut on, with L restricted to the doubling grid.
+
+    Rides the prefix-doubling iteration directly: after round j the
+    rank classes ARE the depth-2^j equality classes, and because a
+    round only ever SPLITS classes, shared-ness is monotone decreasing
+    in depth — so the running maximum is one carry-along column,
+    updated per round by one class-size hash agg + one join, no
+    post-hoc pass. Same range-partition re-rank and local_pin
+    discipline as :func:`suffix_ranks`.
+    """
+    from ..plans.superstep import local_pin
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    state = token_positions(docs).select(
+        "doc_id", "pos", F.col("token").alias("_k1")
+    )
+    state, pinned, _ = _global_dense_rank(state, ["_k1"], n_parts)
+    state = state.select("doc_id", "pos", "r")
+
+    def _mark(st: DataFrame, depth: int, prev_best) -> DataFrame:
+        sizes = st.groupBy("r").agg(F.count(F.lit(1)).alias("_cnt"))
+        return st.join(sizes, "r").select(
+            "doc_id",
+            "pos",
+            "r",
+            F.when(F.col("_cnt") >= 2, F.lit(depth))
+            .otherwise(prev_best)
+            .alias("best"),
+        )
+
+    state = local_pin(_mark(state, 1, F.lit(0)))
+    pinned.unpersist()
+    for j in range(rounds):
+        off = 1 << j
+        partner = state.select(
+            "doc_id",
+            (F.col("pos") - off).alias("pos"),
+            F.col("r").alias("_r2"),
+        )
+        paired = state.join(partner, ["doc_id", "pos"], "left").select(
+            "doc_id",
+            "pos",
+            F.col("r").alias("_k1"),
+            F.coalesce("_r2", F.lit(-1)).alias("_k2"),
+            "best",
+        )
+        ranked, pinned, _ = _global_dense_rank(paired, ["_k1", "_k2"], n_parts)
+        state = local_pin(
+            _mark(
+                ranked.select("doc_id", "pos", "r", "best"),
+                2 << j,
+                F.col("best"),
+            )
+        )
+        pinned.unpersist()
+    return state.select("doc_id", "pos", F.col("best").alias("dup_len"))

@@ -98,3 +98,63 @@ def test_token_positions_shape(spark, sf_tiny):
     tp = token_positions(docs)
     row = tp.where("pos = 0").limit(1).collect()[0]
     assert row.token != ""
+
+
+def _dup_twin(toks: dict[int, list[str]], rounds: int):
+    want = {}
+    depths = [1 << j for j in range(rounds + 1)]
+    all_pos = [(d, p) for d, t in toks.items() for p in range(len(t))]
+    for d, p in all_pos:
+        best = 0
+        for depth in depths:
+            span = tuple(toks[d][p : p + depth])
+            n = sum(
+                1
+                for d2, p2 in all_pos
+                if tuple(toks[d2][p2 : p2 + depth]) == span
+            )
+            if n >= 2:
+                best = depth
+        want[(d, p)] = best
+    return want
+
+
+def test_dup_prefix_depths_hand_case(spark):
+    from paralleltrianglecounting_spark.operators.suffix import (
+        dup_prefix_depths,
+    )
+
+    # docs 0 and 1 share the 4-token run "a b c d"; "q" is unique
+    toks = {0: ["a", "b", "c", "d", "q"], 1: ["x", "a", "b", "c", "d"]}
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos): r.dup_len
+        for r in dup_prefix_depths(docs, rounds=3).collect()
+    }
+    assert got == _dup_twin(toks, 3)
+    assert got[(0, 0)] == 4  # "a b c d" occurs in doc 1 — but not 8 long
+    assert got[(0, 4)] == 0  # "q" unique corpus-wide
+
+
+def test_dup_prefix_depths_random_twin(spark):
+    from paralleltrianglecounting_spark.operators.suffix import (
+        dup_prefix_depths,
+    )
+
+    rng = random.Random(13)
+    toks = {
+        d: [rng.choice("ab") for _ in range(rng.randint(0, 24))]
+        for d in range(7)
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos): r.dup_len
+        for r in dup_prefix_depths(docs, rounds=4).collect()
+    }
+    assert got == _dup_twin(toks, 4)
