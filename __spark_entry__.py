@@ -2851,8 +2851,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_triangle_count(spark, "/root/testdata/sf0.001")
 
 
+# Gates that have appeared in at least one driver CORRECTNESS_r*.json
+# artifact (rounds 1-4; see tools/gate_manifest.py which regenerates this
+# set from the artifacts). The driver's per-round correctness window only
+# covers the first ~50 entries of queries(), so _ordered_queries() rotates
+# never-driver-checked gates to the front (VERDICT r04, "Next round" #1),
+# leading with the dedup/ANN/text/temporal/streaming families the driver
+# has never verified; driver-checked graph-core gates (independently
+# provable via golden pytest + the builder's full-contract artifacts at
+# sf0.01/sf0.1) move to the back.
+_DRIVER_CHECKED_R1_R4 = frozenset({
+    "edges_part_graph", "degrees", "degrees_stream", "graph_summary",
+    "triangle_count", "triangle_count_csr", "triangle_count_wedge",
+    "triangle_count_auto", "triangle_count_resumable",
+    "triangles_per_vertex", "clustering_coefficient", "wedge_count",
+    "connected_components", "connected_components_stream",
+    "component_sizes", "edges_weighted_part_graph", "pagerank",
+    "weighted_pagerank", "sssp", "diameter_estimate", "ego_net",
+    "pagerank_salted", "personalized_pagerank", "spam_mass",
+    "personalized_pagerank_salted", "k_core", "s_core", "k_truss",
+    "approx_triangle_count", "bfs_distances", "bfs_distances_deep",
+    "degree_histogram", "degree_assortativity", "community_modularity",
+    "edge_jaccard", "square_count", "k4_count", "maximal_matching",
+    "coarsen_graph", "vertex_cover", "minimum_spanning_forest",
+    "single_linkage_clusters", "maximal_independent_set",
+    "greedy_coloring", "densest_subgraph", "butterfly_count",
+    "projection_cost", "topo_levels", "doc_chunks", "bm25_search",
+    "label_propagation", "token_stats", "quality_scores", "lang_id",
+    "fingerprints", "exact_duplicates", "minhash_lsh_dedup",
+    "ngram_jaccard_dedup", "simhash", "simhash_near_duplicates",
+    "cosine_topk", "lsh_ann_topk", "embedding_near_duplicates",
+    "events_windowed", "subword_stats", "deduplicated_docs",
+})
+
+# Within the never-checked set, lead with the LLM-pipeline +
+# temporal/streaming families the verdict called out; remaining
+# never-checked graph extensions follow in declaration order, then the
+# driver-checked tail.
+_ROTATE_FIRST = (
+    # dedup / quality
+    "dedup_clusters", "ngram_containment", "lsh_dedup_recall",
+    "quality_filtered_docs",
+    # text analysis / tokenization
+    "tfidf_top_terms", "pmi_collocations", "repetition_scores",
+    "bpe_pair_counts", "inverted_index", "skipgram_pairs", "ngram_topk",
+    "oov_rate", "bigram_lm_scores", "winnow_fingerprints",
+    "winnow_dup_clusters", "dup_ngram_spans", "dup_span_runs",
+    "suffix_ranks", "dup_prefix_depths", "contamination_check",
+    # ANN / similarity / quantization
+    "embedding_quantization", "ivf_ann_topk", "rrf_fusion", "ann_recall",
+    "quantized_recall", "pq_codes", "pq_recall", "item_cosine",
+    # mergeable sketches
+    "hll_registers", "cms_registers", "cms_heavy_hitters",
+    "bloom_contamination",
+    # sampling / data mixing
+    "dataset_split", "mixture_weights", "sequence_packing",
+    "balanced_sample", "pps_sample",
+    # walks
+    "random_walks", "biased_walks",
+    # temporal / sessionization
+    "events_sliding", "events_quantiles", "orders_rollup",
+    "user_sessions", "purchase_attribution", "session_click_stats",
+    "events_ohlc", "events_twa", "temporal_pair_counts",
+    "retention_cohorts", "event_funnel", "event_transitions",
+    "click_conversion",
+    # streaming
+    "user_sessions_stream", "events_windowed_stream",
+    "triangle_count_stream",
+)
+
+
+def _ordered_queries(
+    base: "dict[str, Callable[[SparkSession, str], DataFrame]]",
+) -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
+    lead = {k: base[k] for k in _ROTATE_FIRST if k in base}
+    never = {
+        k: v for k, v in base.items()
+        if k not in lead and k not in _DRIVER_CHECKED_R1_R4
+    }
+    checked = {k: v for k, v in base.items() if k in _DRIVER_CHECKED_R1_R4}
+    out = {**lead, **never, **checked}
+    assert len(out) == len(base)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _ordered_queries({
         "edges_part_graph": _q_edges,
         "degrees": _q_degrees,
         "degrees_stream": _q_degrees_stream,
@@ -3012,7 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_windowed_stream": _q_events_windowed_stream,
         "triangle_count_stream": _q_triangle_count_stream,
-    }
+    })
 
 
 # SQL fragments shared by the document oracles. Tokenization splits on
