@@ -32,6 +32,31 @@ from paralleltrianglecounting_spark.operators.triangles import (
 from paralleltrianglecounting_spark.session import get_spark
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line.
+
+    This host shows 4x swings in hypervisor CPU steal between adjacent
+    minutes (BENCH/BASELINE.md noise note); capturing steal around every
+    rep lets the artifact itself distinguish a code regression (one
+    strategy consistently slower at equal steal) from host noise (high
+    variance correlated with steal).
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def run(sf_dir: str, cores: int) -> dict:
     from paralleltrianglecounting_spark.sources.edges import part_graph
 
@@ -77,7 +102,25 @@ def run(sf_dir: str, cores: int) -> dict:
     extras: dict[str, float | int] = {"edges": n_edges, "edge_build_sec": round(build_sec, 3)}
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # The contested triangle family gets >=4 interleaved reps so the
+    # artifact carries enough samples to separate structure from noise
+    # (VERDICT r04 "Next round" #2); the uncontested queries keep `reps`.
+    tri_reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRI_REPS", "4")), reps)
     raw_timings: dict[str, list[float]] = {}
+    rep_steal_pct: dict[str, list[float]] = {}
+
+    def _time_rep(name: str, thunk):
+        s0, t0_ticks = _cpu_times()
+        t = time.monotonic()
+        out = thunk()
+        dt = time.monotonic() - t
+        s1, t1_ticks = _cpu_times()
+        dtot = max(t1_ticks - t0_ticks, 1)
+        rep_steal_pct.setdefault(name, []).append(
+            round(100.0 * (s1 - s0) / dtot, 2)
+        )
+        raw_timings.setdefault(name, []).append(round(dt, 3))
+        return out
 
     def timed(name: str, thunk):
         # best-of-reps. (The reference's min-by-over-results, SURVEY §2.5
@@ -87,16 +130,11 @@ def run(sf_dir: str, cores: int) -> dict:
         # stage code (3-7x), and the min is the steady-state engine cost.)
         # Every raw rep is recorded in the artifact so cross-round
         # comparisons can be made like-for-like regardless of reps.
-        best = None
         out = None
         raw_timings[name] = []
         for _ in range(max(reps, 1)):
-            t = time.monotonic()
-            out = thunk()
-            dt = time.monotonic() - t
-            raw_timings[name].append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            out = _time_rep(name, thunk)
+        timings[name] = min(raw_timings[name])
         return out
 
     def timed_group(entries):
@@ -109,12 +147,9 @@ def run(sf_dir: str, cores: int) -> dict:
         outs = {name: None for name, _ in entries}
         for name, _ in entries:
             raw_timings[name] = []
-        for _ in range(max(reps, 1)):
+        for _ in range(max(tri_reps, 1)):
             for name, thunk in entries:
-                t = time.monotonic()
-                outs[name] = thunk()
-                dt = time.monotonic() - t
-                raw_timings[name].append(round(dt, 3))
+                outs[name] = _time_rep(name, thunk)
         for name, _ in entries:
             timings[name] = min(raw_timings[name])
         return outs
@@ -166,7 +201,14 @@ def run(sf_dir: str, cores: int) -> dict:
     extras["triangles"] = tri
     extras["strategies_agree"] = True  # asserted above (all three)
     extras["reps"] = reps
+    extras["tri_reps"] = tri_reps
     extras["raw_timings"] = raw_timings
+    # Median-of-interleaved alongside best-of: with steal per rep these
+    # three fields make the artifact self-diagnosing for host noise.
+    extras["median_timings"] = {
+        k: round(_median(v), 3) for k, v in raw_timings.items()
+    }
+    extras["steal_pct_per_rep"] = rep_steal_pct
     extras["edges_per_sec_triangle_count"] = round(n_edges / timings["triangle_count"], 1)
     extras["csr_over_intersect"] = round(
         timings["triangle_count_csr"] / timings["triangle_count"], 2
