@@ -60,7 +60,7 @@ def token_positions(docs: DataFrame) -> DataFrame:
 
 def _global_dense_rank(
     df: DataFrame, cols: list[str], n_parts: int
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Append 0-based order-preserving dense rank ``r`` over ``cols``.
 
     Range-partition by the key (equal keys colocate — RangePartitioner
@@ -68,7 +68,12 @@ def _global_dense_rank(
     partition by the total distinct-key count of the partitions before
     it (a ≤ n_parts-row aggregate collected to the driver). The result
     is globally dense and order-preserving with no single-partition
-    stage."""
+    stage.
+
+    Returns ``(out, ranked, n_distinct)``: the ranked frame, the
+    persisted intermediate (caller unpersists it once ``out`` is
+    consumed), and the total distinct-key count (= 1 + max rank),
+    which the prefix-doubling loop uses as its convergence test."""
     parts = df.repartitionByRange(n_parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )

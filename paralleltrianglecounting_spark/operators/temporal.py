@@ -207,19 +207,31 @@ def interval_join(
             "inner",
         ).select("p.*", *[F.col(f"i.{c}") for c in icols])
     b_us = int(bucket_s) * 1_000_000
+    # Bucket ids use exact integer division (`div`, the stats.py
+    # discipline) — double division + cast('long') is exact only while
+    # |µs| < 2^53 and would let the two sides of the join round a
+    # boundary timestamp differently once past it. `div` truncates
+    # toward zero, which keeps the rewrite sound: trunc is monotonic,
+    # so a point in [start, end] still lands inside
+    # sequence(start div b, end div b).
     i_b = intervals.select(
         F.col(on).alias("_ik"),
         *[F.col(c) for c in icols],
+        _us(start_col).alias("_s_us"),
+        _us(end_col).alias("_e_us"),
+    ).select(
+        "_ik",
+        *icols,
         F.explode(
             F.sequence(
-                (_us(start_col) / b_us).cast("long"),
-                (_us(end_col) / b_us).cast("long"),
+                F.expr(f"_s_us div {b_us}"),
+                F.expr(f"_e_us div {b_us}"),
             )
         ).alias("_bucket"),
     )
-    p_b = points.withColumn(
-        "_bucket", (_us(point_ts) / b_us).cast("long")
-    )
+    p_b = points.withColumn("_pt_us", _us(point_ts)).withColumn(
+        "_bucket", F.expr(f"_pt_us div {b_us}")
+    ).drop("_pt_us")
     joined = p_b.join(
         i_b,
         (p_b[on] == i_b["_ik"]) & (p_b["_bucket"] == i_b["_bucket"]),
@@ -314,9 +326,14 @@ def temporal_pair_counts(
         F.col("_ty").alias("src_type"),
         F.col("_t").alias("_t1"),
         F.explode(
+            # integer `div`, not double division: exact at any µs
+            # magnitude, and trunc-consistent bucket ids on both sides
+            # keep the "partner lives in bucket b or b+1" coverage
+            # (boundaries are >= d_us apart, so a window of d_us
+            # crosses at most one).
             F.array(
-                (F.col("_t") / d_us).cast("long"),
-                (F.col("_t") / d_us).cast("long") + 1,
+                F.expr(f"_t div {d_us}"),
+                F.expr(f"_t div {d_us}") + 1,
             )
         ).alias("_b"),
     )
@@ -324,7 +341,7 @@ def temporal_pair_counts(
         "_k",
         F.col("_ty").alias("dst_type"),
         F.col("_t").alias("_t2"),
-        (F.col("_t") / d_us).cast("long").alias("_b"),
+        F.expr(f"_t div {d_us}").alias("_b"),
     )
     pairs = early.join(late, ["_k", "_b"]).where(
         (F.col("_t2") > F.col("_t1")) & (F.col("_t2") - F.col("_t1") <= d_us)

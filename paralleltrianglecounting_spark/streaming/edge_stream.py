@@ -415,12 +415,34 @@ def _max_version_le(spark: SparkSession, state_dir: str, bound: int) -> int | No
     return best
 
 
+def _prune_versions(spark: SparkSession, state_dir: str, keep_ge: int) -> None:
+    """Delete ``v=<n>`` subdirectories with n < keep_ge. Idempotent (a
+    replayed batch re-deletes already-gone dirs) and best-effort: a
+    failed delete leaves extra versions, never missing ones."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if v < keep_ge:
+                fs.delete(st.getPath(), True)
+
+
 def incremental_cc_stream(
     spark: SparkSession,
     source_dir: str,
     labels_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
+    retain_versions: int = 2,
 ):
     """EXACT incremental connected components under streaming edge
     ingestion — the streaming face of
@@ -460,7 +482,20 @@ def incremental_cc_stream(
     batch ids at 0, and a reused labels_dir would then hold stale
     higher versions that the max-version reader prefers — pair a new
     checkpoint with a new (or emptied) labels_dir.
+
+    Retention: after each successful snapshot write, versions older
+    than the last ``retain_versions`` are deleted, so state storage
+    and the per-tick version listing stay O(retain_versions) under a
+    continuous trigger instead of growing with batch count.
+    ``retain_versions`` must be >= 2: a replayed batch b (foreachBatch
+    is at-least-once) reads version <= b-1, which must survive the
+    prune that batch b itself ran before the crash.
     """
+    if retain_versions < 2:
+        raise ValueError(
+            "retain_versions must be >= 2 to keep replayed batches "
+            "able to read their predecessor state"
+        )
 
     stream = (
         spark.readStream.schema(EDGE_SCHEMA)
@@ -517,6 +552,9 @@ def incremental_cc_stream(
         )
         upd.unionByName(new_verts).write.mode("overwrite").parquet(
             f"{labels_dir}/v={int(batch_id)}"
+        )
+        _prune_versions(
+            spark, labels_dir, int(batch_id) - int(retain_versions) + 1
         )
         merged.unpersist()
         edges_b.unpersist()

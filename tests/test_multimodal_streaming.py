@@ -977,3 +977,64 @@ def test_incremental_cc_cold_start_empty(spark, tmp_path):
     assert (
         incremental_cc_labels(spark, str(tmp_path / "nope")).count() == 0
     )
+
+
+def test_incremental_cc_stream_prunes_old_versions(spark, tmp_path):
+    """State retention (ADVICE r04 #3): after a multi-batch run only
+    the last ``retain_versions`` label snapshots survive, the
+    maintained answer is still exact, and retain_versions < 2 (which
+    would break at-least-once replay) is refused."""
+    import os
+
+    import pytest as _pytest
+
+    from paralleltrianglecounting_spark.operators.components import (
+        connected_components,
+    )
+    from paralleltrianglecounting_spark.streaming.edge_stream import (
+        incremental_cc_labels,
+        incremental_cc_stream,
+    )
+
+    edges = [(i, i + 1) for i in range(12)] + [(50, 51), (51, 52), (5, 50)]
+    want = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    work = tmp_path / "cc_prune"
+    stage = str(work / "stage")
+    spark.createDataFrame(edges, "src long, dst long").repartition(6).write.parquet(
+        stage
+    )
+    q = (
+        incremental_cc_stream(
+            spark,
+            stage,
+            str(work / "labels"),
+            str(work / "ck"),
+            max_files_per_trigger=1,
+            retain_versions=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.vertex, r.component)
+        for r in incremental_cc_labels(spark, str(work / "labels")).collect()
+    }
+    assert got == want
+    versions = sorted(
+        int(d[2:])
+        for d in os.listdir(work / "labels")
+        if d.startswith("v=")
+    )
+    assert len(versions) == 2  # exactly the retained window survives
+    assert versions[-1] - versions[0] == 1  # and they are consecutive
+
+    with _pytest.raises(ValueError):
+        incremental_cc_stream(
+            spark, stage, str(work / "l2"), str(work / "ck2"), retain_versions=1
+        )

@@ -399,3 +399,63 @@ def test_asof_bad_direction_raises(spark):
     ev = _events(spark, [(0, 0.0, 1, "click", 0.0)])
     with _pytest.raises(ValueError):
         asof_join(ev, ev, on="user_id", direction="sideways")
+
+
+def test_bucketed_paths_exact_for_pre_epoch_timestamps(spark):
+    """Pre-1970 timestamps give negative epoch-microseconds; the bucket
+    ids must be computed with integer arithmetic consistently on both
+    sides of each bucketed join (ADVICE r04 #1). Keyed-vs-bucketed
+    interval join identity and a brute-force pair-count twin, entirely
+    in the negative range."""
+    old = dt.datetime(1960, 1, 1)
+
+    def ots(s):
+        return old + dt.timedelta(seconds=s)
+
+    rng = random.Random(7)
+    ivals = []
+    for u in range(3):
+        for _ in range(5):
+            s = rng.randint(0, 900)
+            ivals.append((u, ots(float(s)), ots(float(s + rng.randint(0, 200)))))
+    intervals = spark.createDataFrame(
+        ivals, ["user_id", "start", "end"]
+    ).withColumn("iid", F.monotonically_increasing_id())
+    pts = spark.createDataFrame(
+        [
+            (i, ots(float(rng.randint(0, 1100))), rng.randint(0, 2), "view", 0.0)
+            for i in range(150)
+        ],
+        _EV_SCHEMA,
+    )
+    keyed = interval_join(pts, intervals, on="user_id")
+    bucketed = interval_join(pts, intervals, on="user_id", bucket_s=60)
+    k = sorted(tuple(r) for r in keyed.select("event_id", "iid").collect())
+    b = sorted(tuple(r) for r in bucketed.select("event_id", "iid").collect())
+    assert k == b and len(k) > 0
+
+    from paralleltrianglecounting_spark.operators.temporal import (
+        temporal_pair_counts,
+    )
+
+    rows = []
+    for i in range(120):
+        rows.append(
+            (i, float(rng.randint(0, 400)), rng.randint(0, 2),
+             rng.choice(["a", "b", "c"]), 0.0)
+        )
+    ev = spark.createDataFrame(
+        [(i, ots(s), u, t, v) for (i, s, u, t, v) in rows], _EV_SCHEMA
+    )
+    delta = 30
+    got = sorted(
+        (r["src_type"], r["dst_type"], r["n"])
+        for r in temporal_pair_counts(ev, delta_s=delta).collect()
+    )
+    brute: dict[tuple[str, str], int] = {}
+    for i, s1, u1, t1, _ in rows:
+        for j, s2, u2, t2, _ in rows:
+            if u1 == u2 and 0 < s2 - s1 <= delta:
+                brute[(t1, t2)] = brute.get((t1, t2), 0) + 1
+    want = sorted((a, b2, n) for (a, b2), n in brute.items())
+    assert got == want and len(got) > 0
