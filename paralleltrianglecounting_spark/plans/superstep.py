@@ -112,6 +112,22 @@ def local_pin(df: DataFrame) -> DataFrame:
         return ck
 
 
+def release_pinned(df: DataFrame) -> None:
+    """Free the cached blocks behind a ``local_pin``/``localCheckpoint``
+    state the moment the NEXT superstep has been eagerly materialized.
+
+    ``df.unpersist()`` goes through the SQL cache manager and does not
+    touch the RDD blocks backing a LogicalRDD leaf; this reaches the
+    leaf's RDD directly. Best-effort: a frame that is not a pinned leaf
+    (parquet-backed state, the raw init frame) simply has no ``rdd()``
+    and is left alone — correctness never depends on the release, only
+    peak storage does."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 @dataclass
 class SuperstepResult:
     state: DataFrame
@@ -284,6 +300,7 @@ class SuperstepRunner:
         stop_when_stable: bool = True,
         resume: bool = True,
         stop_when: Callable[[DataFrame, DataFrame], bool] | None = None,
+        release_prev: bool = False,
     ) -> SuperstepResult:
         """Iterate ``step`` from ``init_state`` (or the latest complete
         checkpoint when resuming) until the state fingerprint stabilizes
@@ -293,7 +310,15 @@ class SuperstepRunner:
         numeric convergence predicate evaluated after each superstep
         (e.g. PageRank's max-|Δrank| < tol); when it returns True the
         run stops converged. It composes with, and is checked before,
-        the exact fingerprint check."""
+        the exact fingerprint check.
+
+        ``release_prev``: free the previous superstep's pinned blocks as
+        soon as the new state is materialized and the convergence
+        predicates have read both. With in-memory truncation this bounds
+        live cached state at <=2 supersteps regardless of iteration
+        count (the betweenness per-level-frontier requirement); it is a
+        no-op for parquet-checkpointed runs. Leave False for algorithms
+        whose returned result still references intermediate states."""
         max_iterations = max_iterations or self.max_iterations
         metrics: list[dict] = []
         start_iter = 0
@@ -335,7 +360,12 @@ class SuperstepRunner:
             prev_state = state
             state = self._checkpoint(new_state, i, step_metrics)
             manifest = {"iteration": i, "metrics": step_metrics}
-            if stop_when is not None and stop_when(prev_state, state):
+            stopped = stop_when is not None and stop_when(prev_state, state)
+            if release_prev and prev_state is not init_state:
+                # state is already eagerly materialized and stop_when has
+                # read prev_state — its blocks are dead weight from here
+                release_pinned(prev_state)
+            if stopped:
                 converged = True
                 metrics.append(manifest if self.dir is None else self._manifest(i))
                 i += 1

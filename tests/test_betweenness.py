@@ -289,3 +289,103 @@ def test_closeness_star(spark):
     assert got[1] == (3, 5, pytest.approx(0.6))
     # leaf 5 (not a pivot): d=1 from 0, d=2 from 1,2,3
     assert got[5] == (4, 7, pytest.approx(4 / 7))
+
+
+# ------------------------------------------- frontier lifecycle
+
+
+def test_betweenness_bounded_cached_frontiers_deep_chain(spark, monkeypatch):
+    """VERDICT r04 #5: the per-wave pin/release discipline keeps the
+    number of cached RDDs CONSTANT in depth — at most two waves of
+    state live at once — instead of one persisted frontier per level.
+    Spied at every superstep checkpoint on a max_depth=8 run (2x8
+    waves); also pins value-correctness vs the sequential oracle at
+    that depth."""
+    from paralleltrianglecounting_spark.plans import superstep as ss
+
+    sc = spark.sparkContext._jsc.sc()
+    base_id = max(
+        [info.id() for info in sc.getRDDStorageInfo()], default=-1
+    )
+    counts: list[int] = []
+    orig = ss.SuperstepRunner._checkpoint
+
+    def spy(self, df, i, metrics):
+        out = orig(self, df, i, metrics)
+        # count only RDDs cached by THIS run (ids above the session
+        # baseline) — earlier tests' blocks being async-cleaned must
+        # not skew the reading
+        counts.append(
+            sum(1 for info in sc.getRDDStorageInfo() if info.id() > base_id)
+        )
+        return out
+
+    monkeypatch.setattr(ss.SuperstepRunner, "_checkpoint", spy)
+
+    pairs = [(i, i + 1) for i in range(20)]  # path: 8 full waves
+    got = {
+        r.vertex: r.bc_r
+        for r in betweenness(
+            _edges_df(spark, pairs), n_sources=2, max_depth=8
+        ).collect()
+    }
+    want = py_betweenness(pairs, n_sources=2, max_depth=8)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=5e-7), v
+
+    assert len(counts) >= 14  # 8 forward + >=7 backward waves spied
+    # The run's cached-RDD count must be CONSTANT in wave index, never
+    # one-pinned-frontier-per-level. Steady sets: forward holds
+    # {topology, verts, prev wave, new wave} = 4; backward additionally
+    # keeps the (single) accumulated forward state it reads every wave
+    # = 5. At most TWO waves of superstep state are ever live. Without
+    # release_prev this list reads 4,5,6,7,... instead.
+    assert max(counts) <= 5, counts
+    assert counts[-1] <= 5 and counts[-1] >= counts[-2] - 1, counts
+    # constant across the deep tail: the last 5 backward waves all see
+    # the identical cached set
+    assert len(set(counts[-5:])) == 1, counts
+
+
+def test_betweenness_checkpointed_run_resumable_and_exact(spark, tmp_path):
+    """With a checkpoint_dir both phases write per-wave parquet states +
+    manifests (iteration, rows, lineage); a resumed run refuses a
+    different graph's checkpoints and reuses its own."""
+    import os
+
+    pairs = [(i, i + 1) for i in range(9)] + [(0, 5)]
+    ck = str(tmp_path / "bc_ck")
+    got = {
+        r.vertex: r.bc_r
+        for r in betweenness(
+            _edges_df(spark, pairs), n_sources=3, max_depth=4,
+            checkpoint_dir=ck,
+        ).collect()
+    }
+    want = py_betweenness(pairs, n_sources=3, max_depth=4)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=5e-7), v
+    # both phases checkpointed with manifests
+    fw = sorted(os.listdir(os.path.join(ck, "brandes_forward")))
+    bw = sorted(os.listdir(os.path.join(ck, "brandes_backward")))
+    assert fw and bw
+    assert all(
+        os.path.exists(os.path.join(ck, "brandes_forward", d, "manifest.json"))
+        for d in fw
+    )
+    # identical rerun resumes and lands on the same answer
+    again = {
+        r.vertex: r.bc_r
+        for r in betweenness(
+            _edges_df(spark, pairs), n_sources=3, max_depth=4,
+            checkpoint_dir=ck,
+        ).collect()
+    }
+    assert again == got
+    # a different graph against the same checkpoints is REFUSED
+    other = [(i, i + 2) for i in range(12)]
+    with pytest.raises(ValueError, match="refusing to resume"):
+        betweenness(
+            _edges_df(spark, other), n_sources=3, max_depth=4,
+            checkpoint_dir=ck,
+        ).collect()
