@@ -563,6 +563,10 @@ PMI_MIN_COUNT = 5
 INVIDX_BLOCK = 16
 SKIPGRAM_WINDOW = 2
 SKIPGRAM_K = 100
+# full BPE training ledger gate: enough rounds that later merges build
+# on earlier merged symbols (multi-char pairs appear by rank ~4 on the
+# gate corpora)
+BPE_MERGES = 8
 # view -> click -> purchase within a day: the 86400 s conversion window
 # discriminates at every tier (15/6/3 at sf0.001, 150/60/25 at sf0.01,
 # 1500/536/217 at sf0.1) — without it every long-lived user converts
@@ -1512,6 +1516,16 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training (VERDICT r04 #6): the learned merge ledger
+    for BPE_MERGES rounds, gated value-exact against an unrolled
+    DuckDB twin (see ``_bpe_merges_sql`` for how the greedy
+    non-overlapping merge is expressed positionally in SQL)."""
+    from paralleltrianglecounting_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
 
 
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2894,7 +2908,8 @@ _ROTATE_FIRST = (
     "quality_filtered_docs",
     # text analysis / tokenization
     "tfidf_top_terms", "pmi_collocations", "repetition_scores",
-    "bpe_pair_counts", "inverted_index", "skipgram_pairs", "ngram_topk",
+    "bpe_pair_counts", "bpe_merges", "inverted_index", "skipgram_pairs",
+    "ngram_topk",
     "oov_rate", "bigram_lm_scores", "winnow_fingerprints",
     "winnow_dup_clusters", "dup_ngram_spans", "dup_span_runs",
     "suffix_ranks", "dup_prefix_depths", "contamination_check",
@@ -3022,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "repetition_scores": _q_repetition_scores,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         "inverted_index": _q_inverted_index,
         "skipgram_pairs": _q_skipgram_pairs,
         "event_funnel": _q_event_funnel,
@@ -3147,6 +3163,87 @@ def _cms_bucket_legs(src: str, extra_cols: str = "") -> str:
         f" FROM {src}"
         for r, (a, b) in enumerate(CMS_PARAMS)
     )
+
+
+def _bpe_merges_sql(n: int) -> str:
+    """Unrolled DuckDB twin of ``bpe_train`` for a fixed ``n`` rounds
+    (VERDICT r04 #6 — the merge loop IS SQL-expressible when unrolled).
+
+    The non-trivial piece is Sennrich's greedy left-to-right
+    NON-OVERLAPPING merge, which has no SQL fold — but it is positional:
+    two adjacent positions can only BOTH match when the pair's sides are
+    equal (match at i and i+1 forces left = right), so matches come in
+    runs of the pair's own symbol, and greedy picking takes every OTHER
+    match starting at each run's head. Per round: unnest positions, flag
+    matches, locate each run head with a running max over non-match
+    positions, pick matches at even offset from the head, emit the
+    merged token at picked positions, drop the position AFTER a pick,
+    and re-assemble the symbol list ordered by position. The per-round
+    best pair lives in a 1-row CTE with ``HAVING sum(wcount) >= 2``; on
+    early stop the CTE is empty, its scalar subqueries go NULL, every
+    match flag collapses to FALSE and all later rounds are no-ops —
+    exactly the engine's break."""
+    parts = [
+        _TOKS_CTE,
+        """wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS wcount
+  FROM (SELECT unnest(toks) AS word FROM toks_t)
+  GROUP BY word
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT word, wcount,
+         list_append(
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+           '</w>'
+         ) AS syms
+  FROM wf
+)""",
+    ]
+    for r in range(1, n + 1):
+        p = r - 1
+        parts.append(f"""b{r} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS rr, sum(wcount)::BIGINT AS cnt
+  FROM (SELECT syms, wcount, unnest(range(1, len(syms))) AS i FROM v{p})
+  GROUP BY l, rr
+  HAVING sum(wcount) >= 2
+  ORDER BY cnt DESC, l ASC, rr ASC
+  LIMIT 1
+)""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT word, wcount, i, syms[i] AS s,
+         coalesce(syms[i] = (SELECT l FROM b{r})
+                  AND syms[i + 1] = (SELECT rr FROM b{r}), FALSE) AS m
+  FROM (SELECT word, wcount, syms, unnest(range(1, len(syms) + 1)) AS i
+        FROM v{p})
+)""")
+        parts.append(f"""k{r} AS MATERIALIZED (
+  SELECT *, coalesce(m AND (i - lf - 1) % 2 = 0, FALSE) AS picked
+  FROM (
+    SELECT *, coalesce(max(CASE WHEN NOT m THEN i END)
+                OVER (PARTITION BY word ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              0) AS lf
+    FROM m{r}
+  )
+)""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+  SELECT word, wcount, i,
+         CASE WHEN picked THEN s || (SELECT rr FROM b{r}) ELSE s END AS os,
+         lag(picked, 1, FALSE) OVER (PARTITION BY word ORDER BY i) AS pp
+  FROM k{r}
+)""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+  SELECT word, wcount, list(os ORDER BY i) AS syms
+  FROM e{r}
+  WHERE NOT pp
+  GROUP BY word, wcount
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS merge_rank, l AS "left", rr AS "right", '
+        f"cnt AS pair_cnt FROM b{r}"
+        for r in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def _doc_oracles() -> dict[str, str]:
@@ -3535,6 +3632,9 @@ pr AS (
 )
 SELECT l AS "left", r AS "right", sum(wcount)::BIGINT AS pair_cnt
 FROM pr GROUP BY l, r""",
+        # full BPE training ledger: BPE_MERGES unrolled rounds of
+        # (pair count -> total-order argmax -> positional greedy merge)
+        "bpe_merges": _bpe_merges_sql(BPE_MERGES),
         # blocked postings: row_number over the per-term doc order cut
         # into {INVIDX_BLOCK}-id blocks, df joined back on the term
         "inverted_index": f"""WITH {_TOKS_CTE},
