@@ -1309,6 +1309,35 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# decode-audit predicate: deterministic ~40% keep rate on every tier
+MEDIA_KEEP_MOD, MEDIA_KEEP_LT = 5, 2
+
+
+def _q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune-before-decode audit (VERDICT r04 #7): documents stand in
+    for a blob table (payload = utf-8 bytes of text, kind = doc_id%3
+    round-robin); the decode stage is the real mapInPandas image
+    pipeline with the deterministic fake decoder. bytes_decoded is
+    measured INSIDE the decode UDF; the DuckDB twin derives the kept
+    subset from the predicate alone, so hash-equality proves the stage
+    decoded exactly the metadata-kept payloads and nothing more."""
+    from paralleltrianglecounting_spark.operators.multimodal import (
+        decode_cost_audit,
+    )
+
+    kinds3 = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds3, (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "kind"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("n_chars"),
+    )
+    keep = F.col("n_chars") % MEDIA_KEEP_MOD < MEDIA_KEEP_LT
+    return decode_cost_audit(media, keep, kinds=["image"], fake=True)
+
+
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         _docs(spark, sf_dir), BM25_QUERIES, k=BM25_K, k1=BM25_K1, b=BM25_B
@@ -2930,6 +2959,8 @@ _ROTATE_FIRST = (
     "events_ohlc", "events_twa", "temporal_pair_counts",
     "retention_cohorts", "event_funnel", "event_transitions",
     "click_conversion",
+    # multimodal
+    "media_decode_audit",
     # streaming
     "user_sessions_stream", "events_windowed_stream",
     "triangle_count_stream",
@@ -3001,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_cost": _q_projection_cost,
         "topo_levels": _q_topo_levels,
         "doc_chunks": _q_doc_chunks,
+        "media_decode_audit": _q_media_decode_audit,
         "bm25_search": _q_bm25_search,
         "directed_pagerank": _q_directed_pagerank,
         "core_numbers": _q_core_numbers,
@@ -3635,6 +3667,33 @@ FROM pr GROUP BY l, r""",
         # full BPE training ledger: BPE_MERGES unrolled rounds of
         # (pair count -> total-order argmax -> positional greedy merge)
         "bpe_merges": _bpe_merges_sql(BPE_MERGES),
+        # prune-before-decode audit: the twin computes the kept subset
+        # from the metadata predicate ALONE; the engine's decoded
+        # columns are measured inside the decode UDF — equality proves
+        # the stage decoded exactly the kept payloads
+        "media_decode_audit": f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS kind,
+         encode(text) AS payload,
+         n_chars
+  FROM documents
+),
+a AS (
+  SELECT kind,
+         count(*)::BIGINT AS rows_present,
+         sum(octet_length(payload))::BIGINT AS bytes_present,
+         count(*) FILTER (
+           WHERE n_chars % {MEDIA_KEEP_MOD} < {MEDIA_KEEP_LT}
+         )::BIGINT AS rows_kept,
+         coalesce(sum(octet_length(payload)) FILTER (
+           WHERE n_chars % {MEDIA_KEEP_MOD} < {MEDIA_KEEP_LT}
+         ), 0)::BIGINT AS bytes_kept
+  FROM m GROUP BY kind
+)
+SELECT kind, rows_present, bytes_present, rows_kept, bytes_kept,
+       CASE WHEN kind = 'image' THEN rows_kept ELSE 0 END AS rows_decoded,
+       CASE WHEN kind = 'image' THEN bytes_kept ELSE 0 END AS bytes_decoded
+FROM a""",
         # blocked postings: row_number over the per-term doc order cut
         # into {INVIDX_BLOCK}-id blocks, df joined back on the term
         "inverted_index": f"""WITH {_TOKS_CTE},
