@@ -2948,6 +2948,8 @@ _ROTATE_FIRST = (
     # mergeable sketches
     "hll_registers", "cms_registers", "cms_heavy_hitters",
     "bloom_contamination",
+    # multimodal (decode-cost audit: round-5 gate, never driver-seen)
+    "media_decode_audit",
     # sampling / data mixing
     "dataset_split", "mixture_weights", "sequence_packing",
     "balanced_sample", "pps_sample",
@@ -2959,8 +2961,6 @@ _ROTATE_FIRST = (
     "events_ohlc", "events_twa", "temporal_pair_counts",
     "retention_cohorts", "event_funnel", "event_transitions",
     "click_conversion",
-    # multimodal
-    "media_decode_audit",
     # streaming
     "user_sessions_stream", "events_windowed_stream",
     "triangle_count_stream",
