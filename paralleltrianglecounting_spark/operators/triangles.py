@@ -188,16 +188,21 @@ def _edges_with_adjacency(
 # auto-strategy crossover: wedge is chosen when its shuffled wedge rows
 # W = Σ_v C(d⁺(v),2) are under 1/8 of the intersect path's shuffled
 # array elements I = Σ_v d⁺(v)·deg(v) (= the merge comparisons the
-# intersection performs). The 8× per-unit gap is measured, not assumed:
-# a wedge row is a 3-long row through a full shuffle + semi-join probe,
-# an array element is one long through a vectorized SMJ + merge — at
-# W/I of 0.17-0.31 (planted-sparse through sf0.1 co-occurrence)
-# intersect measured faster every time, while the W≈0 regime (star-like
-# orientation DAGs, no two out-neighbors anywhere) is wedge's: nothing
-# to shuffle at all. The moral analog of the reference's config search
-# (CV_PROGRAM/orchestrator.cpp:105-139) — pick the execution config
-# from a cheap cost probe instead of asking the user.
-AUTO_WEDGE_RATIO = 0.125
+# intersection performs). The per-unit gap is measured, not assumed,
+# and was RE-CALIBRATED after the round-5 wedge rework (streamed
+# two-explode generation + shuffled-hash probe, see _wedge_counts): at
+# sf0.1 the co-occurrence graph sits at W/I = 0.31 and the two
+# strategies now time within ~5% of each other (4.1 s wedge vs 3.9 s
+# intersect, interleaved best-of), putting the indifference point at
+# W/I ≈ 0.30. The threshold stays a shade conservative at 0.25 —
+# intersect's cost model is the better-understood one at scale — so
+# wedge is chosen exactly on the wedge-sparse shapes it wins: long
+# chains / star-like orientation DAGs where few vertices have two
+# out-neighbors (W ≪ E), pathologically down to W = 0 where there is
+# nothing to probe at all. The moral analog of the reference's config
+# search (CV_PROGRAM/orchestrator.cpp:105-139) — pick the execution
+# config from a cheap cost probe instead of asking the user.
+AUTO_WEDGE_RATIO = 0.25
 
 
 def strategy_cost_estimate(edges: DataFrame) -> dict[str, float]:

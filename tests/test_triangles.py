@@ -213,9 +213,24 @@ def test_auto_strategy_picks_by_cost_probe(spark, monkeypatch):
     assert choose_strategy(star) == "wedge"
     assert triangle_count(star, strategy="auto").collect()[0]["triangles"] == 0
     est = strategy_cost_estimate(dense)
-    assert est["wedge_rows"] > 0.125 * est["intersect_elems"]
+    assert est["wedge_rows"] > tri_mod.AUTO_WEDGE_RATIO * est["intersect_elems"]
     assert choose_strategy(dense) == "intersect"
     assert triangle_count(dense, strategy="auto").collect()[0]["triangles"] == 373
+
+    # wedge-sparse WITH triangles (W > 0 but W/I under the crossover):
+    # long chains keep almost every d+ at 1, the planted triangles are
+    # the only two-out-neighbor vertices — auto must pick wedge AND
+    # still count exactly
+    chain = [(i, i + 1) for i in range(300)]
+    tris = []
+    for k in range(5):
+        a = 1000 + 3 * k
+        tris += [(a, a + 1), (a + 1, a + 2), (a, a + 2)]
+    sparse = spark.createDataFrame(chain + tris, "src long, dst long")
+    est = strategy_cost_estimate(sparse)
+    assert 0 < est["wedge_rows"] < tri_mod.AUTO_WEDGE_RATIO * est["intersect_elems"]
+    assert choose_strategy(sparse) == "wedge"
+    assert triangle_count(sparse, strategy="auto").collect()[0]["triangles"] == 5
 
 
 def test_csr_gate_routes_to_join_kernel(spark, monkeypatch):
