@@ -356,7 +356,7 @@ FROM memb m JOIN csizes s USING (community)
 _SESSIONS_SQL = """WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
@@ -6153,13 +6153,13 @@ GROUP BY src_type, dst_type""",
 s1 AS (
   SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
   WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s0.t
-    AND epoch(e.ts) - epoch(s0.t) <= {FUNNEL_WITHIN_S}
+    AND epoch_us(e.ts) - epoch_us(s0.t) <= {FUNNEL_WITHIN_S * 1_000_000}
   GROUP BY e.user_id
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
   WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s1.t
-    AND epoch(e.ts) - epoch(s1.t) <= {FUNNEL_WITHIN_S}
+    AND epoch_us(e.ts) - epoch_us(s1.t) <= {FUNNEL_WITHIN_S * 1_000_000}
   GROUP BY e.user_id
 )
 SELECT 0::INT AS step_idx, '{FUNNEL_STEPS[0]}' AS step_type,

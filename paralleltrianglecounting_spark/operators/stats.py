@@ -165,11 +165,21 @@ def sessionize(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    # exact integer microseconds (unix_micros ≡ DuckDB epoch_us), the
+    # temporal.py portability discipline: unix_timestamp() truncates to
+    # whole seconds, so a real gap of 1800.4 s could floor to exactly
+    # 1800 and silently NOT split while any fractional-second engine
+    # splits — caught by the generated-tier sweep (gap 1800.456951 s,
+    # sf0.02, user 122)
+    gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(F.col(ts_col)).over(w)
     new_sess = F.when(
         prev.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_s),
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_us
+        ),
         F.lit(1),
     ).otherwise(F.lit(0))
     marked = events.select(
@@ -244,9 +254,12 @@ def event_funnel(
     for s in steps[1:]:
         ordered = F.col(ts_col) > F.col("_t")
         if within_seconds is not None:
+            # exact integer µs, not unix_timestamp's whole-second floor
+            # (same boundary hazard as sessionize — see its comment)
             ordered = ordered & (
-                F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_t"))
-                <= F.lit(int(within_seconds))
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.col("_t").cast("timestamp"))
+                <= F.lit(int(within_seconds) * 1_000_000)
             )
         nxt = (
             events.where(F.col(type_col) == s)
