@@ -263,9 +263,11 @@ def measured_unrolls(spark, sf_dir: str, only=None) -> dict[str, int]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    budget_s = float(sys.argv[2]) if len(sys.argv) > 2 else 900.0
-    only = set(sys.argv[3:]) or None
+    argv = [a for a in sys.argv[1:] if a != "--skip-done"]
+    skip_done = "--skip-done" in sys.argv
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    budget_s = float(argv[1]) if len(argv) > 1 else 900.0
+    only = set(argv[2:]) or None
     tier = os.path.basename(sf_dir.rstrip("/"))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(cores=cores)
@@ -335,9 +337,48 @@ def main() -> None:
         "absent_tables": absent_tables,
         "results": {},
     }
-    n_ok = n_fail = n_timeout = 0
+    # bound DuckDB's spill so one exploding oracle aborts ITSELF
+    # (recorded below) instead of filling the disk under every other
+    # process on the box — the sf1 coreness-unroll lesson
+    for pragma in (
+        "SET temp_directory='/tmp/duckdb_sweep_tmp'",
+        "SET max_temp_directory_size='40GiB'",
+    ):
+        try:
+            con.execute(pragma)
+        except duckdb.Error:
+            pass
+
+    os.makedirs("BENCH", exist_ok=True)
+    path = f"BENCH/correctness_{tier}.json"
+    # fold an existing artifact in up front so every incremental write
+    # below carries the union; --skip-done additionally resumes a
+    # crashed run by skipping queries it already recorded
+    if os.path.exists(path) and (only or skip_done):
+        with open(path) as f:
+            out["results"] = dict(json.load(f).get("results", {}))
+
+    def _flush() -> None:
+        n_ok = n_fail = n_timeout = 0
+        for entry in out["results"].values():
+            if entry.get("oracle") in ("oracle_timeout", "oracle_error"):
+                n_timeout += 1
+            elif "hash_match" in entry:
+                okq = (
+                    entry["rows_match"]
+                    and entry["schema_match"]
+                    and entry["hash_match"]
+                )
+                n_ok += okq
+                n_fail += not okq
+        out["summary"] = {"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout}
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if skip_done and name in out["results"]:
             continue
         t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
@@ -348,16 +389,28 @@ def main() -> None:
         if name not in oracles:
             entry["oracle"] = "none (rows-only by contract)"
             out["results"][name] = entry
+            _flush()
             print(f"{name:30s} rows={len(srows):8d} spark={t_spark:7.1f}s (rows-only)")
             continue
-        ocols, orows, t_duck, timed_out = run_with_budget(
-            con, oracles[name], budget_s
-        )
+        try:
+            ocols, orows, t_duck, timed_out = run_with_budget(
+                con, oracles[name], budget_s
+            )
+        except duckdb.Error as exc:
+            # an oracle that dies (out of temp space, OOM, ...) is a
+            # verification gap to record, never a reason to lose the
+            # rest of the sweep
+            entry["oracle"] = "oracle_error"
+            entry["oracle_error"] = f"{type(exc).__name__}: {exc}"[:500]
+            out["results"][name] = entry
+            _flush()
+            print(f"{name:30s} ORACLE ERROR {type(exc).__name__} (spark={t_spark:.1f}s, rows={len(srows)})")
+            continue
         entry["oracle_sec"] = round(t_duck, 1)
         if timed_out:
-            n_timeout += 1
             entry["oracle"] = "oracle_timeout"
             out["results"][name] = entry
+            _flush()
             print(f"{name:30s} ORACLE TIMEOUT after {t_duck:.0f}s (spark={t_spark:.1f}s, rows={len(srows)})")
             continue
         entry["oracle_rows"] = len(orows)
@@ -369,39 +422,16 @@ def main() -> None:
             else False
         )
         ok = entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
-        n_ok += ok
-        n_fail += not ok
         out["results"][name] = entry
+        _flush()
         print(
             f"{name:30s} {'OK ' if ok else 'FAIL'} rows={len(srows)}/{len(orows)} "
             f"vals={'=' if entry['hash_match'] else 'X'} "
             f"spark={t_spark:7.1f}s duck={t_duck:7.1f}s"
         )
-    os.makedirs("BENCH", exist_ok=True)
-    path = f"BENCH/correctness_{tier}.json"
-    if only and os.path.exists(path):
-        # subset run: fold into the existing artifact instead of
-        # clobbering the other queries' results
-        with open(path) as f:
-            prev = json.load(f)
-        merged = dict(prev.get("results", {}))
-        merged.update(out["results"])
-        out["results"] = merged
-    n_ok = n_fail = n_timeout = 0
-    for entry in out["results"].values():
-        if entry.get("oracle") == "oracle_timeout":
-            n_timeout += 1
-        elif "hash_match" in entry:
-            ok = (
-                entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
-            )
-            n_ok += ok
-            n_fail += not ok
-    out["summary"] = {"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout}
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    _flush()
     print(f"summary: {out['summary']} -> {path}")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if out["summary"]["fail"] else 0)
 
 
 if __name__ == "__main__":
