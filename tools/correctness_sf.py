@@ -280,23 +280,45 @@ def main() -> None:
             setattr(entrymod, const, need)
             retuned[const] = {"sf001_constant": have, "this_tier": need}
 
-    con = duckdb.connect()
     absent_tables = []
-    for t in TABLES:
-        # generated tiers (tools/gen_sf.py) materialize only the tables
-        # the selected queries read; a view over a missing parquet is
-        # skipped LOUDLY (recorded in the artifact) instead of failing
-        # the whole run — any query that does need it errors visibly.
-        path = f"{sf_dir}/{t}.parquet"
-        if not os.path.exists(path):
-            absent_tables.append(t)
-            continue
-        # Spark writes a directory of part files; the driver tiers are
-        # single files — glob the directory form for DuckDB
-        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
-        )
+
+    def _connect():
+        """Fresh DuckDB connection: views over the tier's parquet plus
+        hard resource bounds. memory_limit keeps DuckDB from fighting
+        the Spark JVM for RAM and — with max_temp_directory_size —
+        makes a too-big oracle fail FAST and CLEAN; the connection is
+        rebuilt after any oracle error because an OOM'd connection
+        stays poisoned (observed at sf1: after one genuine OOM, 5-row
+        oracles kept raising OutOfMemoryException)."""
+        c = duckdb.connect()
+        for pragma in (
+            "SET memory_limit='40GB'",
+            "SET temp_directory='/tmp/duckdb_sweep_tmp'",
+            "SET max_temp_directory_size='40GiB'",
+        ):
+            try:
+                c.execute(pragma)
+            except duckdb.Error:
+                pass
+        absent_tables.clear()
+        for t in TABLES:
+            # generated tiers (tools/gen_sf.py) may materialize only
+            # some tables; a view over a missing parquet is skipped
+            # LOUDLY (recorded in the artifact) instead of failing the
+            # run — any query that does need it errors visibly.
+            path = f"{sf_dir}/{t}.parquet"
+            if not os.path.exists(path):
+                absent_tables.append(t)
+                continue
+            # Spark writes a directory of part files; the driver tiers
+            # are single files — glob the directory form for DuckDB
+            pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
+            )
+        return c
+
+    con = _connect()
     qs = entrymod.queries()
     oracles = dict(entrymod.oracle_sql())
     cc_note = (
@@ -337,18 +359,6 @@ def main() -> None:
         "absent_tables": absent_tables,
         "results": {},
     }
-    # bound DuckDB's spill so one exploding oracle aborts ITSELF
-    # (recorded below) instead of filling the disk under every other
-    # process on the box — the sf1 coreness-unroll lesson
-    for pragma in (
-        "SET temp_directory='/tmp/duckdb_sweep_tmp'",
-        "SET max_temp_directory_size='40GiB'",
-    ):
-        try:
-            con.execute(pragma)
-        except duckdb.Error:
-            pass
-
     os.makedirs("BENCH", exist_ok=True)
     path = f"BENCH/correctness_{tier}.json"
     # fold an existing artifact in up front so every incremental write
@@ -399,12 +409,18 @@ def main() -> None:
         except duckdb.Error as exc:
             # an oracle that dies (out of temp space, OOM, ...) is a
             # verification gap to record, never a reason to lose the
-            # rest of the sweep
+            # rest of the sweep — and the connection is rebuilt because
+            # an OOM'd one stays poisoned for every later query
             entry["oracle"] = "oracle_error"
             entry["oracle_error"] = f"{type(exc).__name__}: {exc}"[:500]
             out["results"][name] = entry
             _flush()
             print(f"{name:30s} ORACLE ERROR {type(exc).__name__} (spark={t_spark:.1f}s, rows={len(srows)})")
+            try:
+                con.close()
+            except duckdb.Error:
+                pass
+            con = _connect()
             continue
         entry["oracle_sec"] = round(t_duck, 1)
         if timed_out:
